@@ -1,0 +1,20 @@
+"""redpajama_processor_spark — a PySpark-native document/transcript curation engine.
+
+A brand-new implementation (NOT a port) of the query and data-processing
+capabilities of the reference pipeline dmvevents/redpajama-processor
+(NeMo-Curator/Dask: language ID -> text cleaning -> exact dedup -> fuzzy
+MinHash/LSH dedup -> heuristic quality filtering), re-expressed as idiomatic
+Spark SQL / DataFrame operators:
+
+- heuristic quality signals as native JVM column expressions (whole-stage
+  codegen; no Python in the hot path),
+- language ID / perplexity / PII-scrub as vectorized Arrow pandas UDFs,
+- dedup as window keep-first + MinHash/LSH/connected-components built from
+  joins and higher-order functions,
+- conversation-level (multi-turn transcript) operators over
+  (conv_id, turn_idx) keyed tables with explicit skew handling.
+
+Reference parity targets are cited per module as /root/reference/<file>:<line>.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,295 @@
+"""Deterministic synthetic multi-turn transcript generator.
+
+Input shape per BASELINE.json input_hint:
+  turns(conv_id string, turn_idx int, role string, text string,
+        tool string, ts timestamp)
+
+Seed-stable (seed=42, matching the reference fuzzy-dedup seed at
+/root/reference/step6_fuzzy_deduplication.py:49): every conversation is a
+pure function of its integer index, so the pandas path (tests) and the
+distributed Spark path (bench; spark.range -> mapInPandas) generate
+IDENTICAL rows. No external data.
+
+Strata (FIXTURES.md §3): each turn draws a stratum that straddles exactly
+one pipeline rule, so every filter has positive and negative cases;
+cross-turn strata (conversation echo, exact/near duplicate pools) exercise
+the dedup operators. Conversation sizes are heavy-tailed (a few 10^2-10^3
+turn conversations per 10^4) to exercise the skew handling.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+# Vocabulary for "normal" prose — heavy in signal-spec stopwords so the
+# stopword/langid/perplexity stages see realistic English.
+_CONTENT = (
+    "data table query spark filter quality model token batch stream line "
+    "result system window join order merge shard cluster text corpus value "
+    "count score label rule stage partition worker node memory disk output"
+).split()
+_STOP = (
+    "the a an and or but of to in on for with as at by from is are was "
+    "were this that it not you we they have had will can there when how"
+).split()
+
+_FRENCH = "le chat de la maison et il est dans le jardin avec son ami pour que nous puissions voir les fleurs du printemps chaque matin".split()
+_SPANISH = "el perro de la casa y en los arboles del parque se ve una flor para que no pierda su color cuando llega la manana".split()
+_GERMAN = "der hund und die katze sind in dem haus mit einer blume auf dem tisch nicht weit von das fenster wenn der morgen kommt".split()
+_CHINESE = "今天 天气 很好 我们 一起 去 公园 散步 然后 喝茶 聊天 看书 学习 工作 吃饭 休息".split()
+
+_TOOLS = ["search", "calculator", "browser", "code_exec", "db_query"]
+
+STRATA = [
+    ("normal", 0.40),
+    ("too_few_words", 0.03),
+    ("too_few_chars", 0.03),
+    ("mwl_low", 0.02),
+    ("mwl_high", 0.02),
+    ("alpha_low", 0.03),
+    ("symbol_high", 0.03),
+    ("number_high", 0.03),
+    ("whitespace_high", 0.02),
+    ("paren_high", 0.03),
+    ("ellipsis_high", 0.03),
+    ("dupline_high", 0.03),
+    ("conv_echo", 0.05),
+    ("french", 0.03),
+    ("spanish", 0.02),
+    ("german", 0.02),
+    ("chinese", 0.02),
+    ("gibberish", 0.04),
+    ("pii", 0.05),
+    ("unicode_mess", 0.03),
+    ("exact_dup", 0.02),
+    ("near_dup", 0.02),
+]
+_NAMES = [s for s, _ in STRATA]
+_WEIGHTS = np.array([w for _, w in STRATA])
+_WEIGHTS = _WEIGHTS / _WEIGHTS.sum()
+
+N_CANON = 40  # canonical pool size for exact/near duplicate strata
+
+
+def _prose(rng: np.random.Generator, n_words: int) -> str:
+    ws = []
+    for _ in range(n_words):
+        if rng.random() < 0.45:
+            ws.append(_STOP[rng.integers(len(_STOP))])
+        else:
+            ws.append(_CONTENT[rng.integers(len(_CONTENT))])
+    return " ".join(ws)
+
+
+def canonical_text(j: int) -> str:
+    """Duplicate-pool document j: deterministic ~300-char prose."""
+    rng = np.random.default_rng(900_000 + j)
+    return _prose(rng, 55)
+
+
+def _sentences(words: list[str], rng: np.random.Generator, n: int) -> str:
+    return " ".join(words[int(rng.integers(len(words)))] for _ in range(n))
+
+
+def turn_text(rng: np.random.Generator, stratum: str, prev_text: str | None) -> str:
+    if stratum == "normal":
+        return _prose(rng, int(rng.integers(20, 70)))
+    if stratum == "too_few_words":
+        return _prose(rng, int(rng.integers(3, 9)))
+    if stratum == "too_few_chars":
+        # 10-12 words x 3 chars: passes word_count, fails char_count (<50)
+        pool = ["abc", "def", "ghi", "jkl", "mno", "pqr", "stu", "vwx"]
+        return " ".join(
+            pool[int(rng.integers(len(pool)))] for _ in range(int(rng.integers(10, 13)))
+        )
+    if stratum == "mwl_low":
+        # >=50 chars, mean word length < 2; letters chosen to miss every
+        # langid marker lexicon (so the first failing rule is mwl, not langid)
+        toks = ["x" if rng.random() < 0.6 else "xy" for _ in range(40)]
+        return " ".join(toks)
+    if stratum == "mwl_high":
+        return " ".join(
+            "x" * int(rng.integers(21, 30)) for _ in range(int(rng.integers(10, 15)))
+        )
+    if stratum == "alpha_low":
+        toks = ["@@@" if rng.random() < 0.55 else _CONTENT[rng.integers(len(_CONTENT))] for _ in range(24)]
+        return " ".join(toks)
+    if stratum == "symbol_high":
+        base = _prose(rng, 20)
+        return base + " # # # #"
+    if stratum == "number_high":
+        # 10/30 numeric (>0.3 fails number) but alpha 20/30 (>=0.6 passes)
+        toks = []
+        for i in range(30):
+            if i % 3 == 0:
+                toks.append(str(rng.integers(100, 99999)))
+            else:
+                toks.append(_CONTENT[rng.integers(len(_CONTENT))])
+        return " ".join(toks)
+    if stratum == "whitespace_high":
+        return ("     ").join(_prose(rng, 1) for _ in range(14))
+    if stratum == "paren_high":
+        toks = []
+        for i in range(22):
+            w = _CONTENT[rng.integers(len(_CONTENT))]
+            toks.append(f"({w})" if i % 2 == 0 else w)
+        return " ".join(toks)
+    if stratum == "ellipsis_high":
+        l1 = _prose(rng, 9) + "..."
+        l2 = _prose(rng, 9)
+        l3 = _prose(rng, 8) + "..."
+        return "\n".join([l1, l2, l3])
+    if stratum == "dupline_high":
+        ln = _prose(rng, 8)
+        other = _prose(rng, 8)
+        return "\n".join([ln, other, ln, ln, _prose(rng, 7)])
+    if stratum == "conv_echo":
+        # repeat an earlier turn's line + one fresh line: trips the
+        # cross-turn conv_dup rule WITHOUT being an exact-hash duplicate
+        if prev_text:
+            return prev_text + "\n" + _prose(rng, 12)
+        return _prose(rng, int(rng.integers(20, 50)))
+    if stratum == "french":
+        return _sentences(_FRENCH, rng, 26)
+    if stratum == "spanish":
+        return _sentences(_SPANISH, rng, 26)
+    if stratum == "german":
+        return _sentences(_GERMAN, rng, 26)
+    if stratum == "chinese":
+        return _sentences(_CHINESE, rng, 18)
+    if stratum == "gibberish":
+        # 1/4 stopwords (so stopword_ratio passes) + OOV consonant noise
+        # (so the bigram LM assigns near-uniform probability -> high ppl)
+        toks = []
+        for i in range(24):
+            if i % 4 == 0:
+                toks.append(_STOP[rng.integers(len(_STOP))])
+            else:
+                ln = int(rng.integers(4, 9))
+                toks.append(
+                    "".join("bcdfghjklmnpqrstvwxz"[rng.integers(20)] for _ in range(ln))
+                )
+        return " ".join(toks)
+    if stratum == "pii":
+        base = _prose(rng, 14)
+        tail = _prose(rng, 8)
+        pii_bits = [
+            f"contact{rng.integers(10, 99)}@example{rng.integers(1, 9)}.com",
+            f"+1 ({rng.integers(200, 999)}) {rng.integers(200, 999)} {rng.integers(1000, 9999)}",
+            f"10.{rng.integers(0, 255)}.{rng.integers(0, 255)}.{rng.integers(1, 254)}",
+            "frak",
+        ]
+        chosen = pii_bits[int(rng.integers(len(pii_bits)))]
+        return f"{base} {chosen} {tail}"
+    if stratum == "unicode_mess":
+        base = _prose(rng, 12)
+        tail = _prose(rng, 10)
+        return f"{base} â€™quoted’ and spaced​ {tail}"
+    if stratum == "exact_dup":
+        return canonical_text(int(rng.integers(N_CANON)))
+    if stratum == "near_dup":
+        j = int(rng.integers(N_CANON))
+        variant = int(rng.integers(1, 4))
+        return canonical_text(j) + " tail" + "x" * variant
+    raise ValueError(stratum)
+
+
+def conversation_size(rng: np.random.Generator, conv_idx: int) -> int:
+    """Heavy-tailed: ~1/1000 conversations get 10^3 turns, ~1/100 get ~150."""
+    if conv_idx % 997 == 0 and conv_idx > 0:
+        return 1000 + (conv_idx % 7) * 250
+    if conv_idx % 101 == 0 and conv_idx > 0:
+        return 120 + int(rng.integers(0, 80))
+    return int(rng.integers(2, 14))
+
+
+_EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def build_conversation(conv_idx: int, seed: int = SEED) -> list[dict]:
+    """Pure function conv_idx -> list of turn rows (the determinism anchor)."""
+    rng = np.random.default_rng(seed * 1_000_003 + conv_idx)
+    n = conversation_size(rng, conv_idx)
+    conv_id = f"conv-{conv_idx:08d}"
+    rows = []
+    prev_normal: str | None = None
+    for t in range(n):
+        stratum = _NAMES[int(rng.choice(len(_NAMES), p=_WEIGHTS))]
+        if t == 0 and rng.random() < 0.15:
+            role = "system"
+        elif rng.random() < 0.08:
+            role = "tool"
+        else:
+            role = "user" if t % 2 == 0 else "assistant"
+        text = turn_text(rng, stratum, prev_normal)
+        if stratum == "normal":
+            prev_normal = text
+        tool = _TOOLS[int(rng.integers(len(_TOOLS)))] if role == "tool" else None
+        ts = _EPOCH + _dt.timedelta(seconds=conv_idx * 61 + t * 7)
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": ts,
+                "stratum": stratum,  # generator-only tag; dropped for input
+            }
+        )
+    return rows
+
+
+def gen_turns_pandas(n_convs: int, seed: int = SEED, keep_stratum: bool = False) -> pd.DataFrame:
+    rows: list[dict] = []
+    for i in range(n_convs):
+        rows.extend(build_conversation(i, seed))
+    df = pd.DataFrame(rows)
+    if not keep_stratum:
+        df = df.drop(columns=["stratum"])
+    # emit shuffled so stable (conv_id, turn_idx) ordering is exercised
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+TURNS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def gen_turns_spark(spark, n_convs: int, seed: int = SEED, partitions: int = 32):
+    """Distributed generation: spark.range over conv indices -> mapInPandas.
+
+    Same rows as gen_turns_pandas (both call build_conversation) but built
+    executor-side — the 10^12-turn-scale pattern (never materialize on the
+    driver)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                for r in build_conversation(int(i), seed):
+                    r = dict(r)
+                    r.pop("stratum")
+                    out.append(r)
+            yield pd.DataFrame(
+                out,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+
+    return (
+        spark.range(0, n_convs, numPartitions=partitions)
+        .mapInPandas(gen, TURNS_SCHEMA)
+    )
+
+
+# Reference corpus for the bigram LM (perplexity stage): a fixed sample of
+# normal-stratum prose, independent of the evaluation corpus size.
+def lm_corpus(n_docs: int = 400, seed: int = SEED) -> list[str]:
+    rng = np.random.default_rng(seed + 77)
+    return [_prose(rng, 60) for _ in range(n_docs)]

@@ -1,0 +1,2 @@
+"""Scalar/vectorized function library (signals, hashing, langid, perplexity,
+PII scrub, text cleaning, tokenization)."""

@@ -1,0 +1,233 @@
+"""Content hashing, MinHash, SimHash, and fingerprints.
+
+Reference parity:
+- exact-dup hash: md5/sha256 of the text column
+  (/root/reference/step5_exact_deduplication.py:92-98,209-211).
+- MinHash: char n-gram shingles -> K permutation minima
+  (/root/reference/step6_fuzzy_deduplication.py:83-94: seed=42,
+  num_hashes=260, char_ngrams=24, 32-bit). We keep seed/shingle-width
+  semantics but expose K as a parameter (tests/bench use smaller K; the
+  banding math is identical).
+
+Two MinHash implementations:
+
+1. ``minhash_md5_col`` — *deterministic + engine-portable*: the base shingle
+   hash is the first 60 bits of md5(shingle), and permutation k applies a
+   fixed universal hash ((A_k * h + B_k) mod P). Built ONLY from Spark
+   higher-order functions (transform/aggregate/md5/conv), so it runs fully
+   JVM-side AND can be reproduced verbatim in DuckDB SQL — this is what the
+   driver's oracle checks.
+
+2. ``minhash_np_udf`` — the *scale path*: a vectorized Arrow pandas UDF that
+   computes all K permutations per batch with numpy broadcasting (one
+   xxhash-like base hash per shingle, K affine maps in a single
+   (n_shingle, K) matrix op). Same API, ~10x faster per row for large K;
+   checked against (1) on identical inputs in tests.
+
+At 100 TB the minhash pass is embarrassingly parallel (no shuffle); the
+shuffle cost lives in the LSH band explode + groupBy, see operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# 60-bit Mersenne prime modulus keeps A*h+B inside signed-64 range is NOT
+# possible (A*h alone overflows int64); instead we use a 30-bit base-hash
+# slice with a 61-bit prime so A (<2^30) * h (<2^30) + B stays < 2^61.
+MERSENNE_P = (1 << 61) - 1
+HASH_BITS = 30  # bits of md5 used as the base shingle hash
+SEED = 42  # reference: step6_fuzzy_deduplication.py:49
+DEFAULT_NUM_PERM = 260  # reference: step6_fuzzy_deduplication.py:50
+DEFAULT_NGRAM = 24  # reference: step6_fuzzy_deduplication.py:51
+
+
+def perm_params(num_perm: int, seed: int = SEED) -> list[tuple[int, int]]:
+    """Deterministic (A_k, B_k) pairs; A,B < 2^30 so A*h+B < 2^61 (no int64
+    overflow in either Spark or DuckDB). Derived from md5(seed||k) so both
+    engines and the numpy path share the exact same constants."""
+    params = []
+    for k in range(num_perm):
+        d = hashlib.md5(f"perm-{seed}-{k}".encode()).hexdigest()
+        a = (int(d[:8], 16) % ((1 << 30) - 1)) + 1  # 1..2^30-1
+        b = int(d[8:16], 16) % (1 << 30)
+        params.append((a, b))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Shingles + base hash (portable: Spark column / DuckDB SQL / numpy)
+# ---------------------------------------------------------------------------
+
+def shingles_col(text: Column, n: int = DEFAULT_NGRAM) -> Column:
+    """Distinct char n-gram array; texts shorter than n yield [text]."""
+    ln = F.length(text)
+    return F.when(
+        ln <= n, F.array(text)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ln - F.lit(n - 1)),
+                lambda i: F.substring(text, i, n),
+            )
+        )
+    )
+
+
+def base_hash_col(s: Column) -> Column:
+    """First HASH_BITS/4 hex chars of md5 -> long (portable to DuckDB)."""
+    return F.conv(F.substring(F.md5(s), 1, HASH_BITS // 4), 16, 10).cast("long")
+
+
+def minhash_md5_col(
+    text: Column, num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED
+) -> Column:
+    """MinHash signature as array<long>, pure JVM expressions.
+
+    sig[k] = min over shingles s of ((A_k * h(s) + B_k) mod P).
+    """
+    hashes = F.transform(shingles_col(text, n), base_hash_col)
+
+    def _affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    sigs = [
+        F.array_min(F.transform(hashes, _affine(a, b)))
+        for a, b in perm_params(num_perm, seed)
+    ]
+    return F.array(*sigs)
+
+
+def duckdb_minhash_sql(
+    text: str, num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED
+) -> str:
+    """DuckDB SQL producing the identical array<long> signature."""
+    shingles = (
+        f"CASE WHEN length({text}) <= {n} THEN [{text}] "
+        f"ELSE list_distinct(list_transform(range(1, length({text}) - {n - 1} + 1), "
+        f"i -> substr({text}, i::INT, {n}))) END"
+    )
+    hashes = (
+        f"list_transform({shingles}, s -> "
+        f"('0x' || substr(md5(s), 1, {HASH_BITS // 4}))::BIGINT)"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform({hashes}, h -> (({a}::BIGINT * h + {b}) % {MERSENNE_P})))"
+        for a, b in perm_params(num_perm, seed)
+    )
+    return f"[{mins}]"
+
+
+# ---------------------------------------------------------------------------
+# numpy scale path (Arrow pandas UDF)
+# ---------------------------------------------------------------------------
+
+def _np_base_hashes(text: str, n: int) -> np.ndarray:
+    if len(text) <= n:
+        sh = [text]
+    else:
+        sh = list({text[i : i + n] for i in range(len(text) - n + 1)})
+    return np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[: HASH_BITS // 4], 16) for s in sh],
+        dtype=np.uint64,
+    )
+
+
+def minhash_np_udf(num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED):
+    """Vectorized pandas UDF computing the SAME signature as minhash_md5_col.
+
+    One (n_shingles, K) broadcast multiply per doc; Arrow-batched transfer.
+    """
+    params = np.array(perm_params(num_perm, seed), dtype=np.uint64)
+    A, B = params[:, 0], params[:, 1]
+    P = np.uint64(MERSENNE_P)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _np_base_hashes(t if t is not None else "", n)
+            # (n_shingles, K): A*h+B mod P — all < 2^61, no overflow in u64
+            m = (h[:, None] * A[None, :] + B[None, :]) % P
+            out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return _minhash
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-ish bit, here HASH_BITS-bit) — portable formulation
+# ---------------------------------------------------------------------------
+
+def simhash_col(text: Column, bits: int = HASH_BITS) -> Column:
+    """SimHash over whitespace tokens using the md5 base hash.
+
+    bit j of result = 1 iff sum over distinct tokens of (2*bit_j(h)-1) > 0.
+    Expressed with aggregate() over the token array — fully JVM-side.
+    """
+    t = F.trim(text)
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.split(t, r"\s+"))
+    )
+    hashes = F.transform(toks, base_hash_col)
+
+    def _vote(p: int):
+        pj = F.lit(p).cast("long")
+        return lambda acc, h: acc + F.when(
+            ((h / pj).cast("long") % 2) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        p = 1 << j
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(p))
+        out = out + F.when(votes > 0, F.lit(p).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def duckdb_simhash_sql(text: str, bits: int = HASH_BITS) -> str:
+    toks = (
+        f"CASE WHEN trim({text}) = '' THEN []::VARCHAR[] "
+        f"ELSE list_distinct(regexp_split_to_array(trim({text}), '\\s+')) END"
+    )
+    hashes = (
+        f"list_transform({toks}, s -> "
+        f"('0x' || substr(md5(s), 1, {HASH_BITS // 4}))::BIGINT)"
+    )
+    terms = []
+    for j in range(bits):
+        p = 1 << j
+        votes = (
+            f"list_sum(list_transform({hashes}, h -> "
+            f"CASE WHEN (h // {p}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN COALESCE({votes}, 0) > 0 THEN {p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words fingerprint (order-insensitive near-dup key)
+# ---------------------------------------------------------------------------
+
+def bag_fingerprint_col(text: Column) -> Column:
+    """md5 of the sorted distinct lowercase token set — catches reordered /
+    re-whitespaced duplicates that exact md5 misses."""
+    t = F.trim(F.lower(text))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(F.split(t, r"\s+")))
+    )
+    return F.md5(F.array_join(toks, " "))
+
+
+def duckdb_bag_fingerprint_sql(text: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"CASE WHEN trim(lower({text})) = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim(lower({text})), '\\s+') END)), ' '))"
+    )

@@ -1,0 +1,172 @@
+"""Language identification.
+
+Reference: /root/reference/step3_language_separation.py:24-43,94-109 uses
+fastText lid.176.bin behind NeMo's FastTextLangId ScoreFilter; the raw score
+is a (confidence, lang) pair and the pipeline keeps element [1].
+
+The sandbox has no fastText model and no network, so the engine ships a
+deterministic marker-lexicon + script-detection classifier with the same
+*interface* (score struct {score: double, lang: string}; model broadcast to
+executors; batch prediction on newline-flattened text — the reference also
+feeds ``text.replace('\\n', ' ')``).
+
+Two renderings:
+- ``langid_udf``      — vectorized Arrow pandas UDF (the production shape:
+  per-executor model state, batch scoring; swap the scorer for fastText by
+  replacing ``_score_batch`` and broadcasting the .bin via --files).
+- ``spark_langid_col``— pure-column rendering of the same decision function
+  (used for the DuckDB-checkable entry query).
+- ``py_langid``       — oracle rendering.
+
+Decision function (fixed spec):
+  1. If the text contains CJK codepoints (一-鿿) -> 'ZH'.
+  2. Else count marker-word hits per language over lowercase whitespace
+     tokens; pick the argmax; ties and zero hits -> 'EN' if any ASCII letter
+     else 'UNKNOWN'. Tie-break order: EN, ES, FR, DE.
+  3. score = hits(best) / n_words (0.0 when no words).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Deterministic, small marker lexicons (public common function words).
+MARKERS: dict[str, list[str]] = {
+    "EN": (
+        "the and of to in is you that it he was for on are as with his they "
+        "at be this have from or had by not but what all were we when your "
+        "can said there use an each which she do how their will"
+    ).split(),
+    "ES": (
+        "el la de que y en los del se las por un para con no una su al es lo "
+        "como mas pero sus le ya o este si porque esta entre cuando muy sin "
+        "sobre tambien me hasta hay donde quien desde todo nos"
+    ).split(),
+    "FR": (
+        "le de un etre et a il avoir ne je son que se qui ce dans en du elle "
+        "au pour pas vous par sur faire plus dire me on mon lui nous comme "
+        "mais pouvoir avec tout y aller voir bien ou sans tu"
+    ).split(),
+    "DE": (
+        "der die und in den von zu das mit sich des auf fur ist im dem nicht "
+        "ein eine als auch es an werden aus er hat dass sie nach wird bei "
+        "einer um am sind noch wie einem uber einen so zum"
+    ).split(),
+}
+LANG_ORDER = ["EN", "ES", "FR", "DE"]  # deterministic tie-break
+CJK_RE = re.compile(r"[一-鿿]")
+ASCII_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+LANGID_SCHEMA = StructType(
+    [
+        StructField("score", DoubleType(), False),
+        StructField("lang", StringType(), False),
+    ]
+)
+
+
+def py_langid(text: str) -> tuple[float, str]:
+    """Oracle rendering of the decision function."""
+    if CJK_RE.search(text):
+        return 1.0, "ZH"
+    t = text.replace("\n", " ").strip().lower()
+    words = re.split(r"\s+", t) if t else []
+    if not words:
+        return 0.0, "UNKNOWN"
+    best_lang, best_hits = None, -1
+    for lang in LANG_ORDER:
+        hits = sum(1 for w in words if w in _MARKER_SETS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits == 0:
+        if ASCII_ALPHA_RE.search(text):
+            return 0.0, "EN"
+        return 0.0, "UNKNOWN"
+    return best_hits / float(len(words)), best_lang
+
+
+_MARKER_SETS = {k: frozenset(v) for k, v in MARKERS.items()}
+
+
+def langid_udf():
+    """Vectorized pandas UDF: text -> struct(score double, lang string).
+
+    Mirrors the reference's ScoreFilter(FastTextLangId(...), score_type=
+    'object') + s[1] extraction (step3_language_separation.py:94-109): the
+    caller projects ``col('lid.lang')`` — a struct projection, not a UDF.
+    """
+
+    @F.pandas_udf(LANGID_SCHEMA)
+    def _langid(texts: pd.Series) -> pd.DataFrame:
+        scores, langs = [], []
+        for t in texts:
+            s, l = py_langid(t if t is not None else "")
+            scores.append(s)
+            langs.append(l)
+        return pd.DataFrame({"score": scores, "lang": langs})
+
+    return _langid
+
+
+def spark_langid_col(text: Column) -> Column:
+    """Pure-column rendering (JVM-side) of the same decision — lang only."""
+    t = F.trim(F.lower(F.replace(text, F.lit("\n"), F.lit(" "))))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    def _hits(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    hits = {lang: _hits(MARKERS[lang]) for lang in LANG_ORDER}
+    # argmax with EN>ES>FR>DE tie-break == strictly-greater chain
+    best = F.lit("EN")
+    best_hits = hits["EN"]
+    for lang in LANG_ORDER[1:]:
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return (
+        F.when(text.rlike(r"[一-鿿]"), F.lit("ZH"))
+        .when(best_hits > 0, best)
+        .when(text.rlike(r"[A-Za-z]"), F.lit("EN"))
+        .otherwise(F.lit("UNKNOWN"))
+    )
+
+
+def duckdb_langid_sql(text: str) -> str:
+    """DuckDB SQL rendering of the same decision — lang only."""
+    t = f"trim(lower(replace({text}, chr(10), ' ')))"
+    words = (
+        f"CASE WHEN {t} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({t}, '\\s+') END"
+    )
+    hit_expr = {}
+    for lang in LANG_ORDER:
+        lst = "[" + ", ".join(f"'{w}'" for w in MARKERS[lang]) + "]"
+        hit_expr[lang] = (
+            f"len(list_filter({words}, w -> list_contains({lst}, w)))"
+        )
+    # chained strictly-greater argmax, same tie-break
+    best = "'EN'"
+    best_hits = hit_expr["EN"]
+    for lang in LANG_ORDER[1:]:
+        cond = f"({hit_expr[lang]}) > ({best_hits})"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN {cond} THEN {hit_expr[lang]} ELSE {best_hits} END"
+    return (
+        f"CASE WHEN regexp_matches({text}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'ZH' "
+        f"WHEN ({best_hits}) > 0 THEN {best} "
+        f"WHEN regexp_matches({text}, '[A-Za-z]') THEN 'EN' "
+        f"ELSE 'UNKNOWN' END"
+    )

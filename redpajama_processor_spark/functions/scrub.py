@@ -1,0 +1,131 @@
+"""PII / toxicity regex scrubbing.
+
+North_star stage with no direct reference implementation (the reference's
+text transform stage is the Unicode reformat at
+/root/reference/step4_text_cleaning.py:71-77; this module follows the same
+DocumentModifier shape: text -> text plus per-rule counters).
+
+Rules are applied in a FIXED order (each on the output of the previous), so
+the scrub is deterministic and idempotent (replacement tokens never match
+any rule). Counters feed the per-rule kept/dropped/scrubbed metrics mandated
+by the north_rule.
+
+Renderings:
+- ``scrub_udf``      — vectorized Arrow pandas UDF -> struct(scrubbed_text,
+  n_email, n_phone, n_ipv4, n_ipv6, n_profanity) (production path),
+- ``py_scrub``       — identical Python for the oracle,
+- ``SCRUB_RULES``    — (rule, pattern, replacement) table; patterns are
+  portable Java-regex/RE2 so the email/ipv4 subset is also exposed as a
+  DuckDB-checkable entry query via native regexp_replace columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Small deterministic profanity lexicon (synthetic placeholder terms — the
+# engine takes the lexicon as data, mirroring a broadcast table).
+PROFANITY = ["frak", "gorram", "smeg", "shazbot", "felgercarb"]
+
+# Ordered rules: (name, pattern, replacement). Patterns avoid lookbehind so
+# they run identically under Java regex, RE2 (DuckDB) and Python re.
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    (
+        "phone",
+        r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+        "[PHONE]",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+    (
+        "ipv6",
+        r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}\b",
+        "[IP6]",
+    ),
+    (
+        "profanity",
+        r"(?i)\b(" + "|".join(PROFANITY) + r")\b",
+        "[CENSORED]",
+    ),
+]
+
+SCRUB_SCHEMA = StructType(
+    [StructField("scrubbed_text", StringType(), False)]
+    + [
+        StructField(f"n_{name}", IntegerType(), False)
+        for name, _, _ in SCRUB_RULES
+    ]
+)
+
+_COMPILED = [(n, re.compile(p), r) for n, p, r in SCRUB_RULES]
+
+
+def py_scrub(text: str) -> tuple[str, dict[str, int]]:
+    """Oracle scrubber: sequential rule application + counts."""
+    counts: dict[str, int] = {}
+    for name, rx, repl in _COMPILED:
+        text, n = rx.subn(repl, text)
+        counts[name] = n
+    return text, counts
+
+
+def scrub_udf():
+    """Vectorized pandas UDF -> struct(scrubbed_text, n_<rule>...)."""
+
+    @F.pandas_udf(SCRUB_SCHEMA)
+    def _scrub(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            s, c = py_scrub(t if t is not None else "")
+            rows.append([s] + [c[n] for n, _, _ in SCRUB_RULES])
+        return pd.DataFrame(
+            rows,
+            columns=["scrubbed_text"] + [f"n_{n}" for n, _, _ in SCRUB_RULES],
+        )
+
+    return _scrub
+
+
+def spark_scrub_cols(text):
+    """Native-column rendering (regexp_replace chain) for the SQL-checkable
+    subset (email/phone/ipv4/ipv6 — no case-insensitive flag differences).
+
+    Profanity uses (?i) which Java and RE2 both accept inline, so it is
+    included too; counts come from regexp_count BEFORE each replacement.
+    """
+    cols = {}
+    cur = text
+    for name, pat, repl in SCRUB_RULES:
+        cols[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    cols["scrubbed_text"] = cur
+    return cols
+
+
+def duckdb_scrub_sql(text: str) -> dict[str, str]:
+    """DuckDB rendering: same ordered chain; counts via regexp_extract_all."""
+    cols = {}
+    cur = text
+    for name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        cols[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{p}'))"
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    cols["scrubbed_text"] = cur
+    return cols

@@ -1,0 +1,421 @@
+"""Heuristic quality signals — single source of truth, rendered three ways.
+
+The reference applies a conjunction of NeMo-Curator heuristic document
+filters configured at /root/reference/step7_quality_filtering.py:29-94
+(WordCount, CharacterCount, MeanWordLength, AlphaRatio, SymbolToWord,
+NumberToWord, Whitespace, Parentheses, Ellipsis, DuplicateLine).
+
+Because the library internals are external to the reference repo, this module
+*fixes* an exact, deterministic semantics for every signal and implements it
+identically in:
+
+  1. ``spark_signal_cols``  — native Spark SQL column expressions (JVM-side,
+     whole-stage codegen; NO Python in the hot path),
+  2. ``duckdb_signal_sql``  — the same arithmetic as DuckDB SQL (used as the
+     driver-facing correctness oracle),
+  3. ``py_signals``         — straight-line pure-Python (the single-process
+     oracle used for transcript-pipeline F1 / text-equality tests).
+
+All three must agree bit-for-bit on doubles: every ratio is computed with the
+same operand order (int arithmetic, then one double division), so IEEE-754
+results are identical across engines.
+
+Signal definitions (deterministic spec):
+  words            = regexp-split of trim(text) on \\s+ ; [] when trim empty
+  n_words          = len(words)
+  n_chars          = length(text)  (unicode code points)
+  mean_word_len    = sum(len(w)) / n_words                (0.0 if no words)
+  alpha_ratio      = |{w : w contains [A-Za-z]}| / n_words (0.0 if no words)
+  symbol_ratio     = (#'#' chars + non-overlapping '...' matches + '…' chars)
+                     / n_words                             (0.0 if no words)
+  number_ratio     = |{w : w matches ^[0-9]+([.,][0-9]+)*$}| / n_words
+  space_ratio      = whitespace chars / n_chars            (0.0 if empty)
+  paren_ratio      = chars in ()[]{} / n_chars             (0.0 if empty)
+  ellipsis_ratio   = |{line : rtrim(line) ends with '...' or '…'}| / n_lines
+                     where lines = split(text, '\\n')       (n_lines >= 1)
+  dup_line_ratio   = (n_ne - n_distinct_ne) / n_ne over non-empty trimmed
+                     lines; 0.0 when no non-empty lines
+  stopword_ratio   = |{w : lower(w) in STOPWORDS}| / n_words (Gopher-style)
+
+Thresholds (reference values, step7_quality_filtering.py:29-94; a document
+KEEPS a rule when the stated condition holds):
+  word_count       10 <= n_words <= 500000
+  char_count       50 <= n_chars <= 2000000
+  mean_word_length 2 <= mean_word_len <= 20
+  alpha_ratio      alpha_ratio >= 0.6
+  symbol_ratio     symbol_ratio <= 0.1
+  number_ratio     number_ratio <= 0.3
+  space_ratio      space_ratio <= 0.25
+  paren_ratio      paren_ratio <= 0.1
+  ellipsis_ratio   ellipsis_ratio <= 0.3
+  dup_line_ratio   dup_line_ratio <= 0.3
+  stopword_ratio   stopword_ratio >= 0.05   (north_star Gopher addition; not
+                                             part of the reference battery)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spec constants
+# ---------------------------------------------------------------------------
+
+WORD_SPLIT_RE = r"\s+"
+NUMBER_WORD_RE = r"^[0-9]+([.,][0-9]+)*$"
+ALPHA_RE = r"[A-Za-z]"
+ELLIPSIS3_RE = r"\.{3}"
+PAREN_CHARS = "()[]{}"
+
+# Small deterministic English stopword set (Gopher-style stop-word fraction;
+# north_star addition — the reference battery has no stop-word rule).
+STOPWORDS = (
+    "the a an and or but if then of to in on for with as at by from is are "
+    "was were be been this that it not no you i he she they we do does did "
+    "have has had will would can could should there what which who when how"
+).split()
+
+# (rule, signal column, kind, lo, hi) — kind: 'range' needs lo<=x<=hi,
+# 'max' needs x<=hi, 'min' needs x>=lo.  Order = reference pipeline order
+# (step7_quality_filtering.py:29-94); stopword_ratio appended last.
+THRESHOLDS: list[tuple[str, str, str, float, float]] = [
+    ("word_count", "n_words", "range", 10, 500000),
+    ("char_count", "n_chars", "range", 50, 2000000),
+    ("mean_word_length", "mean_word_len", "range", 2.0, 20.0),
+    ("alpha_ratio", "alpha_ratio", "min", 0.6, 0.0),
+    ("symbol_ratio", "symbol_ratio", "max", 0.0, 0.1),
+    ("number_ratio", "number_ratio", "max", 0.0, 0.3),
+    ("space_ratio", "space_ratio", "max", 0.0, 0.25),
+    ("paren_ratio", "paren_ratio", "max", 0.0, 0.1),
+    ("ellipsis_ratio", "ellipsis_ratio", "max", 0.0, 0.3),
+    ("dup_line_ratio", "dup_line_ratio", "max", 0.0, 0.3),
+]
+GOPHER_STOPWORD_RULE = ("stopword_ratio", "stopword_ratio", "min", 0.05, 0.0)
+
+SIGNAL_COLS = [
+    "n_words",
+    "n_chars",
+    "mean_word_len",
+    "alpha_ratio",
+    "symbol_ratio",
+    "number_ratio",
+    "space_ratio",
+    "paren_ratio",
+    "ellipsis_ratio",
+    "dup_line_ratio",
+    "stopword_ratio",
+]
+
+
+# ---------------------------------------------------------------------------
+# 1) Spark rendering — native columns only (JVM, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+def words_col(text: Column) -> Column:
+    """Whitespace-token array; empty array for all-whitespace/empty text."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WORD_SPLIT_RE)
+    )
+
+
+def spark_signal_cols(text: Column) -> dict[str, Column]:
+    """All signal columns from a text column, as a name->Column dict.
+
+    Pure built-in expressions (split/filter/aggregate/regexp/translate) so the
+    whole signal pass stays inside whole-stage codegen — this is the Spark
+    answer to the reference's per-partition pandas scoring
+    (step7_quality_filtering.py:200 via NeMo ScoreFilter).
+    """
+    words = words_col(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    nw_d = n_words.cast("double")
+    nc_d = n_chars.cast("double")
+
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        sum_word_len.cast("double") / nw_d
+    )
+
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike(ALPHA_RE)))
+    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_alpha_words.cast("double") / nw_d
+    )
+
+    n_hash = n_chars - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell3 = F.regexp_count(text, F.lit(ELLIPSIS3_RE))
+    n_ellc = n_chars - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ell3 + n_ellc).cast("double") / nw_d
+    )
+
+    n_num_words = F.size(F.filter(words, lambda w: w.rlike(NUMBER_WORD_RE)))
+    number_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_num_words.cast("double") / nw_d
+    )
+
+    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    space_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_space.cast("double") / nc_d
+    )
+
+    n_paren = n_chars - F.length(F.translate(text, PAREN_CHARS, ""))
+    paren_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_paren.cast("double") / nc_d
+    )
+
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.endswith(F.rtrim(ln), F.lit("..."))
+            | F.endswith(F.rtrim(ln), F.lit("…")),
+        )
+    )
+    ellipsis_ratio = n_ell_lines.cast("double") / n_lines.cast("double")
+
+    ne_lines = F.filter(F.transform(lines, F.trim), lambda ln: ln != "")
+    n_ne = F.size(ne_lines)
+    n_dup = n_ne - F.size(F.array_distinct(ne_lines))
+    dup_line_ratio = F.when(n_ne == 0, F.lit(0.0)).otherwise(
+        n_dup.cast("double") / n_ne.cast("double")
+    )
+
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    stopword_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / nw_d
+    )
+
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "mean_word_len": mean_word_len,
+        "alpha_ratio": alpha_ratio,
+        "symbol_ratio": symbol_ratio,
+        "number_ratio": number_ratio,
+        "space_ratio": space_ratio,
+        "paren_ratio": paren_ratio,
+        "ellipsis_ratio": ellipsis_ratio,
+        "dup_line_ratio": dup_line_ratio,
+        "stopword_ratio": stopword_ratio,
+    }
+
+
+def spark_keep_and_rule(
+    signals: dict[str, Column], include_stopword_rule: bool = False
+) -> tuple[Column, Column]:
+    """(keep, drop_rule) from signal columns.
+
+    keep = AND of all rules; drop_rule = FIRST failing rule in reference
+    pipeline order (NeMo applies filters sequentially — the first filter to
+    reject a doc is the one 'responsible', step7_quality_filtering.py:200).
+    """
+    rules = THRESHOLDS + ([GOPHER_STOPWORD_RULE] if include_stopword_rule else [])
+    keep = F.lit(True)
+    whens = []
+    for name, col, kind, lo, hi in rules:
+        c = signals[col]
+        if kind == "range":
+            ok = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        elif kind == "min":
+            ok = c >= F.lit(lo)
+        else:
+            ok = c <= F.lit(hi)
+        keep = keep & ok
+        whens.append(F.when(~ok, F.lit(name)))
+    # flat coalesce-of-whens = first failing rule; a fold of nested
+    # when/otherwise would duplicate the accumulated expression per rule
+    # (exponential tree -> janino 64KB codegen fallback)
+    drop_rule = F.coalesce(*whens).cast("string")
+    return keep, drop_rule
+
+
+# ---------------------------------------------------------------------------
+# 2) DuckDB rendering — identical arithmetic as SQL snippets
+# ---------------------------------------------------------------------------
+
+def duckdb_signal_sql(text: str = "text") -> dict[str, str]:
+    """DuckDB SQL expression per signal, same operand order as Spark."""
+    t = text
+    words = (
+        f"CASE WHEN trim({t}) = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim({t}), '\\s+') END"
+    )
+    nw = f"len({words})"
+    nc = f"length({t})"
+    stoplist = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return {
+        "n_words": f"{nw}",
+        "n_chars": f"{nc}",
+        "mean_word_len": (
+            f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+            f"CAST(list_sum(list_transform({words}, w -> length(w))) AS DOUBLE)"
+            f" / CAST({nw} AS DOUBLE) END"
+        ),
+        "alpha_ratio": (
+            f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter({words}, w -> regexp_matches(w, '{ALPHA_RE}')))"
+            f" AS DOUBLE) / CAST({nw} AS DOUBLE) END"
+        ),
+        "symbol_ratio": (
+            f"CASE WHEN {nw} = 0 THEN 0.0 ELSE CAST("
+            f"(length({t}) - length(replace({t}, '#', '')))"
+            f" + len(regexp_extract_all({t}, '\\.{{3}}'))"
+            f" + (length({t}) - length(replace({t}, '…', '')))"
+            f" AS DOUBLE) / CAST({nw} AS DOUBLE) END"
+        ),
+        "number_ratio": (
+            f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter({words}, w -> "
+            f"regexp_matches(w, '{NUMBER_WORD_RE}'))) AS DOUBLE)"
+            f" / CAST({nw} AS DOUBLE) END"
+        ),
+        "space_ratio": (
+            f"CASE WHEN {nc} = 0 THEN 0.0 ELSE "
+            f"CAST({nc} - length(regexp_replace({t}, '\\s', '', 'g')) AS DOUBLE)"
+            f" / CAST({nc} AS DOUBLE) END"
+        ),
+        "paren_ratio": (
+            f"CASE WHEN {nc} = 0 THEN 0.0 ELSE "
+            f"CAST({nc} - length(translate({t}, '(){{}}[]', '')) AS DOUBLE)"
+            f" / CAST({nc} AS DOUBLE) END"
+        ),
+        "ellipsis_ratio": (
+            f"CAST(len(list_filter(string_split({t}, chr(10)), ln -> "
+            f"ends_with(rtrim(ln), '...') OR ends_with(rtrim(ln), '…')))"
+            f" AS DOUBLE) / CAST(len(string_split({t}, chr(10))) AS DOUBLE)"
+        ),
+        "dup_line_ratio": (
+            f"CASE WHEN len(list_filter(list_transform(string_split({t}, chr(10)),"
+            f" ln -> trim(ln)), ln -> ln != '')) = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter(list_transform(string_split({t}, chr(10)),"
+            f" ln -> trim(ln)), ln -> ln != ''))"
+            f" - len(list_distinct(list_filter(list_transform("
+            f"string_split({t}, chr(10)), ln -> trim(ln)), ln -> ln != '')))"
+            f" AS DOUBLE) / CAST(len(list_filter(list_transform("
+            f"string_split({t}, chr(10)), ln -> trim(ln)), ln -> ln != ''))"
+            f" AS DOUBLE) END"
+        ),
+        "stopword_ratio": (
+            f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter({words}, w -> "
+            f"list_contains({stoplist}, lower(w)))) AS DOUBLE)"
+            f" / CAST({nw} AS DOUBLE) END"
+        ),
+    }
+
+
+def duckdb_keep_and_rule_sql(
+    sig: dict[str, str], include_stopword_rule: bool = False
+) -> tuple[str, str]:
+    """(keep_expr, drop_rule_expr) SQL mirroring spark_keep_and_rule."""
+    rules = THRESHOLDS + ([GOPHER_STOPWORD_RULE] if include_stopword_rule else [])
+    oks, cases = [], []
+    for name, col, kind, lo, hi in rules:
+        c = sig[col]
+        if kind == "range":
+            ok = f"(({c}) >= {lo} AND ({c}) <= {hi})"
+        elif kind == "min":
+            ok = f"(({c}) >= {lo})"
+        else:
+            ok = f"(({c}) <= {hi})"
+        oks.append(ok)
+        cases.append(f"WHEN NOT {ok} THEN '{name}'")
+    keep = "(" + " AND ".join(oks) + ")"
+    drop = "CASE " + " ".join(cases) + " ELSE NULL END"
+    return keep, drop
+
+
+# ---------------------------------------------------------------------------
+# 3) Pure-Python rendering — the single-process oracle
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(NUMBER_WORD_RE)
+_ALPHA_RE = re.compile(ALPHA_RE)
+_ELL3_RE = re.compile(ELLIPSIS3_RE)
+_WS_RE = re.compile(WORD_SPLIT_RE)
+_STOPSET = frozenset(STOPWORDS)
+
+
+def py_signals(text: str) -> dict[str, float]:
+    """Straight-line Python implementation of the same spec (oracle)."""
+    t = text.strip()
+    words = _WS_RE.split(t) if t else []
+    n_words = len(words)
+    n_chars = len(text)
+    nw = float(n_words)
+
+    out: dict[str, float] = {"n_words": n_words, "n_chars": n_chars}
+    if n_words:
+        out["mean_word_len"] = float(sum(len(w) for w in words)) / nw
+        out["alpha_ratio"] = float(
+            sum(1 for w in words if _ALPHA_RE.search(w))
+        ) / nw
+        n_sym = (
+            text.count("#") + len(_ELL3_RE.findall(text)) + text.count("…")
+        )
+        out["symbol_ratio"] = float(n_sym) / nw
+        out["number_ratio"] = float(
+            sum(1 for w in words if _NUM_RE.match(w))
+        ) / nw
+        out["stopword_ratio"] = float(
+            sum(1 for w in words if w.lower() in _STOPSET)
+        ) / nw
+    else:
+        out["mean_word_len"] = 0.0
+        out["alpha_ratio"] = 0.0
+        out["symbol_ratio"] = 0.0
+        out["number_ratio"] = 0.0
+        out["stopword_ratio"] = 0.0
+
+    if n_chars:
+        n_space = sum(1 for c in text if c in " \t\n\x0b\f\r")
+        out["space_ratio"] = float(n_space) / float(n_chars)
+        n_paren = sum(1 for c in text if c in PAREN_CHARS)
+        out["paren_ratio"] = float(n_paren) / float(n_chars)
+    else:
+        out["space_ratio"] = 0.0
+        out["paren_ratio"] = 0.0
+
+    lines = text.split("\n")
+    n_ell = sum(
+        1
+        for ln in lines
+        if ln.rstrip().endswith("...") or ln.rstrip().endswith("…")
+    )
+    out["ellipsis_ratio"] = float(n_ell) / float(len(lines))
+
+    ne = [ln.strip() for ln in lines]
+    ne = [ln for ln in ne if ln != ""]
+    if ne:
+        out["dup_line_ratio"] = float(len(ne) - len(set(ne))) / float(len(ne))
+    else:
+        out["dup_line_ratio"] = 0.0
+    return out
+
+
+def py_keep_and_rule(
+    sig: dict[str, float], include_stopword_rule: bool = False
+) -> tuple[bool, str | None]:
+    rules = THRESHOLDS + ([GOPHER_STOPWORD_RULE] if include_stopword_rule else [])
+    for name, col, kind, lo, hi in rules:
+        c = sig[col]
+        if kind == "range":
+            ok = lo <= c <= hi
+        elif kind == "min":
+            ok = c >= lo
+        else:
+            ok = c <= hi
+        if not ok:
+            return False, name
+    return True, None

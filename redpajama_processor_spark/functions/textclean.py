@@ -1,0 +1,71 @@
+"""Unicode text cleaning (the reference's step 4).
+
+Reference: /root/reference/step4_text_cleaning.py:71-77 applies NeMo
+Curator's ``Modify(UnicodeReformatter())`` — an ftfy-based pass fixing
+mojibake, exotic whitespace and quote variants. ftfy is not available in
+this sandbox, so this module fixes a *deterministic* cleaning spec covering
+the classes the reference targets (mojibake sequences, NBSP and zero-width
+characters, curly quotes/dashes), implemented twice:
+
+- ``clean_text_col``: native Spark expressions (replace + translate chain) —
+  JVM-side, codegen-friendly;
+- ``py_clean_text``: identical straight-line Python for the oracle.
+
+The mapping is applied in a fixed order (multi-char mojibake first, then
+single-char translate) so both renderings produce byte-identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Common UTF-8-as-Latin-1 mojibake sequences (deterministic subset).
+MOJIBAKE: list[tuple[str, str]] = [
+    ("â€™", "'"),   # â€™  -> '
+    ("â€œ", '"'),   # â€œ  -> "
+    ("â€", '"'),   # â€�  -> "
+    ("â€“", "-"),   # â€“  -> -
+    ("â€¦", "..."), # â€¦  -> ...
+    ("Ã©", "é"),    # Ã©   -> é
+    ("Ã¨", "è"),    # Ã¨   -> è
+    ("Ã¤", "ä"),    # Ã¤   -> ä
+    ("Ã¶", "ö"),    # Ã¶   -> ö
+    ("Ã¼", "ü"),    # Ã¼   -> ü
+]
+
+# Single-character normalizations: curly quotes, dashes, NBSP-family spaces.
+CHAR_MAP: list[tuple[str, str]] = [
+    ("\u2018", "'"),   # left single curly quote
+    ("\u2019", "'"),   # right single curly quote
+    ("\u201c", '"'),   # left double curly quote
+    ("\u201d", '"'),   # right double curly quote
+    ("\u2013", "-"),   # en dash
+    ("\u2014", "-"),   # em dash
+    ("\u00a0", " "),   # NBSP
+    ("\u2009", " "),   # thin space
+    ("\u202f", " "),   # narrow NBSP
+]
+
+# Characters deleted outright: zero-width space/joiner/non-joiner, BOM.
+DELETE_CHARS = "\u200b\u200c\u200d\ufeff"
+
+
+def clean_text_col(text: Column) -> Column:
+    """Spark-native cleaning chain; same order as py_clean_text."""
+    c = text
+    for src, dst in MOJIBAKE:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    src_chars = "".join(s for s, _ in CHAR_MAP) + DELETE_CHARS
+    dst_chars = "".join(d for _, d in CHAR_MAP)
+    c = F.translate(c, src_chars, dst_chars)
+    return c
+
+
+def py_clean_text(text: str) -> str:
+    """Oracle rendering — identical transformation order."""
+    for src, dst in MOJIBAKE:
+        text = text.replace(src, dst)
+    table = {ord(s): d for s, d in CHAR_MAP}
+    table.update({ord(ch): None for ch in DELETE_CHARS})
+    return text.translate(table)

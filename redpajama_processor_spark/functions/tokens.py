@@ -1,0 +1,47 @@
+"""Token counting and document fingerprinting.
+
+Training-data-pipeline additions (no direct reference analog beyond the
+whitespace word count at /root/reference/simple_processor.py.py:220): a
+whitespace token count, a BPE-ish subword-boundary token count, and a
+rolling-hash document fingerprint. All three are pure column expressions
+(JVM-side) with DuckDB-parity SQL renderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GPT-2-style pre-tokenizer approximation, portable across Java/RE2:
+# runs of letters, runs of digits, or single non-space-non-alnum chars.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count_col(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpeish_token_count_col(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_ISH_RE))
+
+
+def duckdb_ws_token_count_sql(text: str) -> str:
+    return (
+        f"CASE WHEN trim({text}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END"
+    )
+
+
+def duckdb_bpeish_token_count_sql(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_ISH_RE}'))"
+
+
+def content_fingerprint_col(text: Column) -> Column:
+    """Rolling-hash-style fingerprint: md5 over the document's normalized
+    form (lowercased, whitespace collapsed) — stable under re-wrapping."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def duckdb_content_fingerprint_sql(text: str) -> str:
+    return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,2 @@
+"""Composite operators: quality filtering, deduplication, conversation-level
+windows, ID assignment, ANN similarity search, checkpoint/resume."""

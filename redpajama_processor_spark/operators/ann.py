@@ -1,0 +1,173 @@
+"""Approximate nearest neighbour search over embedding columns.
+
+Training-data-pipeline addition (no reference analog — the reference is
+text-only). Two strategies:
+
+- ``brute_force_topk``: exact cosine top-k via a (queries x corpus) join.
+  The query side is small -> broadcast join; the dot product is a pure
+  column expression (zip_with + aggregate), so the whole scan stays in the
+  JVM. At 100 TB the corpus side streams partition-wise — no shuffle at all
+  except the final per-query top-k (TakeOrderedAndProject over k*|Q| rows).
+- ``srp_topk``: sign-random-projection (SimHash-for-vectors) bucketing:
+  candidates = corpus vectors sharing the query's bucket (or any band),
+  then exact cosine only inside the candidate set. The projection matrix is
+  DETERMINISTIC: plane p, dim d has weight +1 if bit (d mod 30) of
+  md5("srp-p-d") is set else -1 — reproducible in SQL for the oracle and in
+  numpy for the scale path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side.
+
+    Sequential left-to-right aggregation in both engines -> identical
+    float64 results (operand order fixed).
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def duckdb_cosine_sql(a: str, b: str) -> str:
+    """DuckDB rendering with the same operand order."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, v -> v::DOUBLE * v::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, v -> v::DOUBLE * v::DOUBLE)))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query (excluding self-matches).
+
+    queries: DataFrame[query_id, embedding]; broadcast to every corpus
+    partition -> no corpus shuffle; ranking via window over query_id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_col(F.col("_qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+def srp_signs(plane: int, dims: int) -> list[int]:
+    """Deterministic +-1 weights for one hyperplane (public md5 derivation)."""
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"srp-{plane}-{d}".encode()).hexdigest()
+        out.append(1 if int(h[0], 16) % 2 == 1 else -1)
+    return out
+
+
+def srp_bucket_col(vec: Column, n_planes: int, dims: int = 64) -> Column:
+    """Bucket id in [0, 2^n_planes): bit p = sign(dot(vec, plane_p)) > 0."""
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = srp_signs(p, dims)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def duckdb_srp_bucket_sql(vec: str, n_planes: int, dims: int = 64) -> str:
+    terms = []
+    for p in range(n_planes):
+        signs = srp_signs(p, dims)
+        arr = "[" + ", ".join(f"{float(s)}" for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({vec}, {arr}), "
+            f"z -> z[1]::DOUBLE * z[2]))"
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's SRP bucket, exact cosine
+    re-rank inside. Recall grows with fewer planes / multiple tables; this
+    single-table variant is the scale skeleton (bucket join replaces the
+    cross join -> candidate set shrinks ~2^n_planes-fold)."""
+    c = corpus.select(
+        id_col, vec_col, srp_bucket_col(F.col(vec_col), n_planes).alias("bucket")
+    )
+    q = F.broadcast(
+        queries.select(
+            query_id_col,
+            F.col(vec_col).alias("_qvec"),
+            srp_bucket_col(F.col(vec_col), n_planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_col(F.col("_qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,122 @@
+"""Conversation-level repeated-line/paragraph detection (transcript target).
+
+North_star requirement: "repeated-line/paragraph dedup within a
+conversation". The reference's closest analog is the intra-document
+DuplicateLineFilter (/root/reference/step7_quality_filtering.py:87-92);
+transcripts additionally need CROSS-TURN detection — an assistant that
+repeats the same paragraph across turns of one conversation.
+
+Semantics (fixed spec, mirrored in the oracle):
+  - lines of a turn = trim()-ed, non-empty pieces of split(text, '\\n')
+  - a line in turn t is REPEATED iff the same (conv_id, line) string
+    occurred in any earlier turn (turn_idx' < t) of the same conversation
+  - conv_dup_ratio(turn) = repeated_lines / lines (0.0 when no lines)
+  - rule 'conv_dup_line': drop when conv_dup_ratio > 0.3
+
+Implementation is groupBy-based, NOT window-based, on purpose:
+  min_turn(conv_id, line) via groupBy gets map-side partial aggregation, so
+  a 10^4-turn conversation (Zipf head) contributes ONE row per distinct line
+  to the shuffle instead of 10^4 window rows — this is the explicit
+  long-conversation skew treatment the north_rule demands (plus the salted
+  variant for the pathological case where even per-key partials are huge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _exploded_lines(df: DataFrame, text_col: str) -> DataFrame:
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+        lambda ln: ln != "",
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.explode_outer(lines).alias("line"),
+    )
+
+
+def conv_dup_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Return (conv_id, turn_idx, conv_dup_ratio).
+
+    Plan: explode lines -> [optionally salted] partial min(turn_idx) per
+    (conv_id, line) -> final min -> join back on (conv_id, line) -> per-turn
+    ratio. Two shuffles, both on (conv_id, line) — high cardinality, no hot
+    key even when one conv has 10^4 turns, because distinct lines spread.
+
+    salt_partitions: when set, adds an explicit salted pre-aggregation
+    (hash(conv_id, line) % S) before the final combine — the belt-and-braces
+    path for adversarial inputs where ONE (conv_id, line) pair dominates
+    (e.g. a heartbeat turn repeated 10^6 times). Spark's map-side combine
+    already collapses those within each task; the salt bounds the reduce-side
+    key width too.
+    """
+    ex = _exploded_lines(df, text_col)
+
+    if salt_partitions:
+        partial = (
+            ex.withColumn(
+                "_salt",
+                F.pmod(F.hash("conv_id", "line", "turn_idx"), F.lit(salt_partitions)),
+            )
+            .groupBy("conv_id", "line", "_salt")
+            .agg(F.min("turn_idx").alias("_mt"))
+        )
+        first_seen = partial.groupBy("conv_id", "line").agg(
+            F.min("_mt").alias("first_turn")
+        )
+    else:
+        first_seen = ex.filter(F.col("line").isNotNull()).groupBy(
+            "conv_id", "line"
+        ).agg(F.min("turn_idx").alias("first_turn"))
+
+    joined = ex.join(first_seen, ["conv_id", "line"], "left")
+    per_turn = joined.groupBy("conv_id", "turn_idx").agg(
+        F.sum(
+            F.when(F.col("line").isNull(), F.lit(0))
+            .when(F.col("turn_idx") > F.col("first_turn"), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("n_rep"),
+        F.sum(
+            F.when(F.col("line").isNull(), F.lit(0)).otherwise(F.lit(1))
+        ).alias("n_lines"),
+    )
+    return per_turn.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("n_lines") == 0, F.lit(0.0))
+        .otherwise(F.col("n_rep").cast("double") / F.col("n_lines").cast("double"))
+        .alias("conv_dup_ratio"),
+    )
+
+
+CONV_DUP_MAX = 0.3
+
+
+def py_conv_dup_ratios(turns: list[tuple[int, str]]) -> dict[int, float]:
+    """Oracle: turns = [(turn_idx, text)] of ONE conversation -> ratio map."""
+    first: dict[str, int] = {}
+    ordered = sorted(turns)
+    ratios: dict[int, float] = {}
+    for idx, text in ordered:
+        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        for ln in lines:
+            if ln not in first:
+                first[ln] = idx
+    for idx, text in ordered:
+        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        if not lines:
+            ratios[idx] = 0.0
+            continue
+        rep = sum(1 for ln in lines if first[ln] < idx)
+        ratios[idx] = float(rep) / float(len(lines))
+    return ratios

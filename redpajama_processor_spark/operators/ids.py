@@ -1,0 +1,54 @@
+"""Document ID assignment.
+
+Reference: /root/reference/step2_add_ids.py:14-46,71-77 assigns
+``f"{prefix}-{n:010d}"`` with a 1M-id range reserved per input file so files
+can be processed independently (no global counter).
+
+Spark renderings:
+- ``add_sequential_id``: the same partition-range trick, distributed — ids
+  are ``prefix-(partition_index * range + row_in_partition)`` formatted to
+  10 digits. Deterministic given a deterministic partitioning/sort.
+- ``add_order_id``: globally dense ids via row_number over an explicit sort
+  key (one shuffle; use only when density matters).
+- For transcripts the natural key (conv_id, turn_idx) already exists; these
+  operators serve corpus-style inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_sequential_id(
+    df: DataFrame,
+    prefix: str = "doc",
+    id_col: str = "id",
+    range_per_partition: int = 1_000_000,
+) -> DataFrame:
+    """Partition-range ids (reference semantics; no global coordination).
+
+    spark_partition_id * range + monotonic row index within the partition.
+    """
+    mono = F.monotonically_increasing_id()
+    # monotonically_increasing_id already encodes (partition << 33) | row;
+    # re-derive row-in-partition to apply the reference's 1M range contract.
+    row_in_part = mono % F.lit(1 << 33)
+    n = F.spark_partition_id().cast("long") * F.lit(range_per_partition) + row_in_part
+    return df.withColumn(
+        id_col, F.format_string(f"%s-%010d", F.lit(prefix), n)
+    )
+
+
+def add_order_id(
+    df: DataFrame,
+    order_cols: list[str],
+    prefix: str = "doc",
+    id_col: str = "id",
+) -> DataFrame:
+    """Dense ids by a deterministic global order (one shuffle)."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    n = F.row_number().over(w).cast("long") - F.lit(1)
+    return df.withColumn(
+        id_col, F.format_string(f"%s-%010d", F.lit(prefix), n)
+    )

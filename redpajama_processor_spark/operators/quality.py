@@ -1,0 +1,76 @@
+"""Quality-filter operator: signals -> keep/drop + first-failing-rule label.
+
+Reference: /root/reference/step7_quality_filtering.py:178-216 builds a
+sequential NeMo filter pipeline (logical AND; docs physically dropped). Our
+operator instead ANNOTATES every row with all signal columns, a ``keep``
+boolean and a ``drop_rule`` label, because:
+
+- the north_rule requires per-rule kept/dropped counters, which fall out of
+  a single groupBy(drop_rule).count() instead of per-filter passes,
+- keep/drop F1 verification needs the labels of DROPPED rows too,
+- downstream consumers choose `.filter("keep")` — Catalyst pushes that
+  predicate into the scan when the annotated table is persisted.
+
+The signal pass is 100% native columns (whole-stage codegen) — see
+functions/signals.py for the three-way-checked spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import signals as S
+
+
+def annotate_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    include_stopword_rule: bool = False,
+    keep_signals: bool = True,
+) -> DataFrame:
+    """Add signal columns + keep + drop_rule to df."""
+    sig = S.spark_signal_cols(F.col(text_col))
+    keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule)
+    out = df
+    if keep_signals:
+        for name, col in sig.items():
+            out = out.withColumn(name, col)
+        # reuse the materialized columns for keep/rule so codegen shares them
+        sig2 = {k: F.col(k) for k in sig}
+        keep, rule = S.spark_keep_and_rule(sig2, include_stopword_rule)
+    out = out.withColumn("keep", keep).withColumn("drop_rule", rule)
+    return out
+
+
+def rule_counters(annotated: DataFrame) -> DataFrame:
+    """Per-rule kept/dropped census (north_rule counter metrics).
+
+    One shuffle over a tiny cardinality (n_rules+1) — map-side partial agg
+    makes this free at any scale.
+    """
+    return (
+        annotated.groupBy(
+            F.coalesce(F.col("drop_rule"), F.lit("__kept__")).alias("rule")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rule")
+    )
+
+
+def observed_counts(df: DataFrame, text_col: str = "text"):
+    """Annotate + observe() kept/dropped counts in one pass (no extra job).
+
+    Mirrors the reference's metadata JSON counters
+    (step7_quality_filtering.py:234-254) without a second scan.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    ann = annotate_quality(df, text_col)
+    ann = ann.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    )
+    return ann, obs

@@ -1,0 +1,47 @@
+"""Resharding / partition balancing.
+
+Reference: /root/reference/step1_load_and_reshard.py:53-59 reshards JSONL to
+~100 MB files (manual byte-counting fallback at
+step1_manual_reshard_fast.py:21-61) because Dask parallelism = file count.
+
+Spark needs none of that on the READ side (`spark.sql.files.maxPartitionBytes`
+splits/coalesces file scans automatically); resharding survives only as a
+WRITE-side concern: bounding output file sizes for downstream consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_balanced(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    target_rows_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write with bounded file sizes (the reshard_jsonl equivalent).
+
+    maxRecordsPerFile splits oversized tasks; AQE coalescing upstream
+    prevents a long tail of tiny files.
+    """
+    w = df.write.mode(mode).option("maxRecordsPerFile", target_rows_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    getattr(w, fmt)(path)
+
+
+def repartition_by_key(
+    df: DataFrame, key: str, n: int, salt: int | None = None
+) -> DataFrame:
+    """Key-partitioned layout (the set_index('group') analog,
+    /root/reference/step6_fuzzy_deduplication.py:216). With ``salt``, skewed
+    keys spread over `salt` subpartitions (explicit north_rule skew tool)."""
+    if salt:
+        return df.repartition(
+            n, F.col(key), F.pmod(F.xxhash64(F.rand(42)), F.lit(salt))
+        )
+    return df.repartition(n, F.col(key))

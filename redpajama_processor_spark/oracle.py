@@ -1,0 +1,239 @@
+"""Single-process oracle: the reference-semantics implementation the Spark
+pipeline is verified against (keep/drop F1 >= 0.99 + per-turn scrubbed-text
+equality, per BASELINE.json).
+
+Pipeline spec (stage order mirrors the reference run_full_pipeline.py
+steps 3-7; drop_rule = FIRST stage that rejects the turn):
+
+  1. langid        on RAW text  (reference step3 runs before cleaning)
+                   -> drop when lang != 'EN', rule 'langid'
+  2. clean         unicode normalization of text (step4); all later stages
+                   see clean_text
+  3. exact_dup     md5(clean_text) keep-first by (conv_id, turn_idx) among
+                   langid survivors (step5; keep-first semantics at
+                   step5_exact_deduplication.py:126-128)
+  4. fuzzy_dup     MinHash/LSH/verify/connected-components among exact
+                   survivors; survivor per component = min doc_key
+                   (step6; params scaled: num_perm=64, bands=16, 24-gram,
+                   jaccard>=0.8 verified)
+  5. heuristics    the step7 battery (signals.THRESHOLDS order) on
+                   clean_text, then the Gopher stopword_ratio rule
+  6. conv_dup_line cross-turn repeated-line ratio > 0.3 within conversation
+                   (north_star transcript addition; first-seen lines
+                   tracked over ALL turns of the conversation)
+  7. perplexity    interpolated bigram LM on clean_text; drop when
+                   ppl > perplexity.DEFAULT_MAX_PPL
+  scrub            (annotator, never drops): ordered PII/profanity regex
+                   chain on clean_text -> scrubbed_text + per-rule counts
+
+This module is intentionally straight-line Python (dicts, loops,
+hashlib) — an independent rendering of the same spec the Spark pipeline
+implements with columns/UDFs/joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from .functions import signals as S
+from .functions.hashing import (
+    DEFAULT_NGRAM,
+    HASH_BITS,
+    MERSENNE_P,
+    perm_params,
+)
+from .functions.langid import py_langid
+from .functions.perplexity import DEFAULT_MAX_PPL, py_perplexity
+from .functions.scrub import SCRUB_RULES, py_scrub
+from .functions.textclean import py_clean_text
+from .operators.convdup import CONV_DUP_MAX
+
+FUZZY_NUM_PERM = 64
+FUZZY_BANDS = 16
+FUZZY_JACCARD = 0.8
+
+
+def doc_key(conv_id: str, turn_idx: int) -> str:
+    return f"{conv_id}#{turn_idx:06d}"
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-dedup helpers (pure python)
+# ---------------------------------------------------------------------------
+
+def _shingles(text: str, n: int = DEFAULT_NGRAM) -> set[str]:
+    if len(text) <= n:
+        return {text}
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def _minhash(text: str, params: list[tuple[int, int]]) -> list[int]:
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[: HASH_BITS // 4], 16)
+        for s in _shingles(text)
+    ]
+    return [min((a * h + b) % MERSENNE_P for h in hs) for a, b in params]
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a: str, b: str):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-root keeps survivor = lexicographic min deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.p[hi] = lo
+
+
+def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
+    """docs: [(doc_key, clean_text)] -> doc_key -> component (min member).
+
+    Same LSH banding + jaccard-verified edges as operators/dedup.py.
+    """
+    params = perm_params(FUZZY_NUM_PERM)
+    rows_per_band = FUZZY_NUM_PERM // FUZZY_BANDS
+    buckets: dict[tuple[int, str], list[str]] = {}
+    sh_cache: dict[str, set[str]] = {}
+    for key, text in docs:
+        sig = _minhash(text, params)
+        sh_cache[key] = _shingles(text)
+        for b in range(FUZZY_BANDS):
+            sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            bk = hashlib.md5(":".join(map(str, sl)).encode()).hexdigest()
+            buckets.setdefault((b, bk), []).append(key)
+
+    uf = _UnionFind()
+    seen_pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pair = (members[i], members[j])
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                a, b = sh_cache[pair[0]], sh_cache[pair[1]]
+                jac = len(a & b) / len(a | b)
+                if jac >= FUZZY_JACCARD:
+                    uf.union(*pair)
+
+    return {key: uf.find(key) for key, _ in docs}
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline oracle
+# ---------------------------------------------------------------------------
+
+def oracle_labels(turns: pd.DataFrame, lm: dict) -> pd.DataFrame:
+    """turns: (conv_id, turn_idx, role, text, tool, ts) -> expected labels.
+
+    Output: conv_id, turn_idx, language, keep, drop_rule, perplexity,
+    clean_text, scrubbed_text, n_<scrub rule>...
+    """
+    df = turns.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    langs, cleans = [], []
+    for _, r in df.iterrows():
+        _, lang = py_langid(r["text"])
+        langs.append(lang)
+        cleans.append(py_clean_text(r["text"]))
+    df["language"] = langs
+    df["clean_text"] = cleans
+    df["_key"] = [doc_key(c, t) for c, t in zip(df["conv_id"], df["turn_idx"])]
+
+    # stage 3: exact dedup among langid survivors, keep-first by doc_key
+    seen_hash: dict[str, str] = {}
+    exact_dup: dict[str, bool] = {}
+    en = df[df["language"] == "EN"].sort_values("_key")
+    for _, r in en.iterrows():
+        h = hashlib.md5(r["clean_text"].encode()).hexdigest()
+        if h in seen_hash:
+            exact_dup[r["_key"]] = True
+        else:
+            seen_hash[h] = r["_key"]
+            exact_dup[r["_key"]] = False
+
+    # stage 4: fuzzy dedup among exact survivors
+    survivors = [
+        (r["_key"], r["clean_text"])
+        for _, r in en.iterrows()
+        if not exact_dup[r["_key"]]
+    ]
+    comp = fuzzy_components(survivors)
+    fuzzy_dup = {k: (comp[k] != k) for k, _ in survivors}
+
+    # stage 6 precompute: conversation-level first-seen lines (ALL turns)
+    conv_first: dict[tuple[str, str], int] = {}
+    for _, r in df.iterrows():
+        for ln in r["clean_text"].split("\n"):
+            ln = ln.strip()
+            if not ln:
+                continue
+            k = (r["conv_id"], ln)
+            if k not in conv_first:
+                conv_first[k] = r["turn_idx"]
+
+    out_rows = []
+    for _, r in df.iterrows():
+        key = r["_key"]
+        clean = r["clean_text"]
+        scrubbed, counts = py_scrub(clean)
+        ppl = py_perplexity(clean, lm)
+
+        keep, rule = True, None
+        if r["language"] != "EN":
+            keep, rule = False, "langid"
+        elif exact_dup.get(key, False):
+            keep, rule = False, "exact_dup"
+        elif fuzzy_dup.get(key, False):
+            keep, rule = False, "fuzzy_dup"
+        else:
+            sig = S.py_signals(clean)
+            k2, r2 = S.py_keep_and_rule(sig, include_stopword_rule=True)
+            if not k2:
+                keep, rule = False, r2
+            else:
+                lines = [ln.strip() for ln in clean.split("\n")]
+                lines = [ln for ln in lines if ln]
+                if lines:
+                    rep = sum(
+                        1
+                        for ln in lines
+                        if conv_first[(r["conv_id"], ln)] < r["turn_idx"]
+                    )
+                    ratio = rep / len(lines)
+                else:
+                    ratio = 0.0
+                if ratio > CONV_DUP_MAX:
+                    keep, rule = False, "conv_dup_line"
+                elif ppl > DEFAULT_MAX_PPL:
+                    keep, rule = False, "perplexity"
+
+        row = {
+            "conv_id": r["conv_id"],
+            "turn_idx": r["turn_idx"],
+            "language": r["language"],
+            "keep": keep,
+            "drop_rule": rule,
+            "perplexity": ppl,
+            "clean_text": clean,
+            "scrubbed_text": scrubbed,
+        }
+        for name, _, _ in SCRUB_RULES:
+            row[f"n_{name}"] = counts[name]
+        out_rows.append(row)
+
+    return pd.DataFrame(out_rows)

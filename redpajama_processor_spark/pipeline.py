@@ -1,0 +1,172 @@
+"""The full transcript-curation pipeline, Spark-native.
+
+Stage order and drop_rule precedence are specified in oracle.py (which is
+the verification rendering of the same spec). This module is the
+DISTRIBUTED rendering:
+
+  langid      -> vectorized Arrow pandas UDF (per-executor model state, the
+                 fastText shape; a pure-column fallback exists for
+                 JVM-only runs) — reference step3
+  clean       -> native replace/translate chain — reference step4
+  exact_dup   -> md5 + window keep-first (one hash shuffle) — reference
+                 step5, minus its driver-side .isin() bug
+  fuzzy_dup   -> MinHash/LSH/verify/CC from operators/dedup.py — reference
+                 step6
+  heuristics  -> native column signals (whole-stage codegen) — reference
+                 step7
+  conv_dup    -> groupBy-based cross-turn repeated-line ratio with explicit
+                 skew-safe aggregation — north_star transcript addition
+  perplexity  -> Arrow pandas UDF over a broadcast bigram LM
+  scrub       -> Arrow pandas UDF chain -> scrubbed_text + per-rule counts
+
+Shuffle budget (the 100 TB question): langid/clean/heuristics/perplexity/
+scrub are ALL narrow (zero shuffles — they pipeline into the scan). The
+wide stages are: exact-dup window (1 shuffle on _hash), fuzzy dedup
+(explode+groupBy on band keys + CC iterations over the tiny near-dup
+subgraph), conv_dup (2 partial-agg shuffles on (conv_id,line)), and the
+label join-backs on doc_key (hash joins, AQE-planned; the dedup sides are
+orders of magnitude smaller than the corpus after aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import signals as S
+from .functions.langid import langid_udf, spark_langid_col
+from .functions.perplexity import DEFAULT_MAX_PPL, perplexity_udf, train_bigram_lm
+from .functions.scrub import SCRUB_RULES, scrub_udf
+from .functions.textclean import clean_text_col
+from .operators import dedup as D
+from .operators.convdup import CONV_DUP_MAX, conv_dup_ratio
+
+FUZZY_NUM_PERM = 64
+FUZZY_BANDS = 16
+FUZZY_JACCARD = 0.8
+
+
+def doc_key_col() -> F.Column:
+    return F.format_string("%s#%06d", F.col("conv_id"), F.col("turn_idx"))
+
+
+def curate(
+    spark: SparkSession,
+    turns: DataFrame,
+    lm: dict | None = None,
+    use_native_langid: bool = False,
+    use_numpy_minhash: bool = False,
+    run_fuzzy: bool = True,
+) -> DataFrame:
+    """Annotate every turn with language, dedup flags, signals, perplexity,
+    scrubbed text, keep and drop_rule. Never physically drops rows —
+    consumers filter on ``keep`` (predicate pushdown does the rest once the
+    annotated table is persisted)."""
+    if lm is None:
+        from .datagen import lm_corpus
+
+        lm = train_bigram_lm(lm_corpus())
+    lm_b = spark.sparkContext.broadcast(lm)
+
+    df = turns.withColumn("_key", doc_key_col())
+
+    # --- langid (raw text) + clean ---------------------------------------
+    if use_native_langid:
+        df = df.withColumn("language", spark_langid_col(F.col("text")))
+    else:
+        df = df.withColumn("language", langid_udf()(F.col("text")).getField("lang"))
+    df = df.withColumn("clean_text", clean_text_col(F.col("text")))
+    # Materialize the UDF-annotated base ONCE: every later stage (exact dedup,
+    # fuzzy dedup, conv_dup, final join-backs) branches from this lineage, and
+    # without a cut Spark would re-run the langid UDF per branch. On a cluster
+    # this would be a persisted intermediate (or Iceberg stage table).
+    df = df.localCheckpoint(eager=True)
+
+    # --- exact dedup among langid survivors ------------------------------
+    en = df.filter(F.col("language") == "EN").select(
+        "_key", F.md5("clean_text").alias("_hash")
+    )
+    w = Window.partitionBy("_hash").orderBy("_key")
+    exact = en.withColumn(
+        "is_exact_dup", F.row_number().over(w) > 1
+    ).select("_key", "is_exact_dup")
+    df = df.join(exact, "_key", "left").withColumn(
+        "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
+    )
+
+    # --- fuzzy dedup among exact survivors --------------------------------
+    if run_fuzzy:
+        surv = df.filter(
+            (F.col("language") == "EN") & (~F.col("is_exact_dup"))
+        ).select(F.col("_key").alias("doc_id"), F.col("clean_text").alias("text"))
+        fz = D.fuzzy_dedup(
+            surv,
+            num_perm=FUZZY_NUM_PERM,
+            bands=FUZZY_BANDS,
+            jaccard_threshold=FUZZY_JACCARD,
+            use_numpy=use_numpy_minhash,
+        ).select(
+            F.col("doc_id").alias("_key"),
+            F.col("is_fuzzy_dup"),
+            F.col("component"),
+        )
+        df = df.join(fz, "_key", "left").withColumn(
+            "is_fuzzy_dup", F.coalesce("is_fuzzy_dup", F.lit(False))
+        )
+    else:
+        df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
+            "component", F.col("_key")
+        )
+
+    # --- heuristic signals (native columns; zero shuffle) -----------------
+    sig = S.spark_signal_cols(F.col("clean_text"))
+    for name, col in sig.items():
+        df = df.withColumn(name, col)
+    heur_keep, heur_rule = S.spark_keep_and_rule(
+        {k: F.col(k) for k in sig}, include_stopword_rule=True
+    )
+    df = df.withColumn("_heur_keep", heur_keep).withColumn("_heur_rule", heur_rule)
+
+    # --- conversation-level repeated lines (skew-safe groupBy) ------------
+    cdr = conv_dup_ratio(
+        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    )
+    df = df.join(cdr, ["conv_id", "turn_idx"], "left").withColumn(
+        "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
+    )
+
+    # --- perplexity + scrub (Arrow UDFs, narrow) ---------------------------
+    df = df.withColumn("perplexity", perplexity_udf(lm_b)(F.col("clean_text")))
+    scr = scrub_udf()(F.col("clean_text"))
+    df = df.withColumn("_scr", scr)
+    df = df.withColumn("scrubbed_text", F.col("_scr.scrubbed_text"))
+    for name, _, _ in SCRUB_RULES:
+        df = df.withColumn(f"n_{name}", F.col(f"_scr.n_{name}"))
+    df = df.drop("_scr")
+
+    # --- final keep / drop_rule precedence ---------------------------------
+    drop_rule = (
+        F.when(F.col("language") != "EN", F.lit("langid"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("is_fuzzy_dup"), F.lit("fuzzy_dup"))
+        .when(~F.col("_heur_keep"), F.col("_heur_rule"))
+        .when(F.col("conv_dup_ratio") > CONV_DUP_MAX, F.lit("conv_dup_line"))
+        .when(F.col("perplexity") > DEFAULT_MAX_PPL, F.lit("perplexity"))
+    )
+    df = (
+        df.withColumn("drop_rule", drop_rule)
+        .withColumn("keep", F.col("drop_rule").isNull())
+        .drop("_heur_keep", "_heur_rule")
+    )
+    return df
+
+
+def rule_census(curated: DataFrame) -> DataFrame:
+    """Per-rule kept/dropped counters (north_rule metrics)."""
+    return (
+        curated.groupBy(
+            F.coalesce(F.col("drop_rule"), F.lit("__kept__")).alias("rule")
+        )
+        .count()
+        .orderBy("rule")
+    )

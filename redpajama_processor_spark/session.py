@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the curation workload.
+
+Design notes (100 TB / 1000-executor target, tested on local[N]):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy switching replace the reference's hand-tuned
+  ``files_per_partition`` / ``blocksize='2GB'`` knobs
+  (reference: step6_fuzzy_deduplication.py:75,121).
+- Arrow on: every pandas UDF crosses the JVM<->Python boundary in columnar
+  Arrow batches (the reference got this via cuDF/pandas map_partitions).
+- shuffle.partitions defaults to 4x cores locally; on a real cluster set it
+  ~2-3x total executor cores, or rely on AQE coalescing from a high initial
+  value.
+- Iceberg: when an iceberg-spark-runtime jar is on the classpath, pass
+  ``iceberg_warehouse=`` to register a hadoop catalog ``local``. The sandbox
+  image has no Iceberg jar, so table IO falls back to partitioned parquet via
+  sources.tables (same layout, same partition spec).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "redpajama-processor-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    iceberg_warehouse: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: local parallelism; defaults to $SPARK_GRAFT_CPUS or all cores.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores) * 4, 8)
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if iceberg_warehouse:
+        b = (
+            b.config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", iceberg_warehouse)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+        )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,2 @@
+"""Sources & sinks: JSONL (gzip-transparent), parquet/Iceberg-style tables,
+per-metadata-value partitioned sinks."""

@@ -1,0 +1,80 @@
+"""JSONL sources/sinks with filename lineage and malformed-line policy.
+
+Reference behaviors re-expressed:
+- gzip JSONL scan w/ malformed-line skip (redpajama_processor.py:30-86):
+  Spark reads .json.gz transparently; PERMISSIVE mode + corrupt-record
+  column replaces the hand-rolled try/except json.loads loop.
+- add_filename lineage (step1_load_and_reshard.py:38 etc.):
+  input_file_name().
+- per-language directory split (step3_language_separation.py:113-117):
+  partitionBy on the metadata column.
+- sample sink (redpajama_processor.py:319-323): sample().limit().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    add_filename: bool = True,
+    drop_malformed: bool = False,
+) -> DataFrame:
+    """Gzip-transparent JSONL scan with lineage + corrupt handling."""
+    r = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        schema = schema.add("_corrupt_record", "string")
+        r = r.schema(schema)
+    r = r.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    df = r.json(path)
+    if drop_malformed and "_corrupt_record" in df.columns:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    if add_filename:
+        df = df.withColumn("file_name", F.input_file_name())
+    return df
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def separate_by_metadata(
+    df: DataFrame, out_dir: str, metadata_field: str = "language"
+) -> dict[str, int]:
+    """Split into one directory per metadata value; return value->count.
+
+    One partitionBy write + one tiny groupBy — the reference's
+    separate_by_metadata returned the same counts dict
+    (step3_language_separation.py:113-127).
+    """
+    df.write.mode("overwrite").partitionBy(metadata_field).json(out_dir)
+    rows = df.groupBy(metadata_field).count().collect()
+    return {str(r[0]): r["count"] for r in rows}
+
+
+def sample_sink(df: DataFrame, path: str, k: int = 100, seed: int = 42) -> None:
+    """Deterministic inspection sample (reference: df.sample(n).to_json)."""
+    frac = min(1.0, max(0.001, k * 20 / max(df.count(), 1)))
+    df.sample(fraction=frac, seed=seed).limit(k).coalesce(1).write.mode(
+        "overwrite"
+    ).json(path)
