@@ -1,0 +1,49 @@
+"""Spark-vs-DuckDB result comparison mirroring the driver's correctness gate:
+row count, column-name set, and order-insensitive value equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        else:
+            df[c] = s.astype("string")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_same(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+            assert eq.all(), (
+                f"{name}.{c}: {int((~eq).sum())} float mismatches; "
+                f"first: {av[~eq][:3]} vs {bv[~eq][:3]}"
+            )
+        else:
+            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            assert eq.all(), (
+                f"{name}.{c}: {int((~eq).sum())} mismatches; "
+                f"first spark={a[c][~eq].head(3).tolist()} duck={b[c][~eq].head(3).tolist()}"
+            )

@@ -1,0 +1,37 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle_sql() is executed on Spark AND DuckDB at sf0.001 and compared
+(row count + schema + order-insensitive values)."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+from .compare import assert_same
+
+ORACLES = entry.oracle_sql()
+QUERIES = entry.queries()
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spdf = QUERIES[name](spark, sf_dir).toPandas()
+    dpdf = duck.execute(ORACLES[name]).df()
+    assert_same(spdf, dpdf, name)
+
+
+def test_entry_smoke(spark):
+    out = entry.entry(spark)
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert out.columns == ["rule", "n"]
+
+
+@pytest.mark.parametrize("name", ["transcript_pipeline", "transcript_census"])
+def test_rows_only_queries(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() > 0
