@@ -701,17 +701,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_lsh_pairs": f"""
             {bands_near}
-            SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
-            FROM bands l JOIN bands r
-              ON l.band_id = r.band_id AND l.band_key = r.band_key
-             AND l.doc_id < r.doc_id""",
+            SELECT DISTINCT h.hub AS src, b.doc_id AS dst
+            FROM bands b JOIN (
+              SELECT band_id, band_key, MIN(doc_id) AS hub
+              FROM bands GROUP BY 1, 2) h
+              ON b.band_id = h.band_id AND b.band_key = h.band_key
+             AND b.doc_id > h.hub""",
         "doc_jaccard_pairs": f"""
             {bands_near},
             pairs AS (
-              SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
-              FROM bands l JOIN bands r
-                ON l.band_id = r.band_id AND l.band_key = r.band_key
-               AND l.doc_id < r.doc_id),
+              SELECT DISTINCT h.hub AS src, b.doc_id AS dst
+              FROM bands b JOIN (
+                SELECT band_id, band_key, MIN(doc_id) AS hub
+                FROM bands GROUP BY 1, 2) h
+                ON b.band_id = h.band_id AND b.band_key = h.band_key
+               AND b.doc_id > h.hub),
             docs AS (SELECT doc_id, {sh} AS sh FROM {_SQL_DOCS_NEAR})
             SELECT src, dst, ROUND(jac, 6) AS jaccard FROM (
               SELECT src, dst,

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline entry queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full transcript
+curation pipeline on a deterministic synthetic corpus sized to the SF, and
+prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "turns": N, "turns_per_sec": X, ...}
+
+Modes:
+  python bench.py                      # full bench (one JSON line)
+  python bench.py --pipeline-only N    # curate N convs, print one JSON line
+                                       # (used by BENCH/scaling runs)
+
+Timing uses noop-format writes so Catalyst cannot prune the work under a
+count()-only action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+SF_CONVS = {"sf0.001": 120, "sf0.01": 5500, "sf0.1": 55000}
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_customers",
+    "revenue_per_nation",
+    "first_order_per_customer",
+    "orders_to_remove",
+    "custkeys_1994_not_1995",
+    "doc_quality_filter",
+    "doc_exact_dedup",
+    "doc_lsh_pairs",
+    "doc_simhash",
+    "ann_topk",
+    "events_hourly",
+    "events_sessionize",
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_pipeline(spark, n_convs: int, workdir: str) -> dict:
+    from redpajama_processor_spark.datagen import gen_turns_spark
+    from redpajama_processor_spark.pipeline import curate, rule_census
+
+    turns_path = os.path.join(workdir, f"turns_{n_convs}")
+    if not os.path.exists(os.path.join(turns_path, "_SUCCESS")):
+        gen_turns_spark(spark, n_convs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(turns_path)
+    src = spark.read.parquet(turns_path)
+    n = src.count()
+
+    t0 = time.time()
+    out = curate(spark, src)
+    _noop(out)
+    dt = time.time() - t0
+    kept = out.filter("keep").count()
+    census = {r["rule"]: r["count"] for r in rule_census(out).collect()}
+    return {
+        "turns": n,
+        "wall_sec": round(dt, 2),
+        "turns_per_sec": round(n / dt, 1),
+        "kept": kept,
+        "census": census,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1)
+    workdir = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/rp_bench")
+    os.makedirs(workdir, exist_ok=True)
+
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--pipeline-only":
+        n_convs = int(sys.argv[2])
+        r = run_pipeline(spark, n_convs, workdir)
+        print(
+            json.dumps(
+                {
+                    "metric": "transcript_pipeline_sec",
+                    "value": r["wall_sec"],
+                    "unit": "sec",
+                    "queries": {"transcript_pipeline": r["wall_sec"]},
+                    "sf": sf,
+                    "cpus": cpus,
+                    **{k: r[k] for k in ("turns", "turns_per_sec", "kept")},
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        _noop(df)
+        dt = time.time() - t0
+        timings[name] = round(dt, 2)
+        total += dt
+
+    n_convs = SF_CONVS.get(sf_name, 5500)
+    r = run_pipeline(spark, n_convs, workdir)
+    timings["transcript_pipeline"] = r["wall_sec"]
+    total += r["wall_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "turns": r["turns"],
+                "turns_per_sec": r["turns_per_sec"],
+                "kept": r["kept"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

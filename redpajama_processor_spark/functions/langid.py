@@ -79,8 +79,10 @@ def py_langid(text: str) -> tuple[float, str]:
     """Oracle rendering of the decision function."""
     if CJK_RE.search(text):
         return 1.0, "ZH"
-    t = text.replace("\n", " ").strip().lower()
-    words = re.split(r"\s+", t) if t else []
+    from .signals import TRIM_RE, WORD_SPLIT_RE
+
+    t = re.sub(TRIM_RE, "", text.replace("\n", " ")).lower()
+    words = re.split(WORD_SPLIT_RE, t) if t else []
     if not words:
         return 0.0, "UNKNOWN"
     best_lang, best_hits = None, -1
@@ -120,9 +122,11 @@ def langid_udf():
 
 def spark_langid_col(text: Column) -> Column:
     """Pure-column rendering (JVM-side) of the same decision — lang only."""
-    t = F.trim(F.lower(F.replace(text, F.lit("\n"), F.lit(" "))))
+    from .signals import TRIM_RE, WORD_SPLIT_RE
+
+    t = F.lower(F.regexp_replace(F.replace(text, F.lit("\n"), F.lit(" ")), TRIM_RE, ""))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, WORD_SPLIT_RE)
     )
     def _hits(markers: list[str]):
         arr = F.array(*[F.lit(w) for w in markers])
@@ -146,10 +150,12 @@ def spark_langid_col(text: Column) -> Column:
 
 def duckdb_langid_sql(text: str) -> str:
     """DuckDB SQL rendering of the same decision — lang only."""
-    t = f"trim(lower(replace({text}, chr(10), ' ')))"
+    from .signals import TRIM_RE, WORD_SPLIT_RE
+
+    t = f"lower(regexp_replace(replace({text}, chr(10), ' '), '{TRIM_RE}', '', 'g'))"
     words = (
         f"CASE WHEN {t} = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array({t}, '\\s+') END"
+        f"ELSE regexp_split_to_array({t}, '{WORD_SPLIT_RE}') END"
     )
     hit_expr = {}
     for lang in LANG_ORDER:

@@ -64,7 +64,12 @@ from pyspark.sql import functions as F
 # Spec constants
 # ---------------------------------------------------------------------------
 
-WORD_SPLIT_RE = r"\s+"
+# Explicit ASCII whitespace class: Spark trim() strips only 0x20, Python
+# str.strip()/\s are Unicode-aware, RE2 \s is ASCII — pinning the class is
+# the only way all three renderings agree on every input.
+WS_RE = "[ \\t\\n\\r\\f\\x0b]"
+WORD_SPLIT_RE = WS_RE + "+"
+TRIM_RE = f"^{WS_RE}+|{WS_RE}+$"
 NUMBER_WORD_RE = r"^[0-9]+([.,][0-9]+)*$"
 ALPHA_RE = r"[A-Za-z]"
 ELLIPSIS3_RE = r"\.{3}"
@@ -116,7 +121,7 @@ SIGNAL_COLS = [
 
 def words_col(text: Column) -> Column:
     """Whitespace-token array; empty array for all-whitespace/empty text."""
-    t = F.trim(text)
+    t = F.regexp_replace(text, TRIM_RE, "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, WORD_SPLIT_RE)
     )
@@ -160,7 +165,7 @@ def spark_signal_cols(text: Column) -> dict[str, Column]:
         n_num_words.cast("double") / nw_d
     )
 
-    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text, WS_RE, ""))
     space_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         n_space.cast("double") / nc_d
     )
@@ -247,9 +252,10 @@ def spark_keep_and_rule(
 def duckdb_signal_sql(text: str = "text") -> dict[str, str]:
     """DuckDB SQL expression per signal, same operand order as Spark."""
     t = text
+    trimmed = f"regexp_replace({t}, '{TRIM_RE}', '', 'g')"
     words = (
-        f"CASE WHEN trim({t}) = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array(trim({t}), '\\s+') END"
+        f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
     )
     nw = f"len({words})"
     nc = f"length({t})"
@@ -282,7 +288,7 @@ def duckdb_signal_sql(text: str = "text") -> dict[str, str]:
         ),
         "space_ratio": (
             f"CASE WHEN {nc} = 0 THEN 0.0 ELSE "
-            f"CAST({nc} - length(regexp_replace({t}, '\\s', '', 'g')) AS DOUBLE)"
+            f"CAST({nc} - length(regexp_replace({t}, '{WS_RE}', '', 'g')) AS DOUBLE)"
             f" / CAST({nc} AS DOUBLE) END"
         ),
         "paren_ratio": (
@@ -344,12 +350,13 @@ _NUM_RE = re.compile(NUMBER_WORD_RE)
 _ALPHA_RE = re.compile(ALPHA_RE)
 _ELL3_RE = re.compile(ELLIPSIS3_RE)
 _WS_RE = re.compile(WORD_SPLIT_RE)
+_TRIM_RE = re.compile(TRIM_RE)
 _STOPSET = frozenset(STOPWORDS)
 
 
 def py_signals(text: str) -> dict[str, float]:
     """Straight-line Python implementation of the same spec (oracle)."""
-    t = text.strip()
+    t = _TRIM_RE.sub("", text)
     words = _WS_RE.split(t) if t else []
     n_words = len(words)
     n_chars = len(text)

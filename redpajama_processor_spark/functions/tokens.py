@@ -12,14 +12,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .signals import TRIM_RE, WORD_SPLIT_RE
+
 # GPT-2-style pre-tokenizer approximation, portable across Java/RE2:
 # runs of letters, runs of digits, or single non-space-non-alnum chars.
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_token_count_col(text: Column) -> Column:
-    t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    t = F.regexp_replace(text, TRIM_RE, "")
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WORD_SPLIT_RE)))
 
 
 def bpeish_token_count_col(text: Column) -> Column:
@@ -27,9 +29,10 @@ def bpeish_token_count_col(text: Column) -> Column:
 
 
 def duckdb_ws_token_count_sql(text: str) -> str:
+    t = f"regexp_replace({text}, '{TRIM_RE}', '', 'g')"
     return (
-        f"CASE WHEN trim({text}) = '' THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END"
+        f"CASE WHEN {t} = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array({t}, '{WORD_SPLIT_RE}')) END"
     )
 
 
@@ -40,8 +43,13 @@ def duckdb_bpeish_token_count_sql(text: str) -> str:
 def content_fingerprint_col(text: Column) -> Column:
     """Rolling-hash-style fingerprint: md5 over the document's normalized
     form (lowercased, whitespace collapsed) — stable under re-wrapping."""
-    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+    return F.md5(
+        F.regexp_replace(F.regexp_replace(F.lower(text), TRIM_RE, ""), WORD_SPLIT_RE, " ")
+    )
 
 
 def duckdb_content_fingerprint_sql(text: str) -> str:
-    return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"
+    return (
+        f"md5(regexp_replace(regexp_replace(lower({text}), '{TRIM_RE}', '', 'g'), "
+        f"'{WORD_SPLIT_RE}', ' ', 'g'))"
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+Training-data pipelines carry media alongside text. The Spark-side contract
+here is real and tested (schema, partition sizing, Arrow batch shape,
+mapInPandas signatures); the codec work is STUBBED because the sandbox has
+no image/audio libraries — each decoder raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake feature extractor runs so
+the distributed plumbing can be exercised end-to-end.
+
+Schema convention:
+  media(media_id string, kind string, payload binary,
+        meta struct<width:int, height:int, sample_rate:int, n_frames:int>)
+
+Scale notes: payloads dominate partition size — size partitions by
+``spark.sql.files.maxPartitionBytes`` and keep payloads OUT of shuffles
+(extract features first, shuffle features; never groupBy a DataFrame that
+still carries payload bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = "media_id string, kind string, feature array<float>, n_bytes long"
+
+
+def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a decode+embed step: md5-seeded vector."""
+    h = hashlib.md5(payload).digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: batch-in, batch-out, payload dropped.
+
+    Real deployment: replace the ``fake`` branch with PIL/torchaudio/ffmpeg
+    decode (lazy per-executor init, exactly like the fastText pattern in
+    functions/langid.py).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio libs not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "plumbing test path"
+                )
+            feats = [
+                _fake_feature(p if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stub — same mapInPandas shape as extract_features."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("image resize requires PIL; stub only")
+        yield  # pragma: no cover
+
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub — contract: one output row per kept frame."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("frame sampling requires ffmpeg; stub only")
+        yield  # pragma: no cover
+
+    return media.mapInPandas(
+        _sample, MEDIA_SCHEMA.replace("media_id string", "media_id string, frame_idx int")
+    )
+
+
+def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        kind = ["image", "audio", "video"][i % 3]
+        payload = rng.bytes(256 + (i % 5) * 64)
+        rows.append(
+            (
+                f"m-{i:06d}",
+                kind,
+                bytearray(payload),
+                (64, 64, 16000, 30) if kind != "image" else (640, 480, None, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -90,12 +90,19 @@ def add_minhash(
     use_numpy=False -> pure-JVM md5 minhash (oracle-checkable);
     use_numpy=True  -> Arrow pandas UDF (scale path, same values).
     """
-    if use_numpy:
-        udf = H.minhash_np_udf(num_perm, ngram)
-        return df.withColumn("_minhash", udf(F.col(text_col)))
-    return df.withColumn(
-        "_minhash", H.minhash_md5_col(F.col(text_col), num_perm, ngram)
+    # materialize the base-hash array ONCE (JVM md5 pass): inlining it into
+    # each of the K per-permutation projections would re-md5 every shingle
+    # K times (no CSE across lambda bodies)
+    tmp = df.withColumn(
+        "_bh", F.transform(H.shingles_col(F.col(text_col), ngram), H.base_hash_col)
     )
+    if use_numpy:
+        # hybrid: JVM base hashes -> numpy (n_shingles x K) affine-min
+        udf = H.minhash_affine_udf(num_perm)
+        return tmp.withColumn("_minhash", udf(F.col("_bh"))).drop("_bh")
+    return tmp.withColumn(
+        "_minhash", H.minhash_from_hashes_col(F.col("_bh"), num_perm)
+    ).drop("_bh")
 
 
 def lsh_buckets(
@@ -139,23 +146,54 @@ def lsh_buckets(
 def buckets_to_edges(
     buckets: DataFrame,
     id_col: str = "doc_id",
-    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Candidate duplicate pairs (src < dst) from shared LSH buckets.
+    """Candidate duplicate STAR edges (bucket-min -> member) per LSH bucket.
 
-    groupBy band key -> collect member ids (bounded by max_bucket, logged via
-    the ``truncated`` flag) -> explode ordered pairs -> distinct. This is the
-    BucketsToEdges stage (step6_fuzzy_deduplication.py:164-171) as one
-    aggregate + one explode instead of a self-join: the aggregate gets
-    map-side combine and the pair explode never re-shuffles the big table.
+    The reference's BucketsToEdges generates ALL pairs within a bucket
+    (step6_fuzzy_deduplication.py:164-171) - quadratic in bucket width, which
+    explodes on boilerplate-heavy corpora (a 10^4-member bucket would emit
+    5*10^7 pairs). We emit the star (hub = min member id): linear in width,
+    and connectivity-equivalent for the downstream connected components -
+    every member still joins the hub's component. Dup families that share a
+    bucket only by band collision get disconnected again by the Jaccard
+    verification of the star edges; their true intra-family edges come from
+    the buckets where the family's own min is the hub.
+
+    Plan shape: one groupBy (map-side combined collect_set) + one explode -
+    the big table is never self-joined.
     """
     grouped = (
         buckets.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("members"))
         .filter(F.size("members") > 1)
-        .withColumn("truncated", F.size("members") > max_bucket)
+    )
+    hub = F.element_at("members", 1)
+    pairs = grouped.select(
+        F.explode(
+            F.transform(
+                F.filter(F.col("members"), lambda y: y != hub),
+                lambda y: F.struct(hub.alias("src"), y.alias("dst")),
+            )
+        ).alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    return pairs.distinct()
+
+
+def buckets_to_edges_allpairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """All-pairs variant (the literal reference semantics), bucket width
+    capped at max_bucket. Use when the consumer needs every pairwise
+    similarity, not just dedup connectivity."""
+    grouped = (
+        buckets.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("members"))
+        .filter(F.size("members") > 1)
         .withColumn("members", F.slice("members", 1, max_bucket))
     )
+
     def _pairs_for(x):
         return F.transform(
             F.filter(F.col("members"), lambda y: y > x),
@@ -220,22 +258,25 @@ def connected_components(
     convergence is O(log(diameter)) rounds for near-dup clusters (diameter
     is tiny), and AQE coalesces the shrinking frontier each round.
     """
-    sym = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # min neighbour label per node
         nbr = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry a change indicator through the checkpoint so convergence
+        # detection is a cheap scan of the materialized table, not a join
         new_labels = (
             labels.join(nbr, labels.id == nbr.a, "left")
             .select(
@@ -244,16 +285,14 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("_chg"),
             )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels

@@ -113,22 +113,24 @@ def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
             bk = hashlib.md5(":".join(map(str, sl)).encode()).hexdigest()
             buckets.setdefault((b, bk), []).append(key)
 
+    # STAR edges per bucket (hub = min member), matching
+    # operators/dedup.buckets_to_edges — linear in bucket width
     uf = _UnionFind()
     seen_pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:
             continue
-        members = sorted(members)
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pair = (members[i], members[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                a, b = sh_cache[pair[0]], sh_cache[pair[1]]
-                jac = len(a & b) / len(a | b)
-                if jac >= FUZZY_JACCARD:
-                    uf.union(*pair)
+        members = sorted(set(members))
+        hub = members[0]
+        for m in members[1:]:
+            pair = (hub, m)
+            if pair in seen_pairs:
+                continue
+            seen_pairs.add(pair)
+            a, b = sh_cache[hub], sh_cache[m]
+            jac = len(a & b) / len(a | b)
+            if jac >= FUZZY_JACCARD:
+                uf.union(*pair)
 
     return {key: uf.find(key) for key, _ in docs}
 

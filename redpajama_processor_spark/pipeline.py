@@ -55,7 +55,7 @@ def curate(
     turns: DataFrame,
     lm: dict | None = None,
     use_native_langid: bool = False,
-    use_numpy_minhash: bool = False,
+    use_numpy_minhash: bool = True,
     run_fuzzy: bool = True,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,

@@ -1,0 +1,8 @@
+"""Structured Streaming renderings of the curation operators.
+
+The reference is batch-only (SURVEY.md §2.10) — its incremental behavior is
+filesystem checkpoint skipping. This package provides the Spark-native
+streaming equivalents for continuous ingestion deployments: file-source
+streams with watermarked windowed aggregation, streaming dedup, and the
+quality-annotate pass as a stateless streaming projection.
+"""

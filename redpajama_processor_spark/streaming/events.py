@@ -1,0 +1,85 @@
+"""Streaming operators over an event/turn stream.
+
+All operators are expressed against ``readStream`` DataFrames and run
+identically under ``trigger(availableNow=True)`` for batch-equivalent tests
+(tests/test_streaming.py) — the pattern a 100 TB continuous-ingest
+deployment would use: file-arrival-driven micro-batches, watermarks bounding
+state, checkpointLocation giving exactly-once sinks.
+
+- stream_quality_annotate: stateless projection (signals + keep/drop) — the
+  streaming rendering of the step-7 battery; no state, arbitrary scale.
+- stream_windowed_counts: tumbling-window counts per key with a watermark
+  (late data beyond the watermark is dropped, state is bounded).
+- stream_dedup_exact: watermarked dropDuplicates on content hash — the
+  streaming rendering of exact dedup (state bounded by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..functions import signals as S
+
+
+def read_turns_stream(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(path)
+    )
+
+
+def stream_quality_annotate(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    sig = S.spark_signal_cols(F.col(text_col))
+    keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    return stream.withColumn("keep", keep).withColumn("drop_rule", rule)
+
+
+def stream_windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        # group by the window STRUCT (watermark tracking binds to it; using
+        # window().start directly breaks watermark propagation), project
+        # the start after the aggregation
+        .groupBy(F.window(ts_col, window), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), key_col, "n")
+    )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withColumn("_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_hash"])
+    )
+
+
+def run_available_now(
+    stream: DataFrame, out_path: str, ckpt_path: str, mode: str = "append"
+) -> None:
+    """Drain everything currently available, then stop (batch-equivalent)."""
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt_path)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,63 @@
+"""Checkpoint/resume: kill mid-run, resume, result equals fresh run
+(north_rule: resumable from checkpoint with per-partition lineage)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.datagen import gen_turns_pandas
+from redpajama_processor_spark.operators.checkpoint import CheckpointedRun
+from redpajama_processor_spark.operators.quality import annotate_quality
+
+
+@pytest.fixture()
+def turns_df(spark):
+    return spark.createDataFrame(gen_turns_pandas(20))
+
+
+def _transform(df):
+    return annotate_quality(df, "text", include_stopword_rule=True, keep_signals=False)
+
+
+def test_resume_after_kill(spark, turns_df, tmp_path):
+    root = str(tmp_path / "run")
+    run = CheckpointedRun(spark, root, n_buckets=6)
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run.run("quality", turns_df, _transform, fail_at_bucket=2)
+    done_after_kill = run.completed("quality")
+    assert len(done_after_kill) == 2
+
+    # resume: processes ONLY the remaining buckets
+    n2 = run.run("quality", turns_df, _transform)
+    assert n2 == 4
+    assert len(run.completed("quality")) == 6
+
+    # resumed result == fresh single-shot run
+    fresh_root = str(tmp_path / "fresh")
+    fresh = CheckpointedRun(spark, fresh_root, n_buckets=6)
+    fresh.run("quality", turns_df, _transform)
+
+    a = run.result().select("conv_id", "turn_idx", "keep").toPandas()
+    b = fresh.result().select("conv_id", "turn_idx", "keep").toPandas()
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (a == b).all().all()
+    assert len(a) == turns_df.count()
+
+
+def test_rerun_is_noop(spark, turns_df, tmp_path):
+    root = str(tmp_path / "run2")
+    run = CheckpointedRun(spark, root, n_buckets=4)
+    assert run.run("s", turns_df, _transform) == 4
+    assert run.run("s", turns_df, _transform) == 0  # nothing pending
+
+
+def test_checkpoint_counters(spark, turns_df, tmp_path):
+    root = str(tmp_path / "run3")
+    run = CheckpointedRun(spark, root, n_buckets=4)
+    run.run("s", turns_df, _transform)
+    ck = spark.read.parquet(run.ckpt_path)
+    rows = ck.collect()
+    assert {r.partition_id for r in rows} == {0, 1, 2, 3}
+    assert sum(r.n_rows for r in rows) == turns_df.count()
+    assert all(r.n_kept <= r.n_rows for r in rows)

@@ -1,0 +1,116 @@
+"""Unit tests: langid, perplexity, scrub, textclean, hashing — oracle
+renderings on golden inputs + Spark/py agreement."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions import hashing as H
+from redpajama_processor_spark.functions.langid import py_langid, spark_langid_col
+from redpajama_processor_spark.functions.perplexity import (
+    py_perplexity,
+    train_bigram_lm,
+)
+from redpajama_processor_spark.functions.scrub import py_scrub
+from redpajama_processor_spark.functions.textclean import py_clean_text
+
+
+def test_langid_golden():
+    assert py_langid("the cat and the dog are in the house")[1] == "EN"
+    assert py_langid("le chat est dans la maison avec le chien")[1] == "FR"
+    assert py_langid("el perro y el gato en la casa")[1] == "ES"
+    assert py_langid("der hund und die katze sind in dem haus")[1] == "DE"
+    assert py_langid("今天天气很好")[1] == "ZH"
+    assert py_langid("zzz qqq xxx")[1] == "EN"  # ascii fallback
+    assert py_langid("")[1] == "UNKNOWN"
+    assert py_langid("12345 67890")[1] == "UNKNOWN"
+
+
+def test_langid_spark_matches_py(spark):
+    texts = [
+        "the cat and the dog", "le chat est dans la maison", "今天天气很好",
+        "zzz qqq", "", "der hund und die katze", "el perro y el gato en la casa",
+        "mixed le the und el y and der",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    rows = df.select("i", spark_langid_col(F.col("text")).alias("lang")).collect()
+    for r in rows:
+        assert r["lang"] == py_langid(texts[r["i"]])[1], texts[r["i"]]
+
+
+def test_perplexity_properties():
+    lm = train_bigram_lm(["the cat sat", "the cat ran", "a dog sat"])
+    p_seen = py_perplexity("the cat sat", lm)
+    p_unseen = py_perplexity("zxqj vwpk rrgh", lm)
+    assert p_seen < p_unseen
+    assert math.isinf(py_perplexity("", lm))
+    assert py_perplexity("the cat sat", lm) == pytest.approx(p_seen)  # deterministic
+
+
+def test_scrub_golden():
+    t, c = py_scrub("mail a@b.co or call +1 (303) 555 1234 at 10.0.0.1 you frak")
+    assert "[EMAIL]" in t and "[PHONE]" in t and "[IP]" in t and "[CENSORED]" in t
+    assert c == {"email": 1, "phone": 1, "ipv4": 1, "ipv6": 0, "profanity": 1}
+
+
+def test_scrub_idempotent():
+    s = "x a@b.co 1.2.3.4 FRAK y 2001:0db8:85a3:0000:0000:8a2e:0370:7334"
+    once, c1 = py_scrub(s)
+    twice, c2 = py_scrub(once)
+    assert once == twice
+    assert sum(c2.values()) == 0
+    assert c1["ipv6"] == 1
+
+
+def test_clean_text():
+    assert py_clean_text("donâ€™t") == "don't"
+    assert py_clean_text("a b​c") == "a bc"
+    assert py_clean_text("“quoted” – text") == '"quoted" - text'
+    # idempotent on clean input
+    s = py_clean_text("don’t — stop")
+    assert py_clean_text(s) == s
+
+
+def test_minhash_three_renderings_agree(spark, duck):
+    texts = [
+        "the quick brown fox jumps over the lazy dog repeatedly today",
+        "completely different content with other words entirely here",
+        "short",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    from redpajama_processor_spark.operators.dedup import add_minhash
+
+    native = {
+        r["i"]: list(r["_minhash"])
+        for r in add_minhash(df, "text", 8, 12).collect()
+    }
+    hybrid = {
+        r["i"]: list(r["_minhash"])
+        for r in add_minhash(df, "text", 8, 12, use_numpy=True).collect()
+    }
+    sql = H.duckdb_minhash_sql("t.text", 8, 12)
+    duck_rows = duck.execute(
+        f"SELECT i, {sql} AS s FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(i, text)"
+    ).fetchall()
+    dsql = {r[0]: list(r[1]) for r in duck_rows}
+    assert native == hybrid == dsql
+
+
+def test_minhash_similarity_monotone():
+    """Property: near-identical texts share most minhash slots."""
+    import hashlib
+
+    from redpajama_processor_spark.oracle import _minhash, _shingles
+
+    params = H.perm_params(32)
+    a = "the common prefix of this document is quite long indeed " * 4
+    b = a + "tiny tail"
+    sa, sb = _minhash(a, params), _minhash(b, params)
+    agree = sum(1 for x, y in zip(sa, sb) if x == y)
+    assert agree >= 24  # high jaccard -> most slots agree
+    sh_a, sh_b = _shingles(a), _shingles(b)
+    true_j = len(sh_a & sh_b) / len(sh_a | sh_b)
+    assert true_j > 0.8

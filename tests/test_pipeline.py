@@ -1,0 +1,152 @@
+"""End-to-end pipeline tests: oracle F1 + exact text equality (the
+BASELINE.json gate), count conservation, partition-permutation invariance,
+and the conversation-dup operator against its own oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.datagen import gen_turns_pandas, gen_turns_spark, lm_corpus
+from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+from redpajama_processor_spark.operators.convdup import conv_dup_ratio, py_conv_dup_ratios
+from redpajama_processor_spark.oracle import oracle_labels
+from redpajama_processor_spark.pipeline import curate, rule_census
+
+N_CONVS = 50
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_turns_pandas(N_CONVS)
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return train_bigram_lm(lm_corpus())
+
+
+@pytest.fixture(scope="module")
+def expected(corpus, lm):
+    return (
+        oracle_labels(corpus, lm)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def curated(spark, corpus, lm):
+    return (
+        curate(spark, spark.createDataFrame(corpus), lm)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_keep_f1(expected, curated):
+    """BASELINE.json: keep/drop F1 >= 0.99 (we require exact agreement)."""
+    y, p = expected["keep"].to_numpy(), curated["keep"].to_numpy()
+    tp = int((y & p).sum())
+    prec = tp / max(int(p.sum()), 1)
+    rec = tp / max(int(y.sum()), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    assert f1 >= 0.99, f"F1={f1}"
+    assert (y == p).all(), "expect exact keep/drop agreement, not just F1"
+
+
+def test_drop_rule_and_language_match(expected, curated):
+    assert (
+        expected["drop_rule"].fillna("~") == curated["drop_rule"].fillna("~")
+    ).all()
+    assert (expected["language"] == curated["language"]).all()
+
+
+def test_scrubbed_text_exact(expected, curated):
+    """input_hint: per-turn text equality under stable ordering."""
+    assert (expected["scrubbed_text"] == curated["scrubbed_text"]).all()
+    assert (expected["clean_text"] == curated["clean_text"]).all()
+
+
+def test_perplexity_bitwise(expected, curated):
+    a = expected["perplexity"].replace(np.inf, 1.0e300).to_numpy()
+    b = curated["perplexity"].replace(np.inf, 1.0e300).to_numpy()
+    assert (a == b).all()
+
+
+def test_count_conservation(curated, corpus):
+    """kept + dropped == input (reference warns on count drift,
+    step4_text_cleaning.py:90-91)."""
+    assert len(curated) == len(corpus)
+    cen = curated.groupby(curated["drop_rule"].fillna("__kept__")).size()
+    assert int(cen.sum()) == len(corpus)
+
+
+def test_partition_permutation_invariance(spark, corpus, lm, curated):
+    """Same labels regardless of input partitioning/order."""
+    shuffled = corpus.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out2 = (
+        curate(spark, spark.createDataFrame(shuffled).repartition(13), lm)
+        .select("conv_id", "turn_idx", "keep", "drop_rule")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (out2["keep"] == curated["keep"]).all()
+    assert (
+        out2["drop_rule"].fillna("~") == curated["drop_rule"].fillna("~")
+    ).all()
+
+
+def test_census_matches_oracle(spark, corpus, lm, expected):
+    cen = {
+        r["rule"]: r["count"]
+        for r in rule_census(curate(spark, spark.createDataFrame(corpus), lm)).collect()
+    }
+    exp = expected["drop_rule"].fillna("__kept__").value_counts().to_dict()
+    assert cen == exp
+
+
+def test_conv_dup_operator_matches_oracle(spark):
+    rows = [
+        ("c1", 0, "hello world\nsecond line"),
+        ("c1", 1, "hello world\nnew content"),
+        ("c1", 2, "hello world\nsecond line\nthird"),
+        ("c2", 0, "unique a"),
+        ("c2", 1, "unique b"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["conv_dup_ratio"]
+        for r in conv_dup_ratio(df).collect()
+    }
+    for conv in ("c1", "c2"):
+        turns = [(t, x) for c, t, x in rows if c == conv]
+        exp = py_conv_dup_ratios(turns)
+        for t, v in exp.items():
+            assert got[(conv, t)] == pytest.approx(v), (conv, t)
+
+
+def test_conv_dup_salted_variant_matches(spark):
+    rows = [("c1", i, f"line{i % 3}\nline{(i + 1) % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    plain = {
+        (r["conv_id"], r["turn_idx"]): r["conv_dup_ratio"]
+        for r in conv_dup_ratio(df).collect()
+    }
+    salted = {
+        (r["conv_id"], r["turn_idx"]): r["conv_dup_ratio"]
+        for r in conv_dup_ratio(df, salt_partitions=4).collect()
+    }
+    assert plain == salted
+
+
+def test_distributed_gen_matches_pandas(spark, corpus):
+    sdf = gen_turns_spark(spark, N_CONVS, partitions=7).toPandas()
+    a = sdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = (
+        corpus.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -1,0 +1,76 @@
+"""Unit tests: signal spec on hand-written texts (golden values), plus
+Spark-column vs pure-Python agreement on adversarial strings."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions import signals as S
+
+
+def test_py_signals_golden():
+    s = S.py_signals("the cat sat on the mat with a hat and a bat")
+    assert s["n_words"] == 12
+    assert s["n_chars"] == 43
+    assert math.isclose(s["mean_word_len"], (43 - 11) / 12)
+    assert s["alpha_ratio"] == 1.0
+    assert s["symbol_ratio"] == 0.0
+    assert s["stopword_ratio"] == pytest.approx(7 / 12)
+
+
+def test_py_signals_empty():
+    s = S.py_signals("")
+    assert s["n_words"] == 0 and s["n_chars"] == 0
+    assert s["mean_word_len"] == 0.0 and s["space_ratio"] == 0.0
+    k, r = S.py_keep_and_rule(s)
+    assert not k and r == "word_count"
+
+
+def test_py_signals_ratios():
+    s = S.py_signals("a# 12 (x)\nfoo...\nfoo\nfoo")
+    assert s["paren_ratio"] == pytest.approx(2 / 24)
+    assert s["number_ratio"] == pytest.approx(1 / 6)
+    assert s["ellipsis_ratio"] == pytest.approx(1 / 4)
+    # lines: 'a# 12 (x)', 'foo...', 'foo', 'foo' -> dup 'foo'
+    assert s["dup_line_ratio"] == pytest.approx(1 / 4)
+
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\n\n\n",
+    "word",
+    "...",
+    "…",
+    "## # ##",
+    "(((((((((( ))))))))))",
+    "1 2 3 4,5 6.7 89",
+    "a b",  # NBSP is NOT \s in the spec tokenizer? (it is not ASCII ws)
+    "tab\tsep\tvals",
+    "x " * 30,
+    "ünïcödé wörds hére",
+    "line\nline\nline\nother",
+    "ends with ellipsis...\nand more…\nplain",
+]
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ADVERSARIAL)], "i int, text string")
+    sig = S.spark_signal_cols(F.col("text"))
+    out = df.select("i", *[c.alias(k) for k, c in sig.items()]).orderBy("i").collect()
+    for row in out:
+        py = S.py_signals(ADVERSARIAL[row["i"]])
+        for k in S.SIGNAL_COLS:
+            assert row[k] == pytest.approx(py[k], abs=0), (
+                f"text={ADVERSARIAL[row['i']]!r} col={k}: spark={row[k]} py={py[k]}"
+            )
+
+
+def test_threshold_order_matches_reference():
+    # reference filter order at step7_quality_filtering.py:29-94
+    assert [t[0] for t in S.THRESHOLDS] == [
+        "word_count", "char_count", "mean_word_length", "alpha_ratio",
+        "symbol_ratio", "number_ratio", "space_ratio", "paren_ratio",
+        "ellipsis_ratio", "dup_line_ratio",
+    ]

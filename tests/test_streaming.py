@@ -1,0 +1,79 @@
+"""Streaming operators under trigger(availableNow): batch-equivalence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.datagen import TURNS_SCHEMA, gen_turns_pandas
+from redpajama_processor_spark.streaming.events import (
+    read_turns_stream,
+    run_available_now,
+    stream_dedup_exact,
+    stream_quality_annotate,
+    stream_windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def turns_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("turns") / "parquet")
+    df = spark.createDataFrame(gen_turns_pandas(20)).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.parquet(p)
+    return p
+
+
+def test_stream_quality_annotate(spark, turns_path, tmp_path):
+    stream = read_turns_stream(spark, turns_path, TURNS_SCHEMA)
+    out = stream_quality_annotate(stream)
+    out_path, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(out, out_path, ck)
+    got = spark.read.parquet(out_path)
+    batch = spark.read.parquet(turns_path)
+    assert got.count() == batch.count()
+    # streaming result == batch result
+    from redpajama_processor_spark.operators.quality import annotate_quality
+
+    b = annotate_quality(batch, keep_signals=False, include_stopword_rule=True)
+    assert (
+        got.filter("keep").count() == b.filter("keep").count()
+    )
+
+
+def test_stream_windowed_counts(spark, turns_path, tmp_path):
+    stream = read_turns_stream(spark, turns_path, TURNS_SCHEMA)
+    out = stream_windowed_counts(stream, ts_col="ts", key_col="role", window="1 hour")
+    # append-mode file sinks only emit windows the watermark has closed; for
+    # batch-equivalence drain to a complete-mode memory sink instead
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from win_counts")
+    batch = spark.read.parquet(turns_path)
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour").start.alias("win_start"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r.win_start, r.role): r.n for r in got.collect()}
+    e = {(r.win_start, r.role): r.n for r in exp.collect()}
+    assert g == e
+
+
+def test_stream_dedup_exact(spark, turns_path, tmp_path):
+    stream = read_turns_stream(spark, turns_path, TURNS_SCHEMA)
+    out = stream_dedup_exact(stream, text_col="text", ts_col="ts")
+    out_path, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(out, out_path, ck)
+    got = spark.read.parquet(out_path)
+    batch = spark.read.parquet(turns_path)
+    n_distinct = batch.select(F.md5("text")).distinct().count()
+    # availableNow drains in micro-batches; state dedups within the run
+    assert got.count() == n_distinct
