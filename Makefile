@@ -1,0 +1,21 @@
+.PHONY: test test-fast bench package scaling clean
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/ -x -q -k "not contract and not pipeline"
+
+bench:
+	python bench.py
+
+package:
+	mkdir -p dist
+	cd . && zip -qr dist/redpajama_processor_spark.zip redpajama_processor_spark -x "*.pyc" -x "*__pycache__*"
+	@echo "dist/redpajama_processor_spark.zip ready for spark-submit --py-files"
+
+scaling:
+	python BENCH/run_scaling.py
+
+clean:
+	rm -rf dist .pytest_cache $(find . -name __pycache__)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the transcript-curation pipeline.
+
+Cluster usage (north_rule packaging):
+
+    make package                      # build dist/redpajama_processor_spark.zip
+    spark-submit \
+      --py-files dist/redpajama_processor_spark.zip \
+      --files lm.json                 # broadcast n-gram table (or fastText .bin)
+      jobs/curate_job.py \
+      --input  s3://bucket/turns/     # or an Iceberg table ref
+      --output s3://bucket/curated/ \
+      --checkpoint-root s3://bucket/ckpt/ \
+      --buckets 4096
+
+Local smoke:
+
+    python jobs/curate_job.py --synthetic-convs 500 --output /tmp/curated
+
+The job is resumable: each conv_id-bucket commits data THEN its checkpoint
+row; re-running after a kill processes only pending buckets
+(operators/checkpoint.py). Per-rule kept/dropped counters land next to the
+output as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="parquet dir of turns")
+    ap.add_argument("--synthetic-convs", type=int, default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-root", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--lm", default=None, help="bigram LM json (broadcast)")
+    ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from redpajama_processor_spark.datagen import gen_turns_spark, lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.operators.checkpoint import CheckpointedRun
+    from redpajama_processor_spark.pipeline import curate, rule_census
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="curate", cores=args.cores)
+    t0 = time.time()
+
+    if args.input:
+        turns = spark.read.parquet(args.input)
+    elif args.synthetic_convs:
+        turns = gen_turns_spark(spark, args.synthetic_convs)
+    else:
+        ap.error("need --input or --synthetic-convs")
+
+    lm = (
+        json.load(open(args.lm))
+        if args.lm
+        else train_bigram_lm(lm_corpus())
+    )
+
+    if args.checkpoint_root:
+        run = CheckpointedRun(spark, args.checkpoint_root, n_buckets=args.buckets)
+        run.run(
+            "curate",
+            turns,
+            lambda part: curate(spark, part, lm, run_fuzzy=not args.no_fuzzy),
+        )
+        out = run.result()
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out = curate(spark, turns, lm, run_fuzzy=not args.no_fuzzy)
+        out.write.mode("overwrite").parquet(args.output)
+
+    result = spark.read.parquet(args.output)
+    census = {
+        r["rule"]: r["count"] for r in rule_census(result).collect()
+    }
+    n = result.count()
+    dt = time.time() - t0
+    meta = {
+        "rows": n,
+        "kept": census.get("__kept__", 0),
+        "census": census,
+        "wall_sec": round(dt, 2),
+        "turns_per_sec": round(n / dt, 1),
+    }
+    with open(os.path.join("/tmp", "curate_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

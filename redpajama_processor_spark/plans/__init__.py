@@ -1,0 +1,3 @@
+"""Plan auditing utilities (explain-driven performance checks)."""
+
+from .audit import audit_plan, assert_broadcast, assert_pushed_filters  # noqa: F401

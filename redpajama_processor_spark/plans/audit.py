@@ -1,0 +1,64 @@
+"""Explain-plan audits: machine-checkable assertions about physical plans.
+
+"Is the filter pushed to the scan? Did the small dim broadcast? How many
+shuffles?" — these are testable properties, not eyeball checks. Used by
+tests/test_plans.py so plan regressions (a lost pushdown, a broadcast that
+degraded to sort-merge) fail CI instead of surfacing as a 10x slowdown at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit_plan(df: DataFrame) -> dict:
+    """Summary counters over the physical plan."""
+    try:
+        plan = _formatted(df)
+    except Exception:
+        plan = df._jdf.queryExecution().explainString("formatted")
+    return {
+        "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "n_broadcast": len(re.findall(r"BroadcastHashJoin", plan)),
+        "n_sortmerge": len(re.findall(r"SortMergeJoin", plan)),
+        "n_codegen": len(re.findall(r"WholeStageCodegen", plan)),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "read_schemas": re.findall(r"ReadSchema: ([^\n]*)", plan),
+        "plan": plan,
+    }
+
+
+def assert_broadcast(df: DataFrame, at_least: int = 1) -> dict:
+    a = audit_plan(df)
+    assert a["n_broadcast"] >= at_least, (
+        f"expected >= {at_least} broadcast joins, plan has {a['n_broadcast']} "
+        f"(sort-merge: {a['n_sortmerge']})"
+    )
+    return a
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str) -> dict:
+    a = audit_plan(df)
+    assert any(fragment in p for p in a["pushed_filters"]), (
+        f"no pushed filter containing {fragment!r}; pushed: {a['pushed_filters']}"
+    )
+    return a
+
+
+def assert_pruned_schema(df: DataFrame, max_cols: int, table_hint: str = "") -> dict:
+    """Check column pruning reached the scan: ReadSchema width bounded."""
+    a = audit_plan(df)
+    widths = [s.count(":") for s in a["read_schemas"]]
+    assert widths and min(widths) <= max_cols, (
+        f"scan reads too many columns: {a['read_schemas']}"
+    )
+    return a

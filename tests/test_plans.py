@@ -1,0 +1,55 @@
+"""Physical-plan audits: pushdown, pruning, broadcast — regressions here are
+10x slowdowns at 100 TB, so they fail as tests, not as eyeballs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from redpajama_processor_spark.plans.audit import (
+    assert_broadcast,
+    audit_plan,
+)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    a = audit_plan(df)
+    assert any("l_quantity" in p for p in a["pushed_filters"]), a["pushed_filters"]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    a = audit_plan(df)
+    assert a["read_schemas"] and all(
+        "l_extendedprice" not in s for s in a["read_schemas"]
+    ), a["read_schemas"]
+
+
+def test_revenue_query_broadcasts_dim(spark, sf_dir):
+    df = entry.q_revenue_per_nation(spark, sf_dir)
+    assert_broadcast(df, at_least=1)
+
+
+def test_ann_plan_has_no_corpus_shuffle(spark, sf_dir):
+    df = entry.q_ann_topk(spark, sf_dir)
+    a = audit_plan(df)
+    # broadcast of queries -> corpus side should not hash-exchange before the
+    # join; the only exchange allowed is the final per-query window/top-k
+    assert a["n_broadcast"] >= 1 or "BroadcastNestedLoopJoin" in a["plan"]
+
+
+def test_signal_pass_is_narrow(spark, sf_dir):
+    df = entry.q_doc_signals(spark, sf_dir)
+    a = audit_plan(df)
+    assert a["n_exchanges"] == 0, f"signal pass should not shuffle: {a['n_exchanges']}"
+
+
+def test_quality_filter_stays_codegen(spark, sf_dir):
+    df = entry.q_doc_quality_filter(spark, sf_dir)
+    a = audit_plan(df)
+    assert a["n_codegen"] >= 1
+    assert a["n_exchanges"] == 0

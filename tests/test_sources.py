@@ -1,0 +1,113 @@
+"""Sources/sinks: JSONL round-trips, malformed lines, lineage, per-metadata
+split, reshard, ids, Iceberg-facade catalog."""
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.ids import add_order_id, add_sequential_id
+from redpajama_processor_spark.operators.reshard import write_balanced
+from redpajama_processor_spark.sources.jsonl import (
+    read_jsonl,
+    sample_sink,
+    separate_by_metadata,
+    write_jsonl,
+)
+from redpajama_processor_spark.sources.tables import Catalog
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [{"id": i, "text": f"doc {i}", "lang": ["en", "fr"][i % 2]} for i in range(20)]
+    with open(d / "a.jsonl", "w") as f:
+        for r in rows[:10]:
+            f.write(json.dumps(r) + "\n")
+    with gzip.open(d / "b.jsonl.gz", "wt") as f:
+        for r in rows[10:]:
+            f.write(json.dumps(r) + "\n")
+        f.write("NOT JSON AT ALL{{{\n")
+    return str(d)
+
+
+def test_read_jsonl_gzip_lineage_malformed(spark, jsonl_dir):
+    df = read_jsonl(
+        spark, jsonl_dir, schema="id long, text string, lang string",
+        add_filename=True, drop_malformed=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 20  # malformed line dropped, gzip transparent
+    assert all(r.file_name for r in rows)
+    assert any(r.file_name.endswith(".gz") for r in rows)
+
+
+def test_read_jsonl_keeps_corrupt_record(spark, jsonl_dir):
+    df = read_jsonl(
+        spark, jsonl_dir, schema="id long, text string, lang string",
+        drop_malformed=False,
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+    assert bad == 1
+
+
+def test_separate_by_metadata(spark, jsonl_dir, tmp_path):
+    df = read_jsonl(
+        spark, jsonl_dir, schema="id long, text string, lang string",
+        add_filename=False, drop_malformed=True,
+    )
+    counts = separate_by_metadata(df, str(tmp_path / "by_lang"), "lang")
+    assert counts == {"en": 10, "fr": 10}
+    assert os.path.isdir(str(tmp_path / "by_lang" / "lang=en"))
+
+
+def test_write_balanced_bounds_file_rows(spark, tmp_path):
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    write_balanced(df.repartition(2), str(tmp_path / "o"), target_rows_per_file=100)
+    files = [f for f in os.listdir(tmp_path / "o") if f.endswith(".parquet")]
+    assert len(files) >= 10  # 1000 rows / <=100 per file
+
+
+def test_sample_sink(spark, tmp_path):
+    df = spark.range(500).withColumn("t", F.lit("x"))
+    sample_sink(df, str(tmp_path / "s"), k=10)
+    out = spark.read.json(str(tmp_path / "s"))
+    assert 0 < out.count() <= 10
+
+
+def test_sequential_ids_unique_and_formatted(spark):
+    df = spark.range(100).repartition(4)
+    out = add_sequential_id(df, prefix="rp").collect()
+    ids = [r.id for r in out]
+    assert len(set(ids)) == 100
+    assert all(i.startswith("rp-") and len(i) == 13 for i in ids)
+
+
+def test_order_ids_dense(spark):
+    df = spark.range(50).withColumn("k", F.col("id") % 7)
+    out = add_order_id(df, ["id"], prefix="d").collect()
+    nums = sorted(int(r.id.split("-")[1]) for r in out)
+    assert nums == list(range(50))
+
+
+def test_catalog_roundtrip_and_bucket_read(spark, tmp_path):
+    from redpajama_processor_spark.datagen import gen_turns_pandas
+
+    cat = Catalog(spark, str(tmp_path / "cat"), n_buckets=8)
+    turns = spark.createDataFrame(gen_turns_pandas(10))
+    cat.write_turns(turns)
+    back = cat.read()
+    assert back.count() == turns.count()
+    # single-bucket read: conversations never split across buckets
+    b0 = cat.read_bucket("turns", 0)
+    convs0 = {r.conv_id for r in b0.select("conv_id").distinct().collect()}
+    total = sum(
+        cat.read_bucket("turns", b).count() for b in range(8)
+    )
+    assert total == turns.count()
+    for b in range(1, 8):
+        cb = {r.conv_id for r in cat.read_bucket("turns", b).select("conv_id").distinct().collect()}
+        assert not (convs0 & cb)
