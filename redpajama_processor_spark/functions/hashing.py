@@ -87,6 +87,83 @@ def base_hash_col(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, HASH_BITS // 4), 16, 10).cast("long")
 
 
+MASK30 = (1 << HASH_BITS) - 1
+
+
+def xxhash_base_col(s: Column) -> Column:
+    """Low HASH_BITS of xxhash64(seed=42) — the FAST base hash for the
+    pipeline's minhash (md5 is ~5x slower JVM-side). Not DuckDB-expressible;
+    the python oracle mirrors it via py_xxh64 (validated bit-for-bit against
+    Spark in tests)."""
+    return F.xxhash64(s).bitwiseAND(F.lit(MASK30))
+
+
+# --- pure-python xxHash64 (public algorithm; XXH64 reference spec) --------
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xround(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XP2) & _M64
+    return (_rotl(acc, 31) * _XP1) & _M64
+
+
+def _xmerge(acc: int, val: int) -> int:
+    acc ^= _xround(0, val)
+    return (acc * _XP1 + _XP4) & _M64
+
+
+def py_xxh64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 (unsigned); equals Spark's xxhash64(col) & (2^64-1)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = _xround(v1, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v2 = _xround(v2, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v3 = _xround(v3, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v4 = _xround(v4, int.from_bytes(data[i : i + 8], "little")); i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _xmerge(h, v1); h = _xmerge(h, v2); h = _xmerge(h, v3); h = _xmerge(h, v4)
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xround(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_rotl(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def py_xxhash_base(s: str, seed: int = 42) -> int:
+    return py_xxh64(s.encode("utf-8"), seed) & MASK30
+
+
 def minhash_from_hashes_col(
     hashes: Column, num_perm: int, seed: int = SEED
 ) -> Column:
@@ -182,18 +259,42 @@ def minhash_affine_udf(num_perm: int, seed: int = SEED):
     params = np.array(perm_params(num_perm, seed), dtype=np.uint64)
     A, B = params[:, 0], params[:, 1]
     P = np.uint64(MERSENNE_P)
-    FULL = np.full(num_perm, MERSENNE_P, dtype=np.uint64)
+    FULL = np.full(num_perm, MERSENNE_P, dtype=np.int64)
+    # Bound the (chunk x K) temporaries to ~10 MB: every python worker (one
+    # per core) holds ~3 such temps at once — large chunks look "more
+    # vectorized" but evict the page cache at 32 workers and run 7x slower.
+    CHUNK_SHINGLES = 20_000
 
     @F.pandas_udf(ArrayType(LongType()))
     def _mins(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            h = np.asarray(h, dtype=np.uint64)
-            if h.size == 0:
-                out.append(FULL.astype(np.int64))
-                continue
-            m = (h[:, None] * A[None, :] + B[None, :]) % P
-            out.append(m.min(axis=0).astype(np.int64))
+        # Vectorize ACROSS rows: concatenate every row's hash array, apply
+        # all K affine maps to the flat vector, then per-row segment minima
+        # via np.minimum.reduceat — no per-row python math.
+        vals = hashes.values
+        lens = np.fromiter((len(h) for h in vals), dtype=np.int64, count=len(vals))
+        out: list[np.ndarray] = [None] * len(vals)  # type: ignore[list-item]
+        i = 0
+        while i < len(vals):
+            j = i
+            total = 0
+            while j < len(vals) and (total == 0 or total + lens[j] <= CHUNK_SHINGLES):
+                total += lens[j]
+                j += 1
+            idx = [k for k in range(i, j) if lens[k] > 0]
+            if idx:
+                flat = np.concatenate(
+                    [np.asarray(vals[k], dtype=np.uint64) for k in idx]
+                )
+                m = (flat[:, None] * A[None, :] + B[None, :]) % P
+                starts = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=starts[1:])
+                mins = np.minimum.reduceat(m, starts, axis=0).astype(np.int64)
+                for pos, k in enumerate(idx):
+                    out[k] = mins[pos]
+            for k in range(i, j):
+                if lens[k] == 0:
+                    out[k] = FULL
+            i = j
         return pd.Series(out)
 
     return _mins

@@ -29,8 +29,19 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_TIMING = os.environ.get("RP_TIMING", "") == "1"
+
+
+def _tick(label, t0):
+    if _TIMING:
+        print(f"[dedup-timing] {label}: {time.time() - t0:.1f}s", flush=True)
+    return time.time()
 
 from ..functions import hashing as H
 
@@ -84,17 +95,22 @@ def add_minhash(
     num_perm: int = H.DEFAULT_NUM_PERM,
     ngram: int = H.DEFAULT_NGRAM,
     use_numpy: bool = False,
+    base: str = "md5",
 ) -> DataFrame:
     """Append ``_minhash`` array<long>.
 
-    use_numpy=False -> pure-JVM md5 minhash (oracle-checkable);
-    use_numpy=True  -> Arrow pandas UDF (scale path, same values).
+    use_numpy=False -> pure-JVM affine minima (oracle-checkable);
+    use_numpy=True  -> JVM base hashes + numpy affine (scale path).
+    base='md5'      -> DuckDB-portable base hash (entry-query oracles);
+    base='xxhash'   -> native xxhash64 low-30-bit base hash, ~5x faster
+                       (pipeline default; python oracle mirrors py_xxh64).
     """
-    # materialize the base-hash array ONCE (JVM md5 pass): inlining it into
-    # each of the K per-permutation projections would re-md5 every shingle
+    base_fn = H.base_hash_col if base == "md5" else H.xxhash_base_col
+    # materialize the base-hash array ONCE: inlining it into
+    # each of the K per-permutation projections would re-hash every shingle
     # K times (no CSE across lambda bodies)
     tmp = df.withColumn(
-        "_bh", F.transform(H.shingles_col(F.col(text_col), ngram), H.base_hash_col)
+        "_bh", F.transform(H.shingles_col(F.col(text_col), ngram), base_fn)
     )
     if use_numpy:
         # hybrid: JVM base hashes -> numpy (n_shingles x K) affine-min
@@ -110,6 +126,7 @@ def lsh_buckets(
     num_perm: int,
     bands: int,
     id_col: str = "doc_id",
+    key_hash: str = "md5",
 ) -> DataFrame:
     """Explode the signature into (band_id, band_key) rows.
 
@@ -120,20 +137,22 @@ def lsh_buckets(
     """
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    def _key(b: int):
+        cat = F.concat_ws(
+            ":",
+            *[
+                F.col("_minhash")[b * rows_per_band + r]
+                for r in range(rows_per_band)
+            ],
+        )
+        # md5 string keys are DuckDB-portable (entry oracles); xxhash64 longs
+        # shuffle 4x fewer key bytes (pipeline scale path)
+        return F.md5(cat) if key_hash == "md5" else F.xxhash64(cat).cast("string")
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col("_minhash")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band_id"), _key(b).alias("band_key"))
             for b in range(bands)
         ]
     )
@@ -293,6 +312,8 @@ def connected_components(
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
+        if _TIMING:
+            print(f"[dedup-timing] cc round changed={changed}", flush=True)
         if changed == 0:
             break
     return labels
@@ -307,15 +328,22 @@ def fuzzy_dedup(
     ngram: int = H.DEFAULT_NGRAM,
     jaccard_threshold: float = 0.8,
     use_numpy: bool = False,
-    verify: bool = True,
+    verify: bool = False,
+    base: str = "md5",
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline -> df + (component, is_fuzzy_dup).
 
     Survivor per near-dup component = min id (deterministic; matches the
     keep-first cumcount semantics at step6_fuzzy_deduplication.py:219-228).
+    verify defaults to False — the reference's BucketsToEdges emits candidate
+    pairs straight into connected components without a Jaccard check
+    (step6_fuzzy_deduplication.py:164-198), and without verification the
+    star edges produce exactly the bucket-clique components.
     """
-    sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy)
-    buckets = lsh_buckets(sigs, num_perm, bands, id_col)
+    sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy, base)
+    buckets = lsh_buckets(
+        sigs, num_perm, bands, id_col, key_hash="md5" if base == "md5" else "xxhash"
+    )
     pairs = buckets_to_edges(buckets, id_col)
     if verify:
         pairs = verify_pairs_jaccard(
@@ -324,8 +352,11 @@ def fuzzy_dedup(
     # cut lineage before the iterative CC loop (it re-references pairs every
     # round; without this the whole minhash+LSH+verify DAG re-executes per
     # iteration)
+    t0 = time.time()
     pairs = pairs.localCheckpoint(eager=True)
+    t0 = _tick("minhash+lsh+edges+verify (pairs ckpt)", t0)
     comp = connected_components(pairs)
+    t0 = _tick("connected components", t0)
     out = df.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(

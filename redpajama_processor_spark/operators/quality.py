@@ -34,12 +34,11 @@ def annotate_quality(
     keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule)
     out = df
     if keep_signals:
-        for name, col in sig.items():
-            out = out.withColumn(name, col)
+        out = out.withColumns(dict(sig))
         # reuse the materialized columns for keep/rule so codegen shares them
         sig2 = {k: F.col(k) for k in sig}
         keep, rule = S.spark_keep_and_rule(sig2, include_stopword_rule)
-    out = out.withColumn("keep", keep).withColumn("drop_rule", rule)
+    out = out.withColumns({"keep": keep, "drop_rule": rule})
     return out
 
 

@@ -69,11 +69,20 @@ def _shingles(text: str, n: int = DEFAULT_NGRAM) -> set[str]:
     return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
-def _minhash(text: str, params: list[tuple[int, int]]) -> list[int]:
-    hs = [
-        int(hashlib.md5(s.encode()).hexdigest()[: HASH_BITS // 4], 16)
-        for s in _shingles(text)
-    ]
+def _minhash(
+    text: str, params: list[tuple[int, int]], base: str = "xxhash"
+) -> list[int]:
+    """Mirror of operators/dedup.add_minhash: base='xxhash' (pipeline) uses
+    the low 30 bits of xxhash64(seed=42); base='md5' the md5-hex slice."""
+    if base == "xxhash":
+        from .functions.hashing import py_xxhash_base
+
+        hs = [py_xxhash_base(s) for s in _shingles(text)]
+    else:
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[: HASH_BITS // 4], 16)
+            for s in _shingles(text)
+        ]
     return [min((a * h + b) % MERSENNE_P for h in hs) for a, b in params]
 
 
@@ -101,36 +110,32 @@ def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
 
     Same LSH banding + jaccard-verified edges as operators/dedup.py.
     """
+    from .functions.hashing import py_xxh64
+
     params = perm_params(FUZZY_NUM_PERM)
     rows_per_band = FUZZY_NUM_PERM // FUZZY_BANDS
     buckets: dict[tuple[int, str], list[str]] = {}
-    sh_cache: dict[str, set[str]] = {}
     for key, text in docs:
         sig = _minhash(text, params)
-        sh_cache[key] = _shingles(text)
         for b in range(FUZZY_BANDS):
             sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            bk = hashlib.md5(":".join(map(str, sl)).encode()).hexdigest()
+            # mirror lsh_buckets(key_hash='xxhash'): signed xxhash64 of the
+            # ':'-joined slice (Spark's cast-to-string of the signed long)
+            u = py_xxh64(":".join(map(str, sl)).encode())
+            bk = str(u - (1 << 64) if u >= (1 << 63) else u)
             buckets.setdefault((b, bk), []).append(key)
 
-    # STAR edges per bucket (hub = min member), matching
-    # operators/dedup.buckets_to_edges — linear in bucket width
+    # Bucket-clique union (reference semantics: BucketsToEdges -> CC with no
+    # Jaccard verification, step6_fuzzy_deduplication.py:164-198); with no
+    # verification step the star union below equals the full clique union.
     uf = _UnionFind()
-    seen_pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:
             continue
         members = sorted(set(members))
         hub = members[0]
         for m in members[1:]:
-            pair = (hub, m)
-            if pair in seen_pairs:
-                continue
-            seen_pairs.add(pair)
-            a, b = sh_cache[hub], sh_cache[m]
-            jac = len(a & b) / len(a | b)
-            if jac >= FUZZY_JACCARD:
-                uf.union(*pair)
+            uf.union(hub, m)
 
     return {key: uf.find(key) for key, _ in docs}
 

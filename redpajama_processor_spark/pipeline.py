@@ -30,8 +30,19 @@ orders of magnitude smaller than the corpus after aggregation).
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_TIMING = os.environ.get("RP_TIMING", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    if _TIMING:
+        print(f"[curate-timing] {label}: {time.time() - t0:.1f}s", flush=True)
+    return time.time()
 
 from .functions import signals as S
 from .functions.langid import langid_udf, spark_langid_col
@@ -80,7 +91,9 @@ def curate(
     # fuzzy dedup, conv_dup, final join-backs) branches from this lineage, and
     # without a cut Spark would re-run the langid UDF per branch. On a cluster
     # this would be a persisted intermediate (or Iceberg stage table).
+    t0 = time.time()
     df = df.localCheckpoint(eager=True)
+    t0 = _tick("base (langid+clean ckpt)", t0)
 
     # --- exact dedup among langid survivors ------------------------------
     en = df.filter(F.col("language") == "EN").select(
@@ -105,6 +118,8 @@ def curate(
             bands=FUZZY_BANDS,
             jaccard_threshold=FUZZY_JACCARD,
             use_numpy=use_numpy_minhash,
+            verify=False,
+            base="xxhash",
         ).select(
             F.col("doc_id").alias("_key"),
             F.col("is_fuzzy_dup"),
@@ -113,19 +128,22 @@ def curate(
         df = df.join(fz, "_key", "left").withColumn(
             "is_fuzzy_dup", F.coalesce("is_fuzzy_dup", F.lit(False))
         )
+        t0 = _tick("fuzzy dedup (eager parts)", t0)
     else:
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
 
     # --- heuristic signals (native columns; zero shuffle) -----------------
+    # one withColumns call = ONE analyzer pass over the wide plan; a chain of
+    # 13 withColumn calls costs 13 re-analyses of a 40-column tree (driver
+    # serial time that Amdahl charges against every added core)
     sig = S.spark_signal_cols(F.col("clean_text"))
-    for name, col in sig.items():
-        df = df.withColumn(name, col)
     heur_keep, heur_rule = S.spark_keep_and_rule(
-        {k: F.col(k) for k in sig}, include_stopword_rule=True
+        {k: F.col(k) for k in S.SIGNAL_COLS}, include_stopword_rule=True
     )
-    df = df.withColumn("_heur_keep", heur_keep).withColumn("_heur_rule", heur_rule)
+    df = df.withColumns(dict(sig))
+    df = df.withColumns({"_heur_keep": heur_keep, "_heur_rule": heur_rule})
 
     # --- conversation-level repeated lines (skew-safe groupBy) ------------
     cdr = conv_dup_ratio(
@@ -136,12 +154,16 @@ def curate(
     )
 
     # --- perplexity + scrub (Arrow UDFs, narrow) ---------------------------
-    df = df.withColumn("perplexity", perplexity_udf(lm_b)(F.col("clean_text")))
-    scr = scrub_udf()(F.col("clean_text"))
-    df = df.withColumn("_scr", scr)
-    df = df.withColumn("scrubbed_text", F.col("_scr.scrubbed_text"))
-    for name, _, _ in SCRUB_RULES:
-        df = df.withColumn(f"n_{name}", F.col(f"_scr.n_{name}"))
+    df = df.withColumns(
+        {
+            "perplexity": perplexity_udf(lm_b)(F.col("clean_text")),
+            "_scr": scrub_udf()(F.col("clean_text")),
+        }
+    )
+    df = df.withColumns(
+        {"scrubbed_text": F.col("_scr.scrubbed_text")}
+        | {f"n_{name}": F.col(f"_scr.n_{name}") for name, _, _ in SCRUB_RULES}
+    )
     df = df.drop("_scr")
 
     # --- final keep / drop_rule precedence ---------------------------------

@@ -38,7 +38,12 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cores) * 4, 8)
+        # Local mode: 1x cores measured fastest for this workload (many
+        # medium stages; 4x cores was 2x slower end-to-end — task-scheduling
+        # and python-worker startup overhead dominate extra parallelism).
+        # On a real cluster size by data (~128MB post-shuffle per partition)
+        # and let AQE coalesce down.
+        shuffle_partitions = max(int(cores), 8)
 
     b = (
         SparkSession.builder.master(f"local[{cores}]")

@@ -114,3 +114,31 @@ def test_minhash_similarity_monotone():
     sh_a, sh_b = _shingles(a), _shingles(b)
     true_j = len(sh_a & sh_b) / len(sh_a | sh_b)
     assert true_j > 0.8
+
+
+def test_py_xxh64_matches_spark(spark):
+    """The pipeline's minhash base hash: pure-python xxh64 == Spark xxhash64
+    bit-for-bit (this is what makes the oracle mirror the xxhash scale path)."""
+    import random
+    import string
+
+    from redpajama_processor_spark.functions.hashing import MASK30, py_xxh64
+
+    random.seed(7)
+    texts = ["", "a", "x" * 7, "y" * 8, "z" * 31, "w" * 32, "é…中文 mixed"] + [
+        "".join(random.choices(string.printable, k=random.randint(0, 80)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        "i",
+        F.xxhash64("t").alias("h"),
+        F.xxhash64("t").bitwiseAND(F.lit(MASK30)).alias("h30"),
+    ).collect()
+    M = (1 << 64) - 1
+    for r in rows:
+        u = py_xxh64(texts[r["i"]].encode("utf-8"), 42)
+        assert u == (r["h"] & M), texts[r["i"]]
+        assert (u & MASK30) == r["h30"]
