@@ -30,7 +30,11 @@ def audit_plan(df: DataFrame) -> dict:
         "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
         "n_broadcast": len(re.findall(r"BroadcastHashJoin", plan)),
         "n_sortmerge": len(re.findall(r"SortMergeJoin", plan)),
-        "n_codegen": len(re.findall(r"WholeStageCodegen", plan)),
+        # 'formatted' mode marks codegen membership as "[codegen id : N]";
+        # tree mode as "WholeStageCodegen" — count either
+        "n_codegen": len(
+            set(re.findall(r"codegen id : (\d+)", plan))
+        ) or len(re.findall(r"WholeStageCodegen", plan)),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         "read_schemas": re.findall(r"ReadSchema: ([^\n]*)", plan),
         "plan": plan,

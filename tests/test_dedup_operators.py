@@ -1,0 +1,145 @@
+"""Focused dedup-operator tests: star edges vs brute-force components,
+CC vs union-find, simhash banding, embedding near-dup, census."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions import hashing as H
+from redpajama_processor_spark.operators import dedup as D
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while the rain falls on the quiet town every single evening"
+    rows = [
+        (1, base),
+        (2, base + " tail"),          # near-dup of 1
+        (3, base + " tailxx"),        # near-dup of 1/2
+        (4, "completely different content about spark query planning and shuffle exchange behavior at large scale"),
+        (5, "completely different content about spark query planning and shuffle exchange behavior at large scalex"),
+        (6, "an entirely unrelated third document mentioning databases indexes transactions and log structured trees"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_components(rows, num_perm=32, bands=8, ngram=24):
+    """Independent reconstruction: bucket-clique union over md5 minhash."""
+    from redpajama_processor_spark.functions.hashing import perm_params
+    import hashlib
+
+    params = perm_params(num_perm)
+
+    def sig(text):
+        if len(text) <= ngram:
+            sh = {text}
+        else:
+            sh = {text[i:i + ngram] for i in range(len(text) - ngram + 1)}
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[: H.HASH_BITS // 4], 16)
+            for s in sh
+        ]
+        return [min((a * h + b) % H.MERSENNE_P for h in hs) for a, b in params]
+
+    rpb = num_perm // bands
+    buckets = {}
+    for i, t in rows:
+        s = sig(t)
+        for b in range(bands):
+            key = (b, tuple(s[b * rpb:(b + 1) * rpb]))
+            buckets.setdefault(key, []).append(i)
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i, _ in rows}
+
+
+def test_star_edges_equal_allpairs_components(spark):
+    """Connectivity equivalence: star edges + CC == bucket-clique CC."""
+    docs = _docs(spark)
+    sigs = D.add_minhash(docs, "text", 32, 24)
+    buckets = D.lsh_buckets(sigs, 32, 8, "doc_id")
+    star = D.buckets_to_edges(buckets, "doc_id")
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(star).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    exp = _brute_components(rows)
+    # compare only nodes that appear in any bucket edge (singletons absent)
+    for node, c in comp.items():
+        assert exp[node] == c, (node, c, exp[node])
+    # near-dup family 1-2-3 merged; 4-5 merged; 6 alone
+    assert exp[2] == 1 and exp[3] == 1
+    assert exp[5] == 4
+    assert exp[6] == 6
+
+
+def test_allpairs_variant_superset_of_star(spark):
+    docs = _docs(spark)
+    sigs = D.add_minhash(docs, "text", 32, 8 * 4)
+    b = D.lsh_buckets(sigs, 32, 8, "doc_id")
+    star = {(r.src, r.dst) for r in D.buckets_to_edges(b, "doc_id").collect()}
+    allp = {(r.src, r.dst) for r in D.buckets_to_edges_allpairs(b, "doc_id").collect()}
+    assert star <= allp
+
+
+def test_verify_pairs_jaccard_filters_false_candidates(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 6)], "src long, dst long"
+    )
+    got = D.verify_pairs_jaccard(pairs, docs, "text", "doc_id", 24, 0.5).collect()
+    kept = {(r.src, r.dst) for r in got}
+    assert (1, 2) in kept and (1, 6) not in kept
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.is_dup for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert rows == {1: False, 3: True, 2: False}
+
+
+def test_simhash_dedup_finds_token_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.src, r.dst) for r in D.simhash_dedup(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_neardup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = [rng.standard_normal(64).astype("float32") for _ in range(6)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((100, [float(x) * 1.1 for x in vecs[0]]))  # colinear with 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(df, threshold=0.99).collect()
+    assert {(r.src, r.dst) for r in pairs} == {(0, 100)}
+
+
+def test_remove_duplicates_anti_join(spark):
+    df = spark.createDataFrame([(i, "t") for i in range(10)], "doc_id long, text string")
+    rm = spark.createDataFrame([(2,), (5,), (7,)], "doc_id long")
+    out = D.remove_duplicates(df, rm, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {0, 1, 3, 4, 6, 8, 9}

@@ -50,8 +50,14 @@ def test_read_jsonl_keeps_corrupt_record(spark, jsonl_dir):
         spark, jsonl_dir, schema="id long, text string, lang string",
         drop_malformed=False,
     )
-    bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
-    assert bad == 1
+    # Spark disallows queries touching ONLY the internal corrupt-record
+    # column on a raw scan; cache first (the documented pattern)
+    df = df.cache()
+    try:
+        bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+        assert bad == 1
+    finally:
+        df.unpersist()
 
 
 def test_separate_by_metadata(spark, jsonl_dir, tmp_path):
