@@ -73,7 +73,11 @@ def _minhash(
     text: str, params: list[tuple[int, int]], base: str = "xxhash"
 ) -> list[int]:
     """Mirror of operators/dedup.add_minhash: base='xxhash' (pipeline) uses
-    the low 30 bits of xxhash64(seed=42); base='md5' the md5-hex slice."""
+    the low 30 bits of xxhash64(seed=42); base='md5' the md5-hex slice.
+    The affine-min is numpy-vectorized (same integer arithmetic) so the
+    oracle stays tractable on the 60k-turn correctness corpus."""
+    import numpy as np
+
     if base == "xxhash":
         from .functions.hashing import py_xxhash_base
 
@@ -83,7 +87,10 @@ def _minhash(
             int(hashlib.md5(s.encode()).hexdigest()[: HASH_BITS // 4], 16)
             for s in _shingles(text)
         ]
-    return [min((a * h + b) % MERSENNE_P for h in hs) for a, b in params]
+    h = np.asarray(hs, dtype=np.uint64)
+    p = np.asarray(params, dtype=np.uint64)
+    m = (h[:, None] * p[None, :, 0] + p[None, :, 1]) % np.uint64(MERSENNE_P)
+    return [int(x) for x in m.min(axis=0)]
 
 
 class _UnionFind:

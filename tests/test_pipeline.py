@@ -150,3 +150,31 @@ def test_distributed_gen_matches_pandas(spark, corpus):
         .reset_index(drop=True)[a.columns]
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RP_SLOW") != "1",
+    reason="60k-turn corpus gate; run with RP_SLOW=1 (~2 min)",
+)
+def test_keep_f1_at_60k_corpus(spark, lm):
+    """The BASELINE.json correctness scale: ~60k turns, F1 must be >= 0.99
+    (measured 1.0 exact on 2026-08-16)."""
+    from redpajama_processor_spark.datagen import gen_turns_spark
+
+    src = gen_turns_spark(spark, 5500, partitions=32)
+    pdf = src.toPandas()
+    lab = (
+        oracle_labels(pdf, lm)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    out = (
+        curate(spark, src, lm)
+        .select("conv_id", "turn_idx", "keep", "drop_rule", "scrubbed_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (lab.keep == out.keep).all()
+    assert (lab.drop_rule.fillna("~") == out.drop_rule.fillna("~")).all()
+    assert (lab.scrubbed_text == out.scrubbed_text).all()
