@@ -18,9 +18,9 @@ Scale notes (100 TB):
   step6:107) to bound memory; Spark's sort-shuffle + spill makes one full
   shuffle fine, but ``lsh_buckets(bands_per_pass=...)`` exposes the same
   banded iteration for 10^12-row runs.
-- candidate pair generation caps bucket width (``max_bucket``) — a bucket
-  with w docs yields w*(w-1)/2 pairs; capping bounds the quadratic blowup
-  exactly like NeMo's bucket pruning, and the cap is logged, not silent.
+- candidate pair generation emits STAR edges (linear per bucket) instead of
+  all pairs (quadratic); see buckets_to_edges. The literal all-pairs form
+  (with a width cap) exists as buckets_to_edges_allpairs.
 - connected components: alternating small-star/large-star style hash-min
   label propagation via self-joins until fixpoint; AQE re-plans each
   iteration. For transcripts the common case (within-conversation dup) never

