@@ -252,6 +252,32 @@ def q_lineitem_stats(spark, sf_dir):
     )
 
 
+def q_parts_by_brand(spark, sf_dir):
+    """per-brand stats over part (cents-exact avg via sum/count)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(_cents(F.col("p_retailprice"))).cast("long").alias("sum_price_c"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
+def q_supplier_region_balance(spark, sf_dir):
+    """supplier -> nation -> region broadcast-join rollup."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(_cents(F.col("s_acctbal"))).cast("long").alias("sum_acctbal_c"),
+        )
+    )
+
+
 def q_custkeys_1994_not_1995(spark, sf_dir):
     """set difference by key (reference O5)."""
     o = _t(spark, sf_dir, "orders")
@@ -529,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_to_remove": q_orders_to_remove,
         "revenue_per_nation": q_revenue_per_nation,
         "lineitem_stats": q_lineitem_stats,
+        "parts_by_brand": q_parts_by_brand,
+        "supplier_region_balance": q_supplier_region_balance,
         "custkeys_1994_not_1995": q_custkeys_1994_not_1995,
         "union_distinct_custkeys": q_union_distinct_custkeys,
         "doc_signals": q_doc_signals,
@@ -660,6 +688,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS median_price_c,
                    COUNT(*) AS n_rows
             FROM lineitem""",
+        "parts_by_brand": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS sum_price_c,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size
+            FROM part GROUP BY p_brand""",
+        "supplier_region_balance": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_acctbal_c
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
         "custkeys_1994_not_1995": """
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
             AND o_custkey NOT IN (

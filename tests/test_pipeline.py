@@ -178,3 +178,34 @@ def test_keep_f1_at_60k_corpus(spark, lm):
     assert (lab.keep == out.keep).all()
     assert (lab.drop_rule.fillna("~") == out.drop_rule.fillna("~")).all()
     assert (lab.scrubbed_text == out.scrubbed_text).all()
+
+
+def test_long_conversation_skew(spark):
+    """A single 5k-turn conversation (Zipf head) through the conv-dup
+    operator: correctness + the skew-safe plan (no per-turn window rows)."""
+    import pandas as pd
+
+    rows = []
+    for t in range(5000):
+        # every 10th turn repeats a line first seen earlier
+        if t % 10 == 9:
+            text = f"repeated heartbeat line\nfresh {t}"
+        else:
+            text = f"unique content number {t}\nsecond {t}"
+        rows.append(("conv-big", t, text))
+    rows.append(("conv-big", 4, "repeated heartbeat line\nfirst sight"))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    pdf = pdf.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["turn_idx"]: r["conv_dup_ratio"] for r in conv_dup_ratio(df).collect()
+    }
+    # turn 4 introduces the heartbeat line; every t%10==9 with t>4 repeats it
+    assert got[4] == 0.0
+    assert got[9] == 0.5 and got[1009] == 0.5
+    assert got[3] == 0.0
+    salted = {
+        r["turn_idx"]: r["conv_dup_ratio"]
+        for r in conv_dup_ratio(df, salt_partitions=8).collect()
+    }
+    assert salted == got

@@ -1,0 +1,87 @@
+"""Hypothesis property tests over the pure-python renderings, plus a
+hypothesis-generated corpus pushed through Spark once (batched)."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from redpajama_processor_spark.functions import signals as S
+from redpajama_processor_spark.functions.langid import py_langid
+from redpajama_processor_spark.functions.scrub import py_scrub
+from redpajama_processor_spark.functions.textclean import py_clean_text
+
+# printable ASCII + some unicode trouble: curly quotes, NBSP, CJK, zero-width
+ALPHABET = (
+    string.ascii_letters + string.digits + " \t\n()[]{}#.…,@:-_/"
+    + "’“”–— ​中文é"
+)
+texts = st.text(alphabet=ALPHABET, min_size=0, max_size=300)
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_signal_ratios_bounded(t):
+    s = S.py_signals(t)
+    for k in ("alpha_ratio", "number_ratio", "space_ratio", "paren_ratio",
+              "ellipsis_ratio", "dup_line_ratio", "stopword_ratio"):
+        assert 0.0 <= s[k] <= 1.0, (k, s[k], t)
+    assert s["n_words"] >= 0 and s["n_chars"] == len(t)
+    assert s["mean_word_len"] >= 0.0
+    if s["n_words"] > 0:
+        assert s["mean_word_len"] > 0.0
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_scrub_idempotent_any_text(t):
+    once, _ = py_scrub(t)
+    twice, counts2 = py_scrub(once)
+    assert once == twice
+    assert sum(counts2.values()) == 0
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_clean_idempotent_and_first_rule_consistent(t):
+    c = py_clean_text(t)
+    assert py_clean_text(c) == c
+    keep, rule = S.py_keep_and_rule(S.py_signals(c), include_stopword_rule=True)
+    assert keep == (rule is None)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_langid_total_function(t):
+    score, lang = py_langid(t)
+    assert lang in ("EN", "ES", "FR", "DE", "ZH", "UNKNOWN")
+    assert 0.0 <= score <= 1.0
+
+
+def test_spark_matches_python_on_hypothesis_corpus(spark):
+    """One batched Spark job over a hypothesis-style adversarial corpus."""
+    import random
+
+    rng = random.Random(99)
+    corpus = [
+        "".join(rng.choices(ALPHABET, k=rng.randint(0, 200))) for _ in range(400)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i int, text string"
+    )
+    sig = S.spark_signal_cols(F.col("text"))
+    keep, rule = S.spark_keep_and_rule(
+        {k: F.col(k) for k in S.SIGNAL_COLS}, include_stopword_rule=True
+    )
+    rows = (
+        df.withColumns(dict(sig))
+        .withColumns({"keep": keep, "drop_rule": rule})
+        .collect()
+    )
+    for r in rows:
+        py = S.py_signals(corpus[r["i"]])
+        for k in S.SIGNAL_COLS:
+            assert r[k] == py[k], (repr(corpus[r["i"]]), k, r[k], py[k])
+        pk, pr = S.py_keep_and_rule(py, include_stopword_rule=True)
+        assert r["keep"] == pk and (r["drop_rule"] or None) == pr
