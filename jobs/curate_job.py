@@ -69,11 +69,35 @@ def main() -> None:
     )
 
     if args.checkpoint_root:
+        from redpajama_processor_spark.pipeline import dedup_labels_for
+
+        # Stage 1 (global, resumable at stage granularity): dedup labels.
+        # Dedup must see the WHOLE corpus — running it inside a bucket
+        # would only catch within-bucket duplicates.
+        labels_path = os.path.join(args.checkpoint_root, "dedup_labels")
+        if not os.path.exists(os.path.join(labels_path, "_SUCCESS")):
+            if args.no_fuzzy:
+                lbl = None
+            else:
+                dedup_labels_for(spark, turns).write.mode("overwrite").parquet(
+                    labels_path
+                )
+        labels = (
+            spark.read.parquet(labels_path)
+            if os.path.exists(os.path.join(labels_path, "_SUCCESS"))
+            else None
+        )
+
+        # Stage 2 (per conv_id bucket, resumable per bucket): annotation.
         run = CheckpointedRun(spark, args.checkpoint_root, n_buckets=args.buckets)
         run.run(
             "curate",
             turns,
-            lambda part: curate(spark, part, lm, run_fuzzy=not args.no_fuzzy),
+            lambda part: curate(
+                spark, part, lm,
+                run_fuzzy=False if labels is not None else not args.no_fuzzy,
+                dedup_labels=labels,
+            ),
         )
         out = run.result()
         out.write.mode("overwrite").parquet(args.output)

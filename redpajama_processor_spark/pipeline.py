@@ -73,11 +73,18 @@ def curate(
     use_native_langid: bool = False,
     use_numpy_minhash: bool = True,
     run_fuzzy: bool = True,
+    dedup_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,
     scrubbed text, keep and drop_rule. Never physically drops rows —
     consumers filter on ``keep`` (predicate pushdown does the rest once the
-    annotated table is persisted)."""
+    annotated table is persisted).
+
+    dedup_labels: optional precomputed (_key, is_exact_dup, is_fuzzy_dup,
+    component) table. Dedup is CORPUS-GLOBAL; when curating bucket-by-bucket
+    (checkpointed resume), compute the labels once over the whole corpus
+    (``dedup_labels_for``) and pass them here — running dedup inside a
+    bucket would only see within-bucket duplicates."""
     if lm is None:
         from .datagen import lm_corpus
 
@@ -99,6 +106,16 @@ def curate(
     t0 = time.time()
     df = df.localCheckpoint(eager=True)
     t0 = _tick("base (langid+clean ckpt)", t0)
+
+    if dedup_labels is not None:
+        df = df.join(dedup_labels, "_key", "left").withColumns(
+            {
+                "is_exact_dup": F.coalesce("is_exact_dup", F.lit(False)),
+                "is_fuzzy_dup": F.coalesce("is_fuzzy_dup", F.lit(False)),
+                "component": F.coalesce("component", F.col("_key")),
+            }
+        )
+        return _annotate_rest(df, lm_b)
 
     # --- exact dedup among langid survivors ------------------------------
     en = df.filter(F.col("language") == "EN").select(
@@ -138,7 +155,12 @@ def curate(
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
+    return _annotate_rest(df, lm_b)
 
+
+def _annotate_rest(df: DataFrame, lm_b) -> DataFrame:
+    """Signals, conv-dup, perplexity, scrub, final keep/drop (narrow except
+    the conv_dup partial-agg shuffles)."""
     # --- heuristic signals (native columns; zero shuffle) -----------------
     # one withColumns call = ONE analyzer pass over the wide plan; a chain of
     # 13 withColumn calls costs 13 re-analyses of a 40-column tree (driver
@@ -186,6 +208,58 @@ def curate(
         .drop("_heur_keep", "_heur_rule")
     )
     return df
+
+
+def dedup_labels_for(
+    spark: SparkSession,
+    turns: DataFrame,
+    use_native_langid: bool = False,
+    use_numpy_minhash: bool = True,
+) -> DataFrame:
+    """Corpus-GLOBAL dedup labels (_key, is_exact_dup, is_fuzzy_dup,
+    component) — the stage to materialize once before bucket-wise curation."""
+    df = turns.withColumn("_key", doc_key_col())
+    if use_native_langid:
+        df = df.withColumn("language", spark_langid_col(F.col("text")))
+    else:
+        df = df.withColumn("language", langid_udf()(F.col("text")).getField("lang"))
+    df = df.withColumn("clean_text", clean_text_col(F.col("text")))
+    df = df.select("_key", "language", "clean_text").localCheckpoint(eager=True)
+
+    en = df.filter(F.col("language") == "EN").select(
+        "_key", F.md5("clean_text").alias("_hash")
+    )
+    w = Window.partitionBy("_hash").orderBy("_key")
+    exact = en.withColumn("is_exact_dup", F.row_number().over(w) > 1).select(
+        "_key", "is_exact_dup"
+    )
+    base = df.join(exact, "_key", "left").withColumn(
+        "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
+    )
+    surv = base.filter(
+        (F.col("language") == "EN") & (~F.col("is_exact_dup"))
+    ).select(F.col("_key").alias("doc_id"), F.col("clean_text").alias("text"))
+    fz = D.fuzzy_dedup(
+        surv,
+        num_perm=FUZZY_NUM_PERM,
+        bands=FUZZY_BANDS,
+        jaccard_threshold=FUZZY_JACCARD,
+        use_numpy=use_numpy_minhash,
+        verify=False,
+        base="xxhash",
+    ).select(
+        F.col("doc_id").alias("_key"), "is_fuzzy_dup", "component"
+    )
+    return (
+        base.select("_key", "is_exact_dup")
+        .join(fz, "_key", "left")
+        .withColumns(
+            {
+                "is_fuzzy_dup": F.coalesce("is_fuzzy_dup", F.lit(False)),
+                "component": F.coalesce("component", F.col("_key")),
+            }
+        )
+    )
 
 
 def rule_census(curated: DataFrame) -> DataFrame:

@@ -61,3 +61,39 @@ def test_checkpoint_counters(spark, turns_df, tmp_path):
     assert {r.partition_id for r in rows} == {0, 1, 2, 3}
     assert sum(r.n_rows for r in rows) == turns_df.count()
     assert all(r.n_kept <= r.n_rows for r in rows)
+
+
+def test_bucketwise_curate_with_global_labels_equals_global(spark, tmp_path):
+    """Dedup is corpus-global: bucket-wise curation must consume the
+    precomputed global dedup labels and reproduce the single-shot result."""
+    from redpajama_processor_spark.datagen import lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.pipeline import curate, dedup_labels_for
+
+    turns = spark.createDataFrame(gen_turns_pandas(25))
+    lm = train_bigram_lm(lm_corpus())
+    glob = (
+        curate(spark, turns, lm)
+        .select("conv_id", "turn_idx", "keep", "drop_rule")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    labels = dedup_labels_for(spark, turns).localCheckpoint(eager=True)
+    run = CheckpointedRun(spark, str(tmp_path / "run"), n_buckets=4)
+    run.run(
+        "curate",
+        turns,
+        lambda part: curate(spark, part, lm, dedup_labels=labels),
+    )
+    via = (
+        run.result()
+        .select("conv_id", "turn_idx", "keep", "drop_rule")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (glob["keep"] == via["keep"]).all()
+    assert (
+        glob["drop_rule"].fillna("~") == via["drop_rule"].fillna("~")
+    ).all()
