@@ -650,9 +650,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
-                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sum_disc_c,
+                   CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
                    COUNT(*) AS n_rows
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -687,18 +687,18 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_stats": """
             SELECT MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS min_price_c,
                    MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_price_c,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-                   quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS median_price_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   CAST(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS DOUBLE) AS median_price_c,
                    COUNT(*) AS n_rows
             FROM lineitem""",
         "parts_by_brand": """
             SELECT p_brand, COUNT(*) AS n_parts,
-                   SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS sum_price_c,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
                    CAST(MAX(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand""",
         "supplier_region_balance": """
             SELECT r_name, COUNT(*) AS n_suppliers,
-                   SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_acctbal_c
+                   CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
@@ -813,9 +813,9 @@ def oracle_sql() -> dict[str, str]:
               FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             WHERE cosine >= 0.99""",
         "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS hour, event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY 1, 2""",
         "events_first_per_user_type": """
             SELECT user_id, event_type, event_id FROM (
