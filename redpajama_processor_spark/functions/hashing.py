@@ -40,25 +40,31 @@ from pyspark.sql.types import ArrayType, LongType
 
 from .signals import TRIM_RE, WORD_SPLIT_RE
 
-# 60-bit Mersenne prime modulus keeps A*h+B inside signed-64 range is NOT
-# possible (A*h alone overflows int64); instead we use a 30-bit base-hash
-# slice with a 61-bit prime so A (<2^30) * h (<2^30) + B stays < 2^61.
-MERSENNE_P = (1 << 61) - 1
-HASH_BITS = 30  # bits of md5 used as the base shingle hash
+# 31-bit Mersenne prime modulus. The modulus MUST be smaller than the
+# product range so (A*h + B) mod P actually wraps: with a 61-bit prime over
+# 30-bit base hashes (A*h+B < 2^61) the map is order-preserving, every
+# "permutation" then selects the same element (argmin of the base hash), and
+# the K-perm signature degenerates to K copies of one hash — no LSH S-curve.
+# With P = 2^31-1: h < 2^30, A < 2^31, so A*h+B < 2^62 fits signed int64 in
+# Spark AND DuckDB BIGINT, and the mod wraps ~2^30 times per permutation —
+# a genuine universal hash family (approximately min-wise independent).
+MERSENNE_P = (1 << 31) - 1
+HASH_BITS = 30  # bits of md5/xxhash used as the base shingle hash (< P)
 SEED = 42  # reference: step6_fuzzy_deduplication.py:49
 DEFAULT_NUM_PERM = 260  # reference: step6_fuzzy_deduplication.py:50
 DEFAULT_NGRAM = 24  # reference: step6_fuzzy_deduplication.py:51
 
 
 def perm_params(num_perm: int, seed: int = SEED) -> list[tuple[int, int]]:
-    """Deterministic (A_k, B_k) pairs; A,B < 2^30 so A*h+B < 2^61 (no int64
-    overflow in either Spark or DuckDB). Derived from md5(seed||k) so both
-    engines and the numpy path share the exact same constants."""
+    """Deterministic (A_k, B_k) pairs: A in [1, P-1], B in [0, P-1], so each
+    k is a distinct affine bijection of Z_P (A*h+B < 2^62: no int64 overflow
+    in either Spark or DuckDB). Derived from md5(seed||k) so both engines
+    and the numpy path share the exact same constants."""
     params = []
     for k in range(num_perm):
         d = hashlib.md5(f"perm-{seed}-{k}".encode()).hexdigest()
-        a = (int(d[:8], 16) % ((1 << 30) - 1)) + 1  # 1..2^30-1
-        b = int(d[8:16], 16) % (1 << 30)
+        a = (int(d[:12], 16) % (MERSENNE_P - 1)) + 1  # 1..P-1
+        b = int(d[12:24], 16) % MERSENNE_P  # 0..P-1
         params.append((a, b))
     return params
 

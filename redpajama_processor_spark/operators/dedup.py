@@ -16,8 +16,9 @@ Scale notes (100 TB):
 - LSH banding: we explode K minhashes into B band keys -> groupBy band key.
   The reference shuffles one band at a time (buckets_per_shuffle=1,
   step6:107) to bound memory; Spark's sort-shuffle + spill makes one full
-  shuffle fine, but ``lsh_buckets(bands_per_pass=...)`` exposes the same
-  banded iteration for 10^12-row runs.
+  shuffle fine, but ``fuzzy_dedup(bands_per_pass=...)`` exposes the same
+  banded iteration (via ``lsh_buckets(band_subset=...)``) for 10^12-row
+  runs: per-pass shuffle rows are bounded at n_docs * bands_per_pass.
 - candidate pair generation emits STAR edges (linear per bucket) instead of
   all pairs (quadratic); see buckets_to_edges. The literal all-pairs form
   (with a width cap) exists as buckets_to_edges_allpairs.
@@ -127,6 +128,7 @@ def lsh_buckets(
     bands: int,
     id_col: str = "doc_id",
     key_hash: str = "md5",
+    band_subset: list[int] | None = None,
 ) -> DataFrame:
     """Explode the signature into (band_id, band_key) rows.
 
@@ -134,9 +136,16 @@ def lsh_buckets(
     (no shuffle here; the shuffle happens at the consumer's groupBy/join).
     Reference banding: 260 hashes / 20 bands = 13 rows per band
     (step6_fuzzy_deduplication.py:104-138).
+
+    band_subset: emit only these band ids — the building block for the
+    reference's buckets_per_shuffle banded iteration (step6:107,132): the
+    caller loops over band groups so each pass shuffles n_docs *
+    len(band_subset) rows instead of n_docs * bands.
     """
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    band_ids = list(range(bands)) if band_subset is None else list(band_subset)
+    assert all(0 <= b < bands for b in band_ids), "band_subset out of range"
 
     def _key(b: int):
         cat = F.concat_ws(
@@ -153,7 +162,7 @@ def lsh_buckets(
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), _key(b).alias("band_key"))
-            for b in range(bands)
+            for b in band_ids
         ]
     )
     return (
@@ -165,6 +174,7 @@ def lsh_buckets(
 def buckets_to_edges(
     buckets: DataFrame,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate STAR edges (bucket-min -> member) per LSH bucket.
 
@@ -180,12 +190,21 @@ def buckets_to_edges(
 
     Plan shape: one groupBy (map-side combined collect_set) + one explode -
     the big table is never self-joined.
+
+    max_bucket: optional width guard for adversarial corpora — a bucket is
+    truncated to its max_bucket smallest members (sorted, so the hub and the
+    truncation are deterministic). Members beyond the cap lose this bucket's
+    edge but typically reappear in other bands; at 100 TB a degenerate
+    boilerplate bucket (10^6 members) would otherwise hold one collect_set
+    row of unbounded width.
     """
     grouped = (
         buckets.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    if max_bucket is not None:
+        grouped = grouped.withColumn("members", F.slice("members", 1, max_bucket))
     hub = F.element_at("members", 1)
     pairs = grouped.select(
         F.explode(
@@ -265,17 +284,25 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
 ) -> DataFrame:
-    """Hash-min label propagation over an undirected edge list.
+    """Hash-min label propagation + pointer jumping over an undirected
+    edge list.
 
-    Returns (id, component) where component = min id reachable. Alternates
-    min-label exchange across edges until fixpoint (checked via an
-    aggregate), localCheckpoint()-ing each round to keep lineage flat —
-    the Spark rendering of NeMo's ConnectedComponents
-    (step6_fuzzy_deduplication.py:192-198).
+    Returns (id, component) where component = min id reachable. Each round
+    takes the min over (own label, neighbors' labels, own label's label) —
+    the last term is the pointer-jumping shortcut that makes convergence
+    O(log diameter) instead of O(diameter), so a 10^3-hop dup chain (an
+    adversarial shingle ladder) needs ~10 rounds, not 10^3. Rounds run until
+    fixpoint (change flag carried through the checkpoint), localCheckpoint-
+    ing each round to keep lineage flat — the Spark rendering of NeMo's
+    ConnectedComponents (step6_fuzzy_deduplication.py:192-198).
 
-    At 10^12 scale: each iteration is one shuffle of the label table;
-    convergence is O(log(diameter)) rounds for near-dup clusters (diameter
-    is tiny), and AQE coalesces the shrinking frontier each round.
+    Raises RuntimeError if max_iter rounds pass without reaching the
+    fixpoint — silently returning half-propagated labels would split one
+    dup family into several components and under-remove.
+
+    At 10^12 scale: each iteration is one shuffle of the label table (the
+    candidate subgraph, orders of magnitude smaller than the corpus) plus
+    one self-join of labels; AQE coalesces the shrinking frontier.
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -294,20 +321,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
         # carry a change indicator through the checkpoint so convergence
         # detection is a cheap scan of the materialized table, not a join
+        best = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_min"), F.col("component")),
+            # own label's label: component values are always ids present in
+            # the label table, so the left join below always finds them
+            F.coalesce(F.col("_jcomp"), F.col("component")),
+        )
         new_labels = (
             labels.join(nbr, labels.id == nbr.a, "left")
+            .join(jump, labels.component == F.col("_jid"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("_chg"),
+                best.alias("component"),
+                (best < F.col("component")).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
@@ -315,8 +347,11 @@ def connected_components(
         if _TIMING:
             print(f"[dedup-timing] cc round changed={changed}", flush=True)
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (rounds needed ~ log2(component diameter))"
+    )
 
 
 def fuzzy_dedup(
@@ -330,21 +365,54 @@ def fuzzy_dedup(
     use_numpy: bool = False,
     verify: bool = False,
     base: str = "md5",
+    bands_per_pass: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline -> df + (component, is_fuzzy_dup).
 
     Survivor per near-dup component = min id (deterministic; matches the
     keep-first cumcount semantics at step6_fuzzy_deduplication.py:219-228).
-    verify defaults to False — the reference's BucketsToEdges emits candidate
-    pairs straight into connected components without a Jaccard check
-    (step6_fuzzy_deduplication.py:164-198), and without verification the
-    star edges produce exactly the bucket-clique components.
+
+    verify=True re-checks every candidate star edge with exact shingle
+    Jaccard >= jaccard_threshold before connected components. The reference's
+    BucketsToEdges emits candidate pairs straight into CC with no check
+    (step6_fuzzy_deduplication.py:164-198) — safe only at its 260/20 banding
+    (S-curve knee ~0.79); at lower knees one band collision between unrelated
+    documents would merge their whole families and silently over-remove, so
+    the transcript pipeline runs verify=True. The residual failure mode with
+    verification is UNDER-merge (a family whose bucket hub is an unrelated
+    smaller id loses that bucket's edges), which never drops a unique doc.
+
+    bands_per_pass: when set, bands are processed in groups of this size —
+    each pass shuffles n_docs * bands_per_pass bucket rows instead of
+    n_docs * bands (the reference's buckets_per_shuffle memory bound,
+    step6:107,132). Final components are identical: edges are unioned across
+    passes before CC.
     """
     sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy, base)
-    buckets = lsh_buckets(
-        sigs, num_perm, bands, id_col, key_hash="md5" if base == "md5" else "xxhash"
-    )
-    pairs = buckets_to_edges(buckets, id_col)
+    key_hash = "md5" if base == "md5" else "xxhash"
+    if bands_per_pass is None:
+        buckets = lsh_buckets(sigs, num_perm, bands, id_col, key_hash=key_hash)
+        pairs = buckets_to_edges(buckets, id_col, max_bucket=max_bucket)
+    else:
+        # banded iteration: minhash signatures are computed once (checkpoint),
+        # then each pass explodes only its band group
+        sigs = sigs.localCheckpoint(eager=True)
+        parts = []
+        for lo in range(0, bands, bands_per_pass):
+            subset = list(range(lo, min(lo + bands_per_pass, bands)))
+            b = lsh_buckets(
+                sigs, num_perm, bands, id_col, key_hash=key_hash, band_subset=subset
+            )
+            # checkpoint per pass: bounds live shuffle state to one band group
+            parts.append(
+                buckets_to_edges(b, id_col, max_bucket=max_bucket)
+                .localCheckpoint(eager=True)
+            )
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.union(p)
+        pairs = pairs.distinct()
     if verify:
         pairs = verify_pairs_jaccard(
             pairs, df, text_col, id_col, ngram, jaccard_threshold

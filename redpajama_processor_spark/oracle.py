@@ -53,6 +53,7 @@ from .operators.convdup import CONV_DUP_MAX
 FUZZY_NUM_PERM = 64
 FUZZY_BANDS = 16
 FUZZY_JACCARD = 0.8
+FUZZY_VERIFY = True  # must track pipeline.FUZZY_VERIFY (asserted in tests)
 
 
 def doc_key(conv_id: str, turn_idx: int) -> str:
@@ -115,13 +116,19 @@ class _UnionFind:
 def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
     """docs: [(doc_key, clean_text)] -> doc_key -> component (min member).
 
-    Same LSH banding + jaccard-verified edges as operators/dedup.py.
+    Same LSH banding + star edges + Jaccard verification as
+    operators/dedup.py (fuzzy_dedup(verify=FUZZY_VERIFY)): candidate star
+    edges (bucket-min hub -> member) are kept only when exact shingle
+    Jaccard >= FUZZY_JACCARD, then union-find. Without verification one
+    low-knee band collision between unrelated docs would merge their
+    families (the over-removal mode the verified pipeline forbids).
     """
     from .functions.hashing import py_xxh64
 
     params = perm_params(FUZZY_NUM_PERM)
     rows_per_band = FUZZY_NUM_PERM // FUZZY_BANDS
     buckets: dict[tuple[int, str], list[str]] = {}
+    text_of = dict(docs)
     for key, text in docs:
         sig = _minhash(text, params)
         for b in range(FUZZY_BANDS):
@@ -132,16 +139,33 @@ def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
             bk = str(u - (1 << 64) if u >= (1 << 63) else u)
             buckets.setdefault((b, bk), []).append(key)
 
-    # Bucket-clique union (reference semantics: BucketsToEdges -> CC with no
-    # Jaccard verification, step6_fuzzy_deduplication.py:164-198); with no
-    # verification step the star union below equals the full clique union.
-    uf = _UnionFind()
+    # star edges, deduped across buckets (mirrors buckets_to_edges + the
+    # pairs.distinct() before verify_pairs_jaccard)
+    edges: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:
             continue
         members = sorted(set(members))
         hub = members[0]
         for m in members[1:]:
+            edges.add((hub, m))
+
+    uf = _UnionFind()
+    if FUZZY_VERIFY:
+        sh_cache: dict[str, set[str]] = {}
+
+        def _sh(k: str) -> set[str]:
+            if k not in sh_cache:
+                sh_cache[k] = _shingles(text_of[k])
+            return sh_cache[k]
+
+        for hub, m in edges:
+            a, b = _sh(hub), _sh(m)
+            # same operand order as verify_pairs_jaccard: |A∩B| / |A∪B|
+            if len(a & b) / len(a | b) >= FUZZY_JACCARD:
+                uf.union(hub, m)
+    else:
+        for hub, m in edges:
             uf.union(hub, m)
 
     return {key: uf.find(key) for key, _ in docs}

@@ -53,13 +53,20 @@ from .operators import dedup as D
 from .operators.convdup import CONV_DUP_MAX, conv_dup_ratio
 
 # LSH configuration. The reference runs 260 perms / 20 bands (13 rows per
-# band -> S-curve knee near J~0.85; step6_fuzzy_deduplication.py:49-51).
-# 64/16 (4 rows per band, knee near J~0.7) measured 2x faster end-to-end at
-# 591k turns with the same dup-family recall on the fixture corpus; set
-# these module constants to 260/20 for literal reference-parameter runs.
+# band -> S-curve knee (1/20)^(1/13) ~ 0.79; step6_fuzzy_deduplication.py:
+# 49-51) with NO Jaccard verification — safe only because at that knee a
+# band collision between unrelated documents is ~10^-6-rare. We run 64/16
+# (4 rows per band, knee (1/16)^(1/4) ~ 0.50, ~2x faster end-to-end at 591k
+# turns) and therefore MUST verify: with FUZZY_VERIFY every candidate star
+# edge is re-checked with exact shingle Jaccard >= FUZZY_JACCARD before
+# connected components, so a low-knee band collision cannot merge unrelated
+# families (the silent-over-removal mode — one collision would otherwise
+# drop every member of both families except the global min id). Set 260/20 +
+# verify=False for literal reference-parameter runs.
 FUZZY_NUM_PERM = 64
 FUZZY_BANDS = 16
 FUZZY_JACCARD = 0.8
+FUZZY_VERIFY = True
 
 
 def doc_key_col() -> F.Column:
@@ -140,15 +147,20 @@ def curate(
             bands=FUZZY_BANDS,
             jaccard_threshold=FUZZY_JACCARD,
             use_numpy=use_numpy_minhash,
-            verify=False,
+            verify=FUZZY_VERIFY,
             base="xxhash",
         ).select(
             F.col("doc_id").alias("_key"),
             F.col("is_fuzzy_dup"),
             F.col("component"),
         )
-        df = df.join(fz, "_key", "left").withColumn(
-            "is_fuzzy_dup", F.coalesce("is_fuzzy_dup", F.lit(False))
+        df = df.join(fz, "_key", "left").withColumns(
+            {
+                "is_fuzzy_dup": F.coalesce("is_fuzzy_dup", F.lit(False)),
+                # non-EN / exact-dup rows never reach fuzzy dedup; coalesce
+                # keeps component non-null in every curate mode
+                "component": F.coalesce("component", F.col("_key")),
+            }
         )
         t0 = _tick("fuzzy dedup (eager parts)", t0)
     else:
@@ -245,7 +257,7 @@ def dedup_labels_for(
         bands=FUZZY_BANDS,
         jaccard_threshold=FUZZY_JACCARD,
         use_numpy=use_numpy_minhash,
-        verify=False,
+        verify=FUZZY_VERIFY,
         base="xxhash",
     ).select(
         F.col("doc_id").alias("_key"), "is_fuzzy_dup", "component"

@@ -143,3 +143,150 @@ def test_remove_duplicates_anti_join(spark):
     rm = spark.createDataFrame([(2,), (5,), (7,)], "doc_id long")
     out = D.remove_duplicates(df, rm, "doc_id")
     assert {r.doc_id for r in out.collect()} == {0, 1, 3, 4, 6, 8, 9}
+
+
+# ---------------------------------------------------------------------------
+# round 2: collision safety, pointer-jumping CC, banded passes, width cap
+# ---------------------------------------------------------------------------
+
+def _xxhash_band_keys(text, num_perm=64, bands=16):
+    """Python mirror of lsh_buckets(key_hash='xxhash') band keys."""
+    from redpajama_processor_spark.functions.hashing import perm_params, py_xxh64
+    from redpajama_processor_spark.oracle import _minhash
+
+    sig = _minhash(text, perm_params(num_perm))
+    rpb = num_perm // bands
+    keys = set()
+    for b in range(bands):
+        sl = sig[b * rpb : (b + 1) * rpb]
+        keys.add((b, py_xxh64(":".join(map(str, sl)).encode())))
+    return keys
+
+
+def _jaccard24(a, b):
+    from redpajama_processor_spark.oracle import _shingles
+
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def _find_band_collision_pair():
+    """Deterministically search for two documents with true 24-gram Jaccard
+    BELOW the verify threshold that still share >= 1 LSH band at the
+    pipeline's 64/16 banding (knee ~0.50) — the over-merge hazard the
+    Jaccard verification must neutralize."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain falls "
+        "on the quiet town every single evening and the lights go dim across "
+        "the harbor where the boats rest until morning comes again"
+    )
+    for i in range(400):
+        other = (
+            base[:110]
+            + f" variant {i} with rewritten second half about database "
+            + f"compaction levels and merge trees number {i * 7} end"
+        )
+        j = _jaccard24(base, other)
+        if j >= 0.75:
+            continue
+        if _xxhash_band_keys(base) & _xxhash_band_keys(other):
+            return base, other, j
+    raise AssertionError("no band-collision pair found in 400 candidates")
+
+
+def test_band_collision_does_not_merge_unrelated_docs(spark):
+    """Adversarial: two docs share one 4-row band but true Jaccard < 0.8.
+    With verify=True they must stay in separate components; with
+    verify=False (reference raw semantics) they over-merge — demonstrating
+    the hazard the pipeline's FUZZY_VERIFY closes."""
+    a, b, j = _find_band_collision_pair()
+    assert j < 0.8
+    df = spark.createDataFrame([("a", a), ("b", b)], "doc_id string, text string")
+
+    verified = D.fuzzy_dedup(
+        df, num_perm=64, bands=16, jaccard_threshold=0.8,
+        use_numpy=True, verify=True, base="xxhash",
+    )
+    rows = {r.doc_id: (r.component, r.is_fuzzy_dup) for r in verified.collect()}
+    assert rows["a"] == ("a", False)
+    assert rows["b"] == ("b", False), "band collision merged unrelated docs"
+
+    raw = D.fuzzy_dedup(
+        df, num_perm=64, bands=16, jaccard_threshold=0.8,
+        use_numpy=True, verify=False, base="xxhash",
+    )
+    raw_rows = {r.doc_id: r.component for r in raw.collect()}
+    assert raw_rows["a"] == raw_rows["b"], "precondition: collision exists"
+
+
+def test_verify_keeps_true_near_dups(spark):
+    """Genuine near-dups (J >= 0.8) survive verification and still merge."""
+    docs = _docs(spark)
+    out = D.fuzzy_dedup(
+        df=docs, num_perm=64, bands=16, jaccard_threshold=0.8,
+        use_numpy=True, verify=True, base="xxhash",
+    )
+    comp = {r.doc_id: r.component for r in out.collect()}
+    assert comp[2] == comp[1] == 1 and comp[3] == 1
+    assert comp[5] == comp[4] == 4
+    assert comp[6] == 6
+
+
+def test_cc_pointer_jumping_long_chain(spark):
+    """A 150-hop chain (diameter >> rounds) converges via pointer jumping
+    in O(log d) rounds — plain hash-min would need 149."""
+    n = 150
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = {r.id: r.component for r in D.connected_components(edges, max_iter=20).collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_cc_raises_on_non_convergence(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_iter=2)
+
+
+def test_bands_per_pass_identical_components(spark):
+    """Banded iteration (reference buckets_per_shuffle analog) must produce
+    identical final components, including an uneven final band group."""
+    docs = _docs(spark)
+    single = D.fuzzy_dedup(docs, num_perm=32, bands=8, use_numpy=False)
+    banded = D.fuzzy_dedup(docs, num_perm=32, bands=8, use_numpy=False, bands_per_pass=3)
+    s = {r.doc_id: (r.component, r.is_fuzzy_dup) for r in single.collect()}
+    b = {r.doc_id: (r.component, r.is_fuzzy_dup) for r in banded.collect()}
+    assert s == b
+
+
+def test_band_subset_bounds_pass_rows(spark):
+    """Per-pass shuffle input is n_docs * len(band_subset) bucket rows."""
+    docs = _docs(spark)
+    sigs = D.add_minhash(docs, "text", 32, 24)
+    assert D.lsh_buckets(sigs, 32, 8, "doc_id", band_subset=[0, 1]).count() == 12
+    assert D.lsh_buckets(sigs, 32, 8, "doc_id", band_subset=[7]).count() == 6
+
+
+def test_bucket_width_cap(spark):
+    """max_bucket caps star-edge fan-out per bucket deterministically."""
+    buckets = spark.createDataFrame(
+        [(i, 0, "k") for i in range(10)], "doc_id long, band_id int, band_key string"
+    )
+    full = D.buckets_to_edges(buckets, "doc_id").collect()
+    capped = D.buckets_to_edges(buckets, "doc_id", max_bucket=4).collect()
+    assert len(full) == 9
+    got = {(r.src, r.dst) for r in capped}
+    assert got == {(0, 1), (0, 2), (0, 3)}
+
+
+def test_oracle_and_pipeline_verify_flags_agree():
+    from redpajama_processor_spark import oracle, pipeline
+
+    assert oracle.FUZZY_VERIFY == pipeline.FUZZY_VERIFY
+    assert oracle.FUZZY_NUM_PERM == pipeline.FUZZY_NUM_PERM
+    assert oracle.FUZZY_BANDS == pipeline.FUZZY_BANDS
+    assert oracle.FUZZY_JACCARD == pipeline.FUZZY_JACCARD

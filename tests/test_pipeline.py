@@ -209,3 +209,11 @@ def test_long_conversation_skew(spark):
         for r in conv_dup_ratio(df, salt_partitions=8).collect()
     }
     assert salted == got
+
+
+def test_component_never_null(curated):
+    """All curate modes coalesce component to _key for rows that never
+    reach fuzzy dedup (non-EN, exact dups)."""
+    assert curated["component"].notna().all()
+    assert curated["is_fuzzy_dup"].notna().all()
+    assert curated["is_exact_dup"].notna().all()
