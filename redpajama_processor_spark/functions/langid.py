@@ -67,6 +67,12 @@ LANG_ORDER = ["EN", "ES", "FR", "DE"]  # deterministic tie-break
 CJK_RE = re.compile(r"[一-鿿]")
 ASCII_ALPHA_RE = re.compile(r"[A-Za-z]")
 
+from .signals import TRIM_RE as _TRIM_STR  # noqa: E402
+from .signals import WORD_SPLIT_RE as _WS_STR  # noqa: E402
+
+TRIM_RE_C = re.compile(_TRIM_STR)
+WORD_SPLIT_RE_C = re.compile(_WS_STR)
+
 LANGID_SCHEMA = StructType(
     [
         StructField("score", DoubleType(), False),
@@ -100,51 +106,192 @@ def py_langid(text: str) -> tuple[float, str]:
 _MARKER_SETS = {k: frozenset(v) for k, v in MARKERS.items()}
 
 
+# word -> 4-bit language mask (bit i set when the word is a marker of
+# LANG_ORDER[i]); words can be markers of several languages (EN/DE 'an',
+# ES/FR 'en'), which is why counting is per-language, not a single lookup.
+_MARKER_MASK: dict[str, int] = {}
+for _i, _lang in enumerate(LANG_ORDER):
+    for _w in MARKERS[_lang]:
+        _MARKER_MASK[_w] = _MARKER_MASK.get(_w, 0) | (1 << _i)
+
+
+def _score_batch(texts) -> pd.DataFrame:
+    """Vectorized batch scorer (the fastText-shaped hook): per-row C-regex
+    tokenization, then ONE flat dict-get per token into a numpy bit matrix
+    and per-row vote sums via np.add.reduceat — no per-row Python scoring
+    loop. np.argmax returns the FIRST maximal index, which IS the
+    EN>ES>FR>DE tie-break."""
+    import numpy as np
+
+    n = len(texts)
+    tok_lists: list[list[str]] = []
+    cjk = np.zeros(n, dtype=bool)
+    ascii_alpha = np.zeros(n, dtype=bool)
+    for i, t in enumerate(texts):
+        t = t if t is not None else ""
+        if CJK_RE.search(t):
+            cjk[i] = True
+            tok_lists.append([])
+            continue
+        if ASCII_ALPHA_RE.search(t):
+            ascii_alpha[i] = True
+        s = re.sub(TRIM_RE_C, "", t.replace("\n", " ")).lower()
+        tok_lists.append(WORD_SPLIT_RE_C.split(s) if s else [])
+
+    lens = np.fromiter((len(w) for w in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    langs = np.where(cjk, "ZH", np.where(ascii_alpha, "EN", "UNKNOWN")).astype(object)
+    scores = np.where(cjk, 1.0, 0.0)
+    if total:
+        get = _MARKER_MASK.get
+        flat = np.fromiter(
+            (get(w, 0) for ws in tok_lists for w in ws),
+            dtype=np.int64,
+            count=total,
+        )
+        bits = (flat[:, None] >> np.arange(4, dtype=np.int64)) & 1
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nz = lens > 0
+        votes = np.add.reduceat(bits, starts[nz], axis=0)
+        best = votes.max(axis=1)
+        idx = votes.argmax(axis=1)
+        hit = best > 0
+        lang_arr = np.array(LANG_ORDER, dtype=object)
+        nz_langs = langs[nz]
+        nz_scores = scores[nz]
+        nz_langs[hit] = lang_arr[idx[hit]]
+        nz_scores[hit] = best[hit] / lens[nz][hit]
+        langs[nz] = nz_langs
+        scores[nz] = nz_scores
+    return pd.DataFrame({"score": scores, "lang": langs})
+
+
 def langid_udf():
     """Vectorized pandas UDF: text -> struct(score double, lang string).
 
     Mirrors the reference's ScoreFilter(FastTextLangId(...), score_type=
     'object') + s[1] extraction (step3_language_separation.py:94-109): the
     caller projects ``col('lid.lang')`` — a struct projection, not a UDF.
-    """
+    Swap ``_score_batch`` for a fastText .bin predict to get the real model
+    (see fasttext_langid_udf)."""
 
     @F.pandas_udf(LANGID_SCHEMA)
     def _langid(texts: pd.Series) -> pd.DataFrame:
-        scores, langs = [], []
-        for t in texts:
-            s, l = py_langid(t if t is not None else "")
-            scores.append(s)
-            langs.append(l)
-        return pd.DataFrame({"score": scores, "lang": langs})
+        return _score_batch(texts.tolist())
+
+    return _langid
+
+
+# --- real fastText integration point --------------------------------------
+# Reference: step3_language_separation.py:24-43 loads lid.176.bin behind
+# NeMo's FastTextLangId. On a cluster: `spark-submit --files lid.176.bin`,
+# then every python worker lazily loads it from SparkFiles on first batch.
+_FT_CACHE: dict[str, object] = {}
+
+
+def _load_fasttext(filename: str):
+    """Per-worker lazy model load; None when fasttext/the file is absent
+    (this sandbox), letting the caller fall back to the lexicon scorer."""
+    if filename not in _FT_CACHE:
+        model = None
+        try:  # pragma: no cover - no fasttext in the sandbox
+            import os
+
+            import fasttext  # type: ignore[import-not-found]
+            from pyspark import SparkFiles
+
+            path = SparkFiles.get(filename)
+            if os.path.exists(path):
+                model = fasttext.load_model(path)
+        except Exception:
+            model = None
+        _FT_CACHE[filename] = model
+    return _FT_CACHE[filename]
+
+
+def fasttext_batch(model, texts) -> pd.DataFrame:
+    """Score a batch with a fastText-shaped model (``predict(list[str]) ->
+    (labels, probs)`` with '__label__xx' labels). Factored out of the UDF so
+    the init/predict path is unit-testable with a stub model."""
+    cleaned = [(t if t is not None else "").replace("\n", " ") for t in texts]
+    labels, probs = model.predict(cleaned)
+    return pd.DataFrame(
+        {
+            "score": [float(p[0]) for p in probs],
+            "lang": [l[0].replace("__label__", "").upper() for l in labels],
+        }
+    )
+
+
+def fasttext_langid_udf(model_filename: str = "lid.176.bin"):
+    """langid UDF backed by the real fastText model when available.
+
+    Same LANGID_SCHEMA interface as langid_udf — `curate()` consumers only
+    project .lang, so swapping scorers never changes the plan. Ship the
+    model with `spark-submit --files lid.176.bin`; when the file or the
+    fasttext package is absent each worker falls back to the deterministic
+    lexicon scorer (so local tests run unchanged)."""
+
+    @F.pandas_udf(LANGID_SCHEMA)
+    def _langid(texts: pd.Series) -> pd.DataFrame:
+        model = _load_fasttext(model_filename)
+        if model is None:
+            return _score_batch(texts.tolist())
+        return fasttext_batch(model, texts.tolist())
 
     return _langid
 
 
 def spark_langid_col(text: Column) -> Column:
-    """Pure-column rendering (JVM-side) of the same decision — lang only."""
+    """Pure-column rendering (JVM-side) of the same decision — lang only.
+
+    Single-pass formulation: one aggregate() over the word array with a
+    4-counter accumulator and a constant-folded word->bitmask map literal,
+    then argmax via array_position(votes, array_max(votes)) (first maximal
+    index == EN>ES>FR>DE tie-break). A naive chained-when argmax duplicates
+    each per-language hit expression exponentially (measured 25s vs 8s at
+    591k rows); the UDF rendering is faster still (~3s) and is the pipeline
+    default — this rendering exists for JVM-only runs and as the
+    DuckDB-checkable oracle query."""
     from .signals import TRIM_RE, WORD_SPLIT_RE
 
     t = F.lower(F.regexp_replace(F.replace(text, F.lit("\n"), F.lit(" ")), TRIM_RE, ""))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, WORD_SPLIT_RE)
     )
-    def _hits(markers: list[str]):
-        arr = F.array(*[F.lit(w) for w in markers])
-        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    entries = []
+    for w, m in sorted(_MARKER_MASK.items()):
+        entries += [F.lit(w), F.lit(m)]
+    marker_map = F.create_map(*entries)
 
-    hits = {lang: _hits(MARKERS[lang]) for lang in LANG_ORDER}
-    # argmax with EN>ES>FR>DE tie-break == strictly-greater chain
-    best = F.lit("EN")
-    best_hits = hits["EN"]
-    for lang in LANG_ORDER[1:]:
-        cond = hits[lang] > best_hits
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
-    return (
-        F.when(text.rlike(r"[一-鿿]"), F.lit("ZH"))
-        .when(best_hits > 0, best)
-        .when(text.rlike(r"[A-Za-z]"), F.lit("EN"))
-        .otherwise(F.lit("UNKNOWN"))
+    def _acc(acc, w):
+        m = F.coalesce(F.element_at(marker_map, w), F.lit(0))
+        return F.zip_with(
+            acc,
+            F.array(*[F.shiftright(m, i).bitwiseAND(F.lit(1)) for i in range(4)]),
+            lambda a, b: a + b,
+        )
+
+    votes = F.aggregate(words, F.array_repeat(F.lit(0), 4), _acc)
+    langs_lit = F.array(*[F.lit(lang) for lang in LANG_ORDER])
+    # bind votes once via a single-element transform (no let-expression in
+    # Spark SQL; re-stating `votes` would re-run the aggregate)
+    decide = F.element_at(
+        F.transform(
+            F.array(votes),
+            lambda v: F.when(
+                F.array_max(v) > 0,
+                F.element_at(langs_lit, F.array_position(v, F.array_max(v)).cast("int")),
+            ),
+        ),
+        1,
+    )
+    return F.when(text.rlike(r"[一-鿿]"), F.lit("ZH")).otherwise(
+        F.coalesce(
+            decide,
+            F.when(text.rlike(r"[A-Za-z]"), F.lit("EN")).otherwise(F.lit("UNKNOWN")),
+        )
     )
 
 

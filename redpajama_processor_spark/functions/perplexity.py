@@ -66,8 +66,74 @@ def train_bigram_lm(corpus: list[str]) -> dict:
     }
 
 
+def score_texts(texts, lm: dict) -> "np.ndarray":
+    """Vectorized batch scorer — THE arithmetic rendering, shared by the
+    pandas UDF and the pure-Python oracle so exact-equality tests hold.
+
+    Per batch: one flat (prev, w) walk builds the count arrays via C-speed
+    dict lookups (np.fromiter), then every probability/log is one numpy
+    pass over the whole batch; per-document log-sums use np.add.reduceat
+    (strictly sequential within a segment, so the sum order — and hence the
+    float64 result — is independent of how documents are batched together).
+    ``py_perplexity_reference`` is the straight-line spec this is tested
+    against (rtol 1e-12) to pin the arithmetic independently.
+    """
+    import numpy as np
+
+    uni, bi, ctx = lm["uni"], lm["bi"], lm["ctx"]
+    total, vocab = lm["total"], lm["vocab"]
+    tok_lists = [tokenize(t if t is not None else "") for t in texts]
+    n_docs = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
+    n = int(lens.sum())
+    out = np.full(n_docs, np.inf)
+    if n == 0:
+        return out
+
+    flat_prev: list[str] = []
+    flat_w: list[str] = []
+    for toks in tok_lists:
+        if toks:
+            flat_prev.append(BOS)
+            flat_prev.extend(toks[:-1])
+            flat_w.extend(toks)
+
+    bi_get, ctx_get, uni_get = bi.get, ctx.get, uni.get
+    bi_c = np.fromiter(
+        (bi_get(f"{a}\x00{b}", 0) for a, b in zip(flat_prev, flat_w)),
+        dtype=np.float64,
+        count=n,
+    )
+    ctx_c = np.fromiter(
+        (ctx_get(a, 0) for a in flat_prev), dtype=np.float64, count=n
+    )
+    uni_c = np.fromiter((uni_get(w, 0) for w in flat_w), dtype=np.float64, count=n)
+
+    # identical operand order to the straight-line spec:
+    # p = LB*(bi/ctx when ctx else 0) + LU*(uni/total) + LF/vocab
+    p_bi = np.divide(bi_c, ctx_c, out=np.zeros(n), where=ctx_c > 0)
+    p_uni = (uni_c / total) if total else np.zeros(n)
+    p = LAMBDA_BI * p_bi + LAMBDA_UNI * p_uni + (LAMBDA_UNIF / vocab)
+    logs = np.log(p)
+
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nz = lens > 0
+    seg_sums = np.add.reduceat(logs, starts[nz])
+    out[nz] = np.exp(-seg_sums / lens[nz])
+    return out
+
+
 def py_perplexity(text: str, lm: dict) -> float:
-    """Oracle scorer — identical arithmetic to the UDF."""
+    """Oracle scorer — same arithmetic as the UDF (both call score_texts)."""
+    return float(score_texts([text], lm)[0])
+
+
+def py_perplexity_reference(text: str, lm: dict) -> float:
+    """Straight-line spec rendering (per-token loop). Not used in the hot
+    path or the oracle; pins the arithmetic score_texts must reproduce,
+    tested at rtol 1e-12 (np.log/np.exp may differ from math.log/math.exp
+    by an ulp, far below the DEFAULT_MAX_PPL decision margin)."""
     toks = tokenize(text)
     if not toks:
         return float("inf")
@@ -92,13 +158,13 @@ def perplexity_udf(lm_broadcast):
 
     lm_broadcast: pyspark Broadcast of the train_bigram_lm() dict — the
     executors deserialize it once per python worker (same pattern as
-    broadcasting a KenLM binary per north_star).
+    broadcasting a KenLM binary per north_star). Scoring is the vectorized
+    score_texts batch path (one numpy pass per Arrow batch).
     """
 
     @F.pandas_udf(DoubleType())
     def _ppl(texts: pd.Series) -> pd.Series:
-        lm = lm_broadcast.value
-        return texts.map(lambda t: py_perplexity(t if t is not None else "", lm))
+        return pd.Series(score_texts(texts.tolist(), lm_broadcast.value))
 
     return _ppl
 

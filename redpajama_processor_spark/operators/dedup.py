@@ -258,7 +258,19 @@ def verify_pairs_jaccard(
 
     Two broadcast-or-shuffle hash joins pull both texts, then a pure-column
     set computation — no Python. Returns (src, dst, jaccard) >= threshold.
+
+    The docs side is first semi-joined to the ids appearing in pairs so the
+    shingle arrays are materialized ONLY for candidate documents — at corpus
+    scale the candidate set is orders of magnitude smaller than the corpus,
+    and computing shingles for every row just to join them away dominated
+    the stage otherwise.
     """
+    ids = (
+        pairs.select(F.col("src").alias(id_col))
+        .union(pairs.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    docs = docs.join(ids, id_col, "left_semi")
     l = docs.select(
         F.col(id_col).alias("src"),
         H.shingles_col(F.col(text_col), ngram).alias("_sh_l"),

@@ -51,9 +51,9 @@ from .functions.textclean import py_clean_text
 from .operators.convdup import CONV_DUP_MAX
 
 FUZZY_NUM_PERM = 64
-FUZZY_BANDS = 16
+FUZZY_BANDS = 8
 FUZZY_JACCARD = 0.8
-FUZZY_VERIFY = True  # must track pipeline.FUZZY_VERIFY (asserted in tests)
+FUZZY_VERIFY = True  # constants must track pipeline.* (asserted in tests)
 
 
 def doc_key(conv_id: str, turn_idx: int) -> str:

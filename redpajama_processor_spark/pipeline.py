@@ -4,9 +4,11 @@ Stage order and drop_rule precedence are specified in oracle.py (which is
 the verification rendering of the same spec). This module is the
 DISTRIBUTED rendering:
 
-  langid      -> vectorized Arrow pandas UDF (per-executor model state, the
-                 fastText shape; a pure-column fallback exists for
-                 JVM-only runs) — reference step3
+  langid      -> vectorized-BATCH Arrow pandas UDF (flat numpy vote count,
+                 no per-row scoring loop; fastText-shaped, swap in
+                 fasttext_langid_udf on a cluster). A pure-column JVM
+                 rendering exists behind use_native_langid=True —
+                 reference step3
   clean       -> native replace/translate chain — reference step4
   exact_dup   -> md5 + window keep-first (one hash shuffle) — reference
                  step5, minus its driver-side .isin() bug
@@ -16,8 +18,11 @@ DISTRIBUTED rendering:
                  step7
   conv_dup    -> groupBy-based cross-turn repeated-line ratio with explicit
                  skew-safe aggregation — north_star transcript addition
-  perplexity  -> Arrow pandas UDF over a broadcast bigram LM
-  scrub       -> Arrow pandas UDF chain -> scrubbed_text + per-rule counts
+  perplexity  -> Arrow pandas UDF over a broadcast bigram LM (numpy batch
+                 scoring; the only Python stage left in the hot path)
+  scrub       -> native regexp_replace/regexp_count chain by default ->
+                 scrubbed_text + per-rule counts (UDF variant retained
+                 behind use_native_scrub=False)
 
 Shuffle budget (the 100 TB question): langid/clean/heuristics/perplexity/
 scrub are ALL narrow (zero shuffles — they pipeline into the scan). The
@@ -47,24 +52,27 @@ def _tick(label: str, t0: float) -> float:
 from .functions import signals as S
 from .functions.langid import langid_udf, spark_langid_col
 from .functions.perplexity import DEFAULT_MAX_PPL, perplexity_udf, train_bigram_lm
-from .functions.scrub import SCRUB_RULES, scrub_udf
+from .functions.scrub import SCRUB_RULES, scrub_udf, spark_scrub_cols
 from .functions.textclean import clean_text_col
 from .operators import dedup as D
 from .operators.convdup import CONV_DUP_MAX, conv_dup_ratio
 
 # LSH configuration. The reference runs 260 perms / 20 bands (13 rows per
 # band -> S-curve knee (1/20)^(1/13) ~ 0.79; step6_fuzzy_deduplication.py:
-# 49-51) with NO Jaccard verification — safe only because at that knee a
-# band collision between unrelated documents is ~10^-6-rare. We run 64/16
-# (4 rows per band, knee (1/16)^(1/4) ~ 0.50, ~2x faster end-to-end at 591k
-# turns) and therefore MUST verify: with FUZZY_VERIFY every candidate star
-# edge is re-checked with exact shingle Jaccard >= FUZZY_JACCARD before
-# connected components, so a low-knee band collision cannot merge unrelated
-# families (the silent-over-removal mode — one collision would otherwise
-# drop every member of both families except the global min id). Set 260/20 +
-# verify=False for literal reference-parameter runs.
+# 49-51) with NO Jaccard verification — tolerable only because at that knee
+# a band collision between unrelated documents is ~10^-6-rare. We run 64
+# perms / 8 bands (8 rows per band, knee (1/8)^(1/8) ~ 0.77 — essentially
+# the reference curve at a quarter of the signature cost) AND verify: every
+# candidate star edge is re-checked with exact shingle Jaccard >=
+# FUZZY_JACCARD before connected components, so a band collision between
+# unrelated documents cannot merge their families (the silent-over-removal
+# mode — one collision would otherwise drop every member of both families
+# except the global min id). The 8-row bands also keep the candidate set
+# small (a J=0.5 pair collides ~3% of the time vs ~90% at 4-row bands),
+# which is what makes verification cheap. Set 260/20 + verify=False for
+# literal reference-parameter runs.
 FUZZY_NUM_PERM = 64
-FUZZY_BANDS = 16
+FUZZY_BANDS = 8
 FUZZY_JACCARD = 0.8
 FUZZY_VERIFY = True
 
@@ -79,6 +87,7 @@ def curate(
     lm: dict | None = None,
     use_native_langid: bool = False,
     use_numpy_minhash: bool = True,
+    use_native_scrub: bool = True,
     run_fuzzy: bool = True,
     dedup_labels: DataFrame | None = None,
 ) -> DataFrame:
@@ -91,7 +100,15 @@ def curate(
     component) table. Dedup is CORPUS-GLOBAL; when curating bucket-by-bucket
     (checkpointed resume), compute the labels once over the whole corpus
     (``dedup_labels_for``) and pass them here — running dedup inside a
-    bucket would only see within-bucket duplicates."""
+    bucket would only see within-bucket duplicates.
+
+    use_native_langid: False (default) runs the vectorized-batch langid UDF
+    (flat numpy vote counting, no per-row scoring loop — measured 3s vs the
+    pure-column rendering's 8s at 591k rows, because per-token work is one
+    dict-get); True switches to the JVM-only column rendering. Both produce
+    identical labels (tested). use_native_scrub: True (default) runs the
+    native regexp chain; False the pandas-UDF scrubber (the learned-scrubber
+    integration point)."""
     if lm is None:
         from .datagen import lm_corpus
 
@@ -122,7 +139,7 @@ def curate(
                 "component": F.coalesce("component", F.col("_key")),
             }
         )
-        return _annotate_rest(df, lm_b)
+        return _annotate_rest(df, lm_b, use_native_scrub)
 
     # --- exact dedup among langid survivors ------------------------------
     en = df.filter(F.col("language") == "EN").select(
@@ -167,10 +184,10 @@ def curate(
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
-    return _annotate_rest(df, lm_b)
+    return _annotate_rest(df, lm_b, use_native_scrub)
 
 
-def _annotate_rest(df: DataFrame, lm_b) -> DataFrame:
+def _annotate_rest(df: DataFrame, lm_b, use_native_scrub: bool = True) -> DataFrame:
     """Signals, conv-dup, perplexity, scrub, final keep/drop (narrow except
     the conv_dup partial-agg shuffles)."""
     # --- heuristic signals (native columns; zero shuffle) -----------------
@@ -192,18 +209,26 @@ def _annotate_rest(df: DataFrame, lm_b) -> DataFrame:
         "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
     )
 
-    # --- perplexity + scrub (Arrow UDFs, narrow) ---------------------------
-    df = df.withColumns(
-        {
-            "perplexity": perplexity_udf(lm_b)(F.col("clean_text")),
-            "_scr": scrub_udf()(F.col("clean_text")),
-        }
-    )
-    df = df.withColumns(
-        {"scrubbed_text": F.col("_scr.scrubbed_text")}
-        | {f"n_{name}": F.col(f"_scr.n_{name}") for name, _, _ in SCRUB_RULES}
-    )
-    df = df.drop("_scr")
+    # --- perplexity (vectorized Arrow UDF) + scrub (native regexp chain,
+    # whole-stage codegen; the UDF variant stays behind use_native_scrub
+    # for learned-scrubber integrations) — both narrow -----------------------
+    df = df.withColumn("perplexity", perplexity_udf(lm_b)(F.col("clean_text")))
+    if use_native_scrub:
+        scr = spark_scrub_cols(F.col("clean_text"))
+        df = df.withColumns(
+            {"scrubbed_text": scr["scrubbed_text"]}
+            | {
+                f"n_{name}": scr[f"n_{name}"].cast("int")
+                for name, _, _ in SCRUB_RULES
+            }
+        )
+    else:
+        df = df.withColumn("_scr", scrub_udf()(F.col("clean_text")))
+        df = df.withColumns(
+            {"scrubbed_text": F.col("_scr.scrubbed_text")}
+            | {f"n_{name}": F.col(f"_scr.n_{name}") for name, _, _ in SCRUB_RULES}
+        )
+        df = df.drop("_scr")
 
     # --- final keep / drop_rule precedence ---------------------------------
     drop_rule = (

@@ -142,3 +142,115 @@ def test_py_xxh64_matches_spark(spark):
         u = py_xxh64(texts[r["i"]].encode("utf-8"), 42)
         assert u == (r["h"] & M), texts[r["i"]]
         assert (u & MASK30) == r["h30"]
+
+
+def test_score_texts_matches_straightline_reference():
+    """The vectorized batch scorer must reproduce the per-token straight-line
+    spec (rtol 1e-12 — np.log vs math.log may differ by an ulp), and batching
+    must not change values (reduceat keeps per-segment order sequential)."""
+    import numpy as np
+
+    from redpajama_processor_spark.datagen import lm_corpus
+    from redpajama_processor_spark.functions.perplexity import (
+        py_perplexity_reference,
+        score_texts,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(lm_corpus(50))
+    texts = [
+        "the cat sat on the table",
+        "",
+        "zxqj vwpk rrgh unseen tokens here",
+        "data table query spark filter quality",
+        "   ",
+        "the the the the",
+    ]
+    batched = score_texts(texts, lm)
+    solo = np.array([score_texts([t], lm)[0] for t in texts])
+    ref = np.array([py_perplexity_reference(t, lm) for t in texts])
+    finite = np.isfinite(ref)
+    assert (batched[finite] == solo[finite]).all(), "batching changed values"
+    assert np.isinf(batched[~finite]).all() and np.isinf(solo[~finite]).all()
+    assert np.allclose(batched[finite], ref[finite], rtol=1e-12)
+
+
+def test_pipeline_udf_and_native_paths_agree(spark):
+    """use_native_langid/use_native_scrub toggles must not change output."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas, lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.pipeline import curate
+
+    corpus = gen_turns_pandas(12)
+    lm = train_bigram_lm(lm_corpus())
+    cols = ["conv_id", "turn_idx", "language", "keep", "drop_rule",
+            "scrubbed_text", "n_email", "n_profanity"]
+
+    def run(**kw):
+        return (
+            curate(spark, spark.createDataFrame(corpus), lm, **kw)
+            .select(*cols)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    native = run()
+    udf = run(use_native_langid=False, use_native_scrub=False)
+    for c in cols:
+        a, b = native[c], udf[c]
+        assert (a.fillna("~") == b.fillna("~")).all() if a.dtype == object else (a == b).all(), c
+
+
+def test_langid_batch_scorer_matches_py():
+    """The vectorized batch body must equal the straight-line py_langid on
+    every stratum, including None/empty/CJK/ascii-fallback edges."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas
+    from redpajama_processor_spark.functions.langid import _score_batch, py_langid
+
+    texts = list(gen_turns_pandas(8)["text"]) + [
+        "", "   ", None, "今天天气很好", "zzz qqq", "12345", "le chat est la",
+    ]
+    out = _score_batch(texts)
+    for t, s, lang in zip(texts, out["score"], out["lang"]):
+        es, el = py_langid(t if t is not None else "")
+        assert lang == el, t
+        assert s == es, t
+
+
+def test_fasttext_stub_model_path():
+    """fasttext_batch drives a fastText-shaped stub model (labels/probs
+    protocol), and _load_fasttext degrades to None in this sandbox."""
+    from redpajama_processor_spark.functions.langid import (
+        _load_fasttext,
+        fasttext_batch,
+    )
+
+    class StubModel:
+        def predict(self, texts):
+            assert all("\n" not in t for t in texts), "reference flattens newlines"
+            return (
+                [["__label__en"] if "the" in t else ["__label__fr"] for t in texts],
+                [[0.9] for _ in texts],
+            )
+
+    df = fasttext_batch(StubModel(), ["the cat\nsat", "le chat", None])
+    assert list(df["lang"]) == ["EN", "FR", "FR"]
+    assert list(df["score"]) == [0.9, 0.9, 0.9]
+    assert _load_fasttext("lid.176.bin") is None  # sandbox: no fasttext
+
+
+def test_fasttext_udf_falls_back_to_lexicon(spark):
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.functions.langid import (
+        fasttext_langid_udf,
+        langid_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("le chat est dans la maison",)], "text string"
+    )
+    a = df.select(fasttext_langid_udf()(F.col("text")).alias("s")).collect()
+    b = df.select(langid_udf()(F.col("text")).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]
