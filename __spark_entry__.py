@@ -397,8 +397,11 @@ def q_doc_jaccard_pairs(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
+    """SimHash via the hybrid numpy path; the DuckDB oracle recomputes the
+    pure-SQL rendering, so equality proves hybrid == SQL == (simhash_col,
+    tested separately)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", H.simhash_col(F.col("text")).alias("simhash"))
+    return H.add_simhash(d, "text").select("doc_id", "simhash")
 
 
 def q_doc_tokens(spark, sf_dir):

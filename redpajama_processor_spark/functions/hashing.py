@@ -336,6 +336,66 @@ def simhash_col(text: Column, bits: int = HASH_BITS) -> Column:
     return out
 
 
+def simhash_votes_udf(bits: int = HASH_BITS):
+    """Hybrid scale path for SimHash: token base hashes come in JVM-computed
+    (one md5 pass), the (n_tokens x bits) vote matrix and popcount-style
+    bit packing run in numpy per Arrow batch — one pass over the tokens
+    instead of `bits` separate aggregate() traversals (the JVM rendering's
+    cost shape). Same values as simhash_col (integer arithmetic, tested)."""
+    import numpy as np
+
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    powers = 1 << np.arange(bits, dtype=np.int64)
+    CHUNK_TOKENS = 40_000
+
+    @F.pandas_udf(LongType())
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        vals = hashes.values
+        n = len(vals)
+        lens = np.fromiter((len(h) for h in vals), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.int64)
+        i = 0
+        while i < n:
+            j = i
+            total = 0
+            while j < n and (total == 0 or total + lens[j] <= CHUNK_TOKENS):
+                total += lens[j]
+                j += 1
+            idx = [k for k in range(i, j) if lens[k] > 0]
+            if idx:
+                flat = np.concatenate(
+                    [np.asarray(vals[k], dtype=np.uint64) for k in idx]
+                )
+                signs = (
+                    ((flat[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    * 2
+                    - 1
+                )
+                starts = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=starts[1:])
+                votes = np.add.reduceat(signs, starts, axis=0)
+                sh = ((votes > 0).astype(np.int64) * powers).sum(axis=1)
+                for pos, k in enumerate(idx):
+                    out[k] = sh[pos]
+            i = j
+        return pd.Series(out)
+
+    return _simhash
+
+
+def add_simhash(df, text_col: str = "text", out_col: str = "simhash", bits: int = HASH_BITS):
+    """df + simhash column via the hybrid path (JVM token hashes -> numpy
+    votes). Use simhash_col for the single-expression JVM/oracle rendering."""
+    t = F.regexp_replace(F.col(text_col), TRIM_RE, "")
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.split(t, WORD_SPLIT_RE))
+    )
+    hashes = F.transform(toks, base_hash_col)
+    return df.withColumn(out_col, simhash_votes_udf(bits)(hashes))
+
+
 def duckdb_simhash_sql(text: str, bits: int = HASH_BITS) -> str:
     t = f"regexp_replace({text}, '{TRIM_RE}', '', 'g')"
     toks = (

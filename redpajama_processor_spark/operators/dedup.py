@@ -295,6 +295,7 @@ def verify_pairs_jaccard(
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Hash-min label propagation + pointer jumping over an undirected
     edge list.
@@ -315,19 +316,28 @@ def connected_components(
     At 10^12 scale: each iteration is one shuffle of the label table (the
     candidate subgraph, orders of magnitude smaller than the corpus) plus
     one self-join of labels; AQE coalesces the shrinking frontier.
+    stage_dir routes the per-round lineage cuts through parquet stage
+    tables (fault-tolerant; see operators/stage.py) instead of
+    executor-local checkpoint blocks.
     """
-    sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .localCheckpoint(eager=True)
+    from .stage import cut
+
+    sym = cut(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        ),
+        stage_dir,
+        "cc_sym",
     )
-    labels = (
+    labels = cut(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id"))
-    ).localCheckpoint(eager=True)
+        .withColumn("component", F.col("id")),
+        stage_dir,
+        "cc_labels_init",
+    )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
@@ -345,15 +355,17 @@ def connected_components(
             # the label table, so the left join below always finds them
             F.coalesce(F.col("_jcomp"), F.col("component")),
         )
-        new_labels = (
+        new_labels = cut(
             labels.join(nbr, labels.id == nbr.a, "left")
             .join(jump, labels.component == F.col("_jid"), "left")
             .select(
                 "id",
                 best.alias("component"),
                 (best < F.col("component")).alias("_chg"),
-            )
-        ).localCheckpoint(eager=True)
+            ),
+            stage_dir,
+            f"cc_labels_{it % 2}",  # alternate: round reads one, writes the other
+        )
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if _TIMING:
@@ -379,6 +391,8 @@ def fuzzy_dedup(
     base: str = "md5",
     bands_per_pass: int | None = None,
     max_bucket: int | None = None,
+    stage_dir: str | None = None,
+    stage_reuse: bool = False,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline -> df + (component, is_fuzzy_dup).
 
@@ -400,42 +414,60 @@ def fuzzy_dedup(
     n_docs * bands (the reference's buckets_per_shuffle memory bound,
     step6:107,132). Final components are identical: edges are unioned across
     passes before CC.
+
+    stage_dir: route lineage cuts (pairs, CC rounds) through parquet stage
+    tables instead of localCheckpoint — the fault-tolerant cluster path;
+    with stage_reuse=True a restarted run resumes from the persisted pairs
+    stage (see operators/stage.py).
     """
+    from .stage import cut
+
     sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy, base)
     key_hash = "md5" if base == "md5" else "xxhash"
-    if bands_per_pass is None:
-        buckets = lsh_buckets(sigs, num_perm, bands, id_col, key_hash=key_hash)
-        pairs = buckets_to_edges(buckets, id_col, max_bucket=max_bucket)
-    else:
-        # banded iteration: minhash signatures are computed once (checkpoint),
-        # then each pass explodes only its band group
-        sigs = sigs.localCheckpoint(eager=True)
-        parts = []
-        for lo in range(0, bands, bands_per_pass):
-            subset = list(range(lo, min(lo + bands_per_pass, bands)))
-            b = lsh_buckets(
-                sigs, num_perm, bands, id_col, key_hash=key_hash, band_subset=subset
-            )
-            # checkpoint per pass: bounds live shuffle state to one band group
-            parts.append(
-                buckets_to_edges(b, id_col, max_bucket=max_bucket)
-                .localCheckpoint(eager=True)
-            )
-        pairs = parts[0]
-        for p in parts[1:]:
-            pairs = pairs.union(p)
-        pairs = pairs.distinct()
-    if verify:
-        pairs = verify_pairs_jaccard(
-            pairs, df, text_col, id_col, ngram, jaccard_threshold
-        ).select("src", "dst")
-    # cut lineage before the iterative CC loop (it re-references pairs every
-    # round; without this the whole minhash+LSH+verify DAG re-executes per
-    # iteration)
     t0 = time.time()
-    pairs = pairs.localCheckpoint(eager=True)
+    reuse_pairs = (
+        stage_dir is not None
+        and stage_reuse
+        and os.path.exists(os.path.join(stage_dir, "fz_pairs", "_SUCCESS"))
+    )
+    if reuse_pairs:
+        pairs = df.sparkSession.read.parquet(os.path.join(stage_dir, "fz_pairs"))
+    else:
+        if bands_per_pass is None:
+            buckets = lsh_buckets(sigs, num_perm, bands, id_col, key_hash=key_hash)
+            pairs = buckets_to_edges(buckets, id_col, max_bucket=max_bucket)
+        else:
+            # banded iteration: minhash signatures are computed once (cut),
+            # then each pass explodes only its band group
+            sigs = cut(sigs, stage_dir, "fz_sigs")
+            parts = []
+            for lo in range(0, bands, bands_per_pass):
+                subset = list(range(lo, min(lo + bands_per_pass, bands)))
+                b = lsh_buckets(
+                    sigs, num_perm, bands, id_col, key_hash=key_hash, band_subset=subset
+                )
+                # cut per pass: bounds live shuffle state to one band group
+                parts.append(
+                    cut(
+                        buckets_to_edges(b, id_col, max_bucket=max_bucket),
+                        stage_dir,
+                        f"fz_pass_{lo}",
+                    )
+                )
+            pairs = parts[0]
+            for p in parts[1:]:
+                pairs = pairs.union(p)
+            pairs = pairs.distinct()
+        if verify:
+            pairs = verify_pairs_jaccard(
+                pairs, df, text_col, id_col, ngram, jaccard_threshold
+            ).select("src", "dst")
+        # cut lineage before the iterative CC loop (it re-references pairs
+        # every round; without this the whole minhash+LSH+verify DAG
+        # re-executes per iteration)
+        pairs = cut(pairs, stage_dir, "fz_pairs")
     t0 = _tick("minhash+lsh+edges+verify (pairs ckpt)", t0)
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, stage_dir=stage_dir)
     t0 = _tick("connected components", t0)
     out = df.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
@@ -471,7 +503,9 @@ def simhash_dedup(
     bits/band_bits bands of band_bits bits each; docs sharing ANY band are
     candidates (catches Hamming distance < bits/band_bits by pigeonhole).
     """
-    sh = df.select(id_col, H.simhash_col(F.col(text_col), bits).alias("_simhash"))
+    sh = H.add_simhash(df.select(id_col, text_col), text_col, "_simhash", bits).select(
+        id_col, "_simhash"
+    )
     n_bands = bits // band_bits
     bands_arr = F.array(
         *[
@@ -503,15 +537,29 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 12,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: sign-random-projection LSH buckets ->
     exact cosine verify inside buckets. See ann.py for the projection spec.
+
+    max_bucket: width guard for the within-bucket self-join (quadratic in
+    bucket width). When set, each bucket is truncated to its max_bucket
+    smallest ids (deterministic), bounding pairs at m*(m-1)/2 per bucket —
+    the degenerate case (a corpus of near-identical vectors collapsing into
+    one bucket) otherwise self-joins the whole corpus.
     """
     from .ann import srp_bucket_col, cosine_col
 
     b = emb.select(
         id_col, vec_col, srp_bucket_col(F.col(vec_col), n_planes).alias("bucket")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket").orderBy(F.col(id_col))
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     l = b.alias("l")
     r = b.alias("r")
     pairs = (

@@ -1,0 +1,41 @@
+"""Lineage cuts: executor-local (fast) vs persisted stage tables (cluster).
+
+``localCheckpoint(eager=True)`` materializes blocks on executors — the right
+cut for local/iterative work, but executor loss discards the blocks, so at
+cluster scale a late-stage failure restarts the whole job. The reference
+avoids this implicitly by writing parquet between steps
+(/root/reference/step6_fuzzy_deduplication.py:251); ``cut()`` makes the same
+choice explicit: pass ``stage_dir`` to route every lineage cut through a
+parquet stage table (fault-tolerant, and a restarted driver resumes from it
+via ``reuse=True``), or leave it None for localCheckpoint.
+
+With Iceberg on the classpath a stage table would be a real table write; the
+parquet layout here is the same pattern (overwrite-idempotent, _SUCCESS
+marker as the commit record).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def cut(df: DataFrame, stage_dir: str | None, name: str, reuse: bool = False) -> DataFrame:
+    """Materialize df and return a lineage-free handle to the result.
+
+    stage_dir None   -> df.localCheckpoint(eager=True)  (executor-local)
+    stage_dir set    -> write parquet to <stage_dir>/<name>, read back
+    reuse=True       -> if <stage_dir>/<name>/_SUCCESS already exists, skip
+                        the write and read the persisted stage — the
+                        resume-after-driver-kill path. Only sound when the
+                        upstream input is unchanged; callers own that
+                        invariant (the checkpoint table records it).
+    """
+    if stage_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(stage_dir, name)
+    spark = df.sparkSession
+    if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

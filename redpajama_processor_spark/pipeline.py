@@ -90,6 +90,8 @@ def curate(
     use_native_scrub: bool = True,
     run_fuzzy: bool = True,
     dedup_labels: DataFrame | None = None,
+    stage_dir: str | None = None,
+    stage_reuse: bool = False,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,
     scrubbed text, keep and drop_rule. Never physically drops rows —
@@ -108,7 +110,13 @@ def curate(
     dict-get); True switches to the JVM-only column rendering. Both produce
     identical labels (tested). use_native_scrub: True (default) runs the
     native regexp chain; False the pandas-UDF scrubber (the learned-scrubber
-    integration point)."""
+    integration point).
+
+    stage_dir: when set, every lineage cut (the annotated base, fuzzy pairs,
+    CC rounds) is a parquet stage table instead of a localCheckpoint — the
+    fault-tolerant cluster path (executor loss cannot discard a stage; a
+    killed driver resumes with stage_reuse=True, skipping stages whose
+    _SUCCESS marker exists)."""
     if lm is None:
         from .datagen import lm_corpus
 
@@ -125,10 +133,12 @@ def curate(
     df = df.withColumn("clean_text", clean_text_col(F.col("text")))
     # Materialize the UDF-annotated base ONCE: every later stage (exact dedup,
     # fuzzy dedup, conv_dup, final join-backs) branches from this lineage, and
-    # without a cut Spark would re-run the langid UDF per branch. On a cluster
-    # this would be a persisted intermediate (or Iceberg stage table).
+    # without a cut Spark would re-run the langid UDF per branch. stage_dir
+    # makes this a persisted stage table (the cluster path).
+    from .operators.stage import cut
+
     t0 = time.time()
-    df = df.localCheckpoint(eager=True)
+    df = cut(df, stage_dir, "base", reuse=stage_reuse)
     t0 = _tick("base (langid+clean ckpt)", t0)
 
     if dedup_labels is not None:
@@ -166,6 +176,8 @@ def curate(
             use_numpy=use_numpy_minhash,
             verify=FUZZY_VERIFY,
             base="xxhash",
+            stage_dir=stage_dir,
+            stage_reuse=stage_reuse,
         ).select(
             F.col("doc_id").alias("_key"),
             F.col("is_fuzzy_dup"),

@@ -97,3 +97,44 @@ def test_bucketwise_curate_with_global_labels_equals_global(spark, tmp_path):
     assert (
         glob["drop_rule"].fillna("~") == via["drop_rule"].fillna("~")
     ).all()
+
+
+def test_stage_dir_lineage_cuts_and_resume(spark, tmp_path):
+    """stage_dir routes lineage cuts through parquet stage tables (identical
+    output), and stage_reuse=True resumes from the persisted stages: feeding
+    a DIFFERENT input with reuse on must still return the persisted run's
+    labels, proving the base/pairs stages were read, not recomputed."""
+    import os
+
+    from redpajama_processor_spark.datagen import gen_turns_pandas, lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.pipeline import curate
+
+    corpus = gen_turns_pandas(15)
+    lm = train_bigram_lm(lm_corpus())
+    d = str(tmp_path / "stages")
+    cols = ["conv_id", "turn_idx", "keep", "drop_rule"]
+
+    def run(src, **kw):
+        return (
+            curate(spark, spark.createDataFrame(src), lm, **kw)
+            .select(*cols)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    plain = run(corpus)
+    staged = run(corpus, stage_dir=d)
+    assert (plain["keep"] == staged["keep"]).all()
+    assert (plain["drop_rule"].fillna("~") == staged["drop_rule"].fillna("~")).all()
+    for stage in ("base", "fz_pairs", "cc_sym"):
+        assert os.path.exists(os.path.join(d, stage, "_SUCCESS")), stage
+
+    corrupted = corpus.copy()
+    corrupted["text"] = "zzz qqq corrupted replacement text"
+    resumed = run(corrupted, stage_dir=d, stage_reuse=True)
+    assert (resumed["keep"] == staged["keep"]).all(), "did not resume from stages"
+    assert (
+        resumed["drop_rule"].fillna("~") == staged["drop_rule"].fillna("~")
+    ).all()

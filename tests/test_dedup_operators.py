@@ -290,3 +290,29 @@ def test_oracle_and_pipeline_verify_flags_agree():
     assert oracle.FUZZY_NUM_PERM == pipeline.FUZZY_NUM_PERM
     assert oracle.FUZZY_BANDS == pipeline.FUZZY_BANDS
     assert oracle.FUZZY_JACCARD == pipeline.FUZZY_JACCARD
+
+
+def test_simhash_hybrid_matches_jvm(spark):
+    """add_simhash (numpy votes) must equal simhash_col (JVM aggregate)."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas
+
+    pdf = gen_turns_pandas(6)[["text"]].reset_index().rename(columns={"index": "doc_id"})
+    pdf.loc[len(pdf)] = [len(pdf), ""]
+    pdf.loc[len(pdf)] = [len(pdf), "   "]
+    df = spark.createDataFrame(pdf)
+    jvm = {r.doc_id: r.s for r in df.select("doc_id", H.simhash_col(F.col("text")).alias("s")).collect()}
+    hyb = {r.doc_id: r.simhash for r in H.add_simhash(df, "text").select("doc_id", "simhash").collect()}
+    assert jvm == hyb
+
+
+def test_embedding_neardup_bucket_width_guard(spark):
+    """Adversarial: 200 identical vectors -> one SRP bucket. Uncapped would
+    emit 19900 pairs; max_bucket=10 bounds it at 45."""
+    vec = [float(x) for x in range(8)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    capped = D.embedding_neardup_pairs(df, threshold=0.99, n_planes=6, max_bucket=10)
+    rows = capped.collect()
+    assert len(rows) == 45
+    assert {r.src for r in rows} | {r.dst for r in rows} == set(range(10))
