@@ -524,6 +524,158 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_doc_fuzzy_components(spark, sf_dir):
+    """Connected components over the LSH candidate star edges — the CC
+    operator's own oracle (DuckDB: WITH RECURSIVE reachability closure +
+    MIN over reachable ids)."""
+    pairs = q_doc_lsh_pairs(spark, sf_dir)
+    comp = D.connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcript-core: the curation stage battery (langid -> clean -> exact-dup
+# -> heuristics -> conv-dup -> scrub, fuzzy/perplexity excluded) over a
+# transcript-shaped table derived deterministically from `documents`, so the
+# flagship stage chain is fully DuckDB-oracled (fuzzy CC is oracled by
+# doc_fuzzy_components; perplexity's broadcast LM is not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+def _doc_turns(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.format_string("conv-%04d", (F.col("doc_id") % 40).cast("int")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 40).cast("int").alias("turn_idx"),
+        "text",
+    )
+
+
+_SQL_DOC_TURNS = (
+    "(SELECT printf('conv-%04d', CAST(doc_id % 40 AS INT)) AS conv_id, "
+    "CAST(doc_id // 40 AS INT) AS turn_idx, text FROM documents)"
+)
+
+
+def q_transcript_core(spark, sf_dir):
+    from redpajama_processor_spark.functions.textclean import clean_text_col
+    from redpajama_processor_spark.operators.convdup import (
+        CONV_DUP_MAX,
+        conv_dup_ratio,
+    )
+
+    df = _doc_turns(spark, sf_dir).withColumn(
+        "_key", F.format_string("%s#%06d", F.col("conv_id"), F.col("turn_idx"))
+    )
+    df = df.withColumn("language", spark_langid_col(F.col("text")))
+    df = df.withColumn("clean_text", clean_text_col(F.col("text")))
+
+    en = df.filter(F.col("language") == "EN").select(
+        "_key", F.md5("clean_text").alias("_hash")
+    )
+    w = Window.partitionBy("_hash").orderBy("_key")
+    exact = en.withColumn("is_exact_dup", F.row_number().over(w) > 1).select(
+        "_key", "is_exact_dup"
+    )
+    df = df.join(exact, "_key", "left").withColumn(
+        "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
+    )
+
+    sig = S.spark_signal_cols(F.col("clean_text"))
+    hkeep, hrule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    df = df.withColumns({"_hkeep": hkeep, "_hrule": hrule})
+
+    cdr = conv_dup_ratio(
+        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    )
+    df = df.join(cdr, ["conv_id", "turn_idx"], "left").withColumn(
+        "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
+    )
+
+    scr = spark_scrub_cols(F.col("clean_text"))
+    drop = (
+        F.when(F.col("language") != "EN", F.lit("langid"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(~F.col("_hkeep"), F.col("_hrule"))
+        .when(F.col("conv_dup_ratio") > F.lit(CONV_DUP_MAX), F.lit("conv_dup_line"))
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "language",
+        "is_exact_dup",
+        "conv_dup_ratio",
+        drop.alias("core_drop_rule"),
+        drop.isNull().alias("core_keep"),
+        scr["scrubbed_text"].alias("scrubbed_text"),
+        *[
+            scr[f"n_{n}"].cast("long").alias(f"n_{n}")
+            for n, _, _ in SCRUB_RULES
+        ],
+    )
+
+
+def _transcript_core_sql() -> str:
+    from redpajama_processor_spark.functions.textclean import duckdb_clean_sql
+    from redpajama_processor_spark.operators.convdup import CONV_DUP_MAX
+
+    keep_sql, rule_sql = S.duckdb_keep_and_rule_sql(
+        S.duckdb_signal_sql("clean_text"), include_stopword_rule=True
+    )
+    scrub = duckdb_scrub_sql("clean_text")
+    drop = (
+        "CASE WHEN c.language <> 'EN' THEN 'langid' "
+        "WHEN COALESCE(e.is_exact_dup, FALSE) THEN 'exact_dup' "
+        f"WHEN NOT ({keep_sql}) THEN {rule_sql} "
+        f"WHEN COALESCE(r.conv_dup_ratio, 0.0) > {CONV_DUP_MAX} "
+        "THEN 'conv_dup_line' END"
+    )
+    n_cols = ", ".join(
+        f"CAST({scrub[f'n_{n}']} AS BIGINT) AS n_{n}" for n, _, _ in SCRUB_RULES
+    )
+    return f"""
+        WITH turns AS (SELECT * FROM {_SQL_DOC_TURNS}),
+        cleaned AS (
+          SELECT conv_id, turn_idx,
+                 conv_id || '#' || printf('%06d', turn_idx) AS _key,
+                 {duckdb_langid_sql('text')} AS language,
+                 {duckdb_clean_sql('text')} AS clean_text
+          FROM turns),
+        exact AS (
+          SELECT _key,
+                 row_number() OVER (PARTITION BY md5(clean_text) ORDER BY _key) > 1
+                   AS is_exact_dup
+          FROM cleaned WHERE language = 'EN'),
+        ne AS (
+          SELECT conv_id, turn_idx, trim(l) AS line
+          FROM cleaned, unnest(string_split(clean_text, chr(10))) AS t(l)
+          WHERE trim(l) <> ''),
+        first_seen AS (
+          SELECT conv_id, line, MIN(turn_idx) AS first_turn
+          FROM ne GROUP BY 1, 2),
+        cdr AS (
+          SELECT ne.conv_id, ne.turn_idx,
+                 CAST(SUM(CASE WHEN ne.turn_idx > fs.first_turn THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_dup_ratio
+          FROM ne JOIN first_seen fs
+            ON ne.conv_id = fs.conv_id AND ne.line = fs.line
+          GROUP BY 1, 2)
+        SELECT c.conv_id, c.turn_idx, c.language,
+               COALESCE(e.is_exact_dup, FALSE) AS is_exact_dup,
+               COALESCE(r.conv_dup_ratio, 0.0) AS conv_dup_ratio,
+               {drop} AS core_drop_rule,
+               ({drop}) IS NULL AS core_keep,
+               {scrub['scrubbed_text']} AS scrubbed_text,
+               {n_cols}
+        FROM cleaned c
+        LEFT JOIN exact e ON c._key = e._key
+        LEFT JOIN cdr r ON c.conv_id = r.conv_id AND c.turn_idx = r.turn_idx"""
+
+
 # ---------------------------------------------------------------------------
 # transcript pipeline (rows-only checks: not ANSI-SQL-expressible end-to-end)
 # ---------------------------------------------------------------------------
@@ -575,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_lsh_pairs": q_doc_lsh_pairs,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_fuzzy_components": q_doc_fuzzy_components,
+        "transcript_core": q_transcript_core,
         "doc_simhash": q_doc_simhash,
         "doc_tokens": q_doc_tokens,
         "doc_scrub": q_doc_scrub,
@@ -769,6 +923,24 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs JOIN docs a ON pairs.src = a.doc_id
               JOIN docs b ON pairs.dst = b.doc_id)
             WHERE jac >= {JACCARD_T}""",
+        "doc_fuzzy_components": f"""
+            {bands_near.replace("WITH ", "WITH RECURSIVE ", 1)},
+            edges AS (
+              SELECT DISTINCT h.hub AS src, b.doc_id AS dst
+              FROM bands b JOIN (
+                SELECT band_id, band_key, MIN(doc_id) AS hub
+                FROM bands GROUP BY 1, 2) h
+                ON b.band_id = h.band_id AND b.band_key = h.band_key
+               AND b.doc_id > h.hub),
+            sym AS (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM sym
+              UNION
+              SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+            SELECT id AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY id""",
+        "transcript_core": _transcript_core_sql(),
         "doc_simhash": (
             f"SELECT doc_id, {H.duckdb_simhash_sql('text')} AS simhash FROM documents"
         ),

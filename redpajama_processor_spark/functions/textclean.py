@@ -3,16 +3,28 @@
 Reference: /root/reference/step4_text_cleaning.py:71-77 applies NeMo
 Curator's ``Modify(UnicodeReformatter())`` — an ftfy-based pass fixing
 mojibake, exotic whitespace and quote variants. ftfy is not available in
-this sandbox, so this module fixes a *deterministic* cleaning spec covering
-the classes the reference targets (mojibake sequences, NBSP and zero-width
-characters, curly quotes/dashes), implemented twice:
+this sandbox, so this module fixes a *deterministic* cleaning spec and
+implements it three ways (Spark columns / DuckDB SQL / pure Python, all
+byte-identical):
 
-- ``clean_text_col``: native Spark expressions (replace + translate chain) —
-  JVM-side, codegen-friendly;
-- ``py_clean_text``: identical straight-line Python for the oracle.
+1. MOJIBAKE repair — the full UTF-8-double-encode space, derived
+   PROGRAMMATICALLY (public derivation, the same table ftfy targets): for
+   every codepoint in Latin-1 Supplement (U+00A0-U+00FF) plus the CP1252
+   extension set (curly quotes, dashes, ellipsis, euro, dagger, OE/S/Z
+   ligatures, ...), the broken form is its UTF-8 bytes mis-decoded as
+   "sloppy CP1252" (CP1252 where the five undefined bytes 0x81 0x8D 0x8F
+   0x90 0x9D fall back to Latin-1) — e.g. 'é' -> 'Ã©', '’' -> 'â€™'.
+   Repairs apply longest-first in a fixed order, each over the output of
+   the previous (Spark replace() semantics).
+2. MULTI normalization — one-to-many folds translate() cannot express
+   ('…' -> '...').
+3. CHAR_MAP translate — curly quotes/dashes to ASCII, NBSP-family to space.
+4. DELETE_CHARS — zero-width characters and BOM removed.
 
-The mapping is applied in a fixed order (multi-char mojibake first, then
-single-char translate) so both renderings produce byte-identical output.
+The repair pass is gated behind a cheap lead-char check (every mojibake
+sequence starts with one of 'ÂÃÅËâ', the sloppy-CP1252 decodings of the
+UTF-8 lead bytes C2 C3 C5 CB E2), so clean rows never pay for the ~120
+sequential replaces.
 """
 
 from __future__ import annotations
@@ -20,52 +32,112 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Common UTF-8-as-Latin-1 mojibake sequences (deterministic subset).
-MOJIBAKE: list[tuple[str, str]] = [
-    ("â€™", "'"),   # â€™  -> '
-    ("â€œ", '"'),   # â€œ  -> "
-    ("â€", '"'),   # â€�  -> "
-    ("â€“", "-"),   # â€“  -> -
-    ("â€¦", "..."), # â€¦  -> ...
-    ("Ã©", "é"),    # Ã©   -> é
-    ("Ã¨", "è"),    # Ã¨   -> è
-    ("Ã¤", "ä"),    # Ã¤   -> ä
-    ("Ã¶", "ö"),    # Ã¶   -> ö
-    ("Ã¼", "ü"),    # Ã¼   -> ü
+# --- programmatic mojibake table -------------------------------------------
+
+# CP1252 extension codepoints (the 0x80-0x9F graphic range) + Latin-1
+# Supplement: everything whose UTF-8-as-CP1252 double-encode is plausibly
+# seen in web text.
+_CP1252_EXT = [
+    0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6, 0x2030,
+    0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022,
+    0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x017E, 0x0178,
+]
+_TARGET_CODEPOINTS = list(range(0x00A0, 0x0100)) + _CP1252_EXT
+
+
+def _sloppy_cp1252_char(b: int) -> str:
+    """Decode one byte as CP1252, falling back to Latin-1 for the five
+    undefined bytes (ftfy's 'sloppy-windows-1252')."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def _build_mojibake() -> list[tuple[str, str]]:
+    pairs = []
+    for cp in _TARGET_CODEPOINTS:
+        good = chr(cp)
+        bad = "".join(_sloppy_cp1252_char(b) for b in good.encode("utf-8"))
+        pairs.append((bad, good))
+    # longest-first, then lexicographic: deterministic and prefix-safe
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return pairs
+
+
+MOJIBAKE: list[tuple[str, str]] = _build_mojibake()
+
+# Every mojibake sequence's first char (sloppy decodings of UTF-8 lead
+# bytes); used as the cheap "is repair even needed" gate in all renderings.
+MOJIBAKE_LEADS = "".join(sorted({bad[0] for bad, _ in MOJIBAKE}))
+
+# One-to-many folds (translate() is strictly 1:1).
+MULTI_MAP: list[tuple[str, str]] = [
+    ("…", "..."),  # ellipsis
 ]
 
 # Single-character normalizations: curly quotes, dashes, NBSP-family spaces.
 CHAR_MAP: list[tuple[str, str]] = [
-    ("\u2018", "'"),   # left single curly quote
-    ("\u2019", "'"),   # right single curly quote
-    ("\u201c", '"'),   # left double curly quote
-    ("\u201d", '"'),   # right double curly quote
-    ("\u2013", "-"),   # en dash
-    ("\u2014", "-"),   # em dash
-    ("\u00a0", " "),   # NBSP
-    ("\u2009", " "),   # thin space
-    ("\u202f", " "),   # narrow NBSP
+    ("‘", "'"),   # left single curly quote
+    ("’", "'"),   # right single curly quote
+    ("“", '"'),   # left double curly quote
+    ("”", '"'),   # right double curly quote
+    ("–", "-"),   # en dash
+    ("—", "-"),   # em dash
+    (" ", " "),   # NBSP
+    (" ", " "),   # thin space
+    (" ", " "),   # narrow NBSP
 ]
 
 # Characters deleted outright: zero-width space/joiner/non-joiner, BOM.
-DELETE_CHARS = "\u200b\u200c\u200d\ufeff"
+DELETE_CHARS = "​‌‍﻿"
+
+_LEAD_CLASS = "[" + MOJIBAKE_LEADS + "]"
 
 
 def clean_text_col(text: Column) -> Column:
     """Spark-native cleaning chain; same order as py_clean_text."""
-    c = text
+    repaired = text
     for src, dst in MOJIBAKE:
+        repaired = F.replace(repaired, F.lit(src), F.lit(dst))
+    c = F.when(text.rlike(_LEAD_CLASS), repaired).otherwise(text)
+    for src, dst in MULTI_MAP:
         c = F.replace(c, F.lit(src), F.lit(dst))
     src_chars = "".join(s for s, _ in CHAR_MAP) + DELETE_CHARS
     dst_chars = "".join(d for _, d in CHAR_MAP)
-    c = F.translate(c, src_chars, dst_chars)
-    return c
+    return F.translate(c, src_chars, dst_chars)
 
 
 def py_clean_text(text: str) -> str:
     """Oracle rendering — identical transformation order."""
-    for src, dst in MOJIBAKE:
+    if any(ch in _PY_LEADS for ch in text):
+        for src, dst in MOJIBAKE:
+            text = text.replace(src, dst)
+    for src, dst in MULTI_MAP:
         text = text.replace(src, dst)
-    table = {ord(s): d for s, d in CHAR_MAP}
-    table.update({ord(ch): None for ch in DELETE_CHARS})
-    return text.translate(table)
+    return text.translate(_PY_TABLE)
+
+
+_PY_LEADS = set(MOJIBAKE_LEADS)
+_PY_TABLE = {ord(s): d for s, d in CHAR_MAP}
+_PY_TABLE.update({ord(ch): None for ch in DELETE_CHARS})
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def duckdb_clean_sql(text: str) -> str:
+    """DuckDB rendering of the same chain. Intended for use behind a CTE
+    (the expression nests ~130 replace() calls); the lead-char gate keeps
+    it a CASE with the raw column on the common path."""
+    repaired = text
+    for src, dst in MOJIBAKE:
+        repaired = f"replace({repaired}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    lead_re = _sql_quote(_LEAD_CLASS)
+    c = f"CASE WHEN regexp_matches({text}, {lead_re}) THEN {repaired} ELSE {text} END"
+    for src, dst in MULTI_MAP:
+        c = f"replace({c}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    src_chars = "".join(s for s, _ in CHAR_MAP) + DELETE_CHARS
+    dst_chars = "".join(d for _, d in CHAR_MAP)
+    return f"translate({c}, {_sql_quote(src_chars)}, {_sql_quote(dst_chars)})"

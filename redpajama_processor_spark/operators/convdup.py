@@ -7,7 +7,9 @@ transcripts additionally need CROSS-TURN detection — an assistant that
 repeats the same paragraph across turns of one conversation.
 
 Semantics (fixed spec, mirrored in the oracle):
-  - lines of a turn = trim()-ed, non-empty pieces of split(text, '\\n')
+  - lines of a turn = trim()-ed, non-empty pieces of split(text, '\\n');
+    trim strips 0x20 ONLY (Spark trim() == DuckDB trim() == Python
+    .strip(' ') — Python's bare .strip() is Unicode-aware and would drift)
   - a line in turn t is REPEATED iff the same (conv_id, line) string
     occurred in any earlier turn (turn_idx' < t) of the same conversation
   - conv_dup_ratio(turn) = repeated_lines / lines (0.0 when no lines)
@@ -106,13 +108,13 @@ def py_conv_dup_ratios(turns: list[tuple[int, str]]) -> dict[int, float]:
     ordered = sorted(turns)
     ratios: dict[int, float] = {}
     for idx, text in ordered:
-        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln.strip(" ") for ln in text.split("\n")]
         lines = [ln for ln in lines if ln]
         for ln in lines:
             if ln not in first:
                 first[ln] = idx
     for idx, text in ordered:
-        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln.strip(" ") for ln in text.split("\n")]
         lines = [ln for ln in lines if ln]
         if not lines:
             ratios[idx] = 0.0

@@ -217,7 +217,7 @@ def oracle_labels(turns: pd.DataFrame, lm: dict) -> pd.DataFrame:
     conv_first: dict[tuple[str, str], int] = {}
     for _, r in df.iterrows():
         for ln in r["clean_text"].split("\n"):
-            ln = ln.strip()
+            ln = ln.strip(" ")  # 0x20 only — the fixed spec (convdup.py)
             if not ln:
                 continue
             k = (r["conv_id"], ln)
@@ -244,7 +244,7 @@ def oracle_labels(turns: pd.DataFrame, lm: dict) -> pd.DataFrame:
             if not k2:
                 keep, rule = False, r2
             else:
-                lines = [ln.strip() for ln in clean.split("\n")]
+                lines = [ln.strip(" ") for ln in clean.split("\n")]
                 lines = [ln for ln in lines if ln]
                 if lines:
                     rep = sum(

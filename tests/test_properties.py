@@ -85,3 +85,97 @@ def test_spark_matches_python_on_hypothesis_corpus(spark):
             assert r[k] == py[k], (repr(corpus[r["i"]]), k, r[k], py[k])
         pk, pr = S.py_keep_and_rule(py, include_stopword_rule=True)
         assert r["keep"] == pk and (r["drop_rule"] or None) == pr
+
+
+# --- full mojibake map properties (round 2) ---------------------------------
+
+from redpajama_processor_spark.functions.textclean import (  # noqa: E402
+    _TARGET_CODEPOINTS,
+    MOJIBAKE,
+    _sloppy_cp1252_char,
+)
+
+_TARGETS = {chr(c) for c in _TARGET_CODEPOINTS}
+
+
+def _mojify(s: str) -> str:
+    """Simulate the UTF-8-as-sloppy-CP1252 double-encode of target chars."""
+    out = []
+    for ch in s:
+        if ch in _TARGETS:
+            out.append("".join(_sloppy_cp1252_char(b) for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def test_mojibake_table_shape():
+    assert len(MOJIBAKE) == len(_TARGET_CODEPOINTS)
+    lens = [len(bad) for bad, _ in MOJIBAKE]
+    assert lens == sorted(lens, reverse=True), "longest-first order"
+    for bad, good in MOJIBAKE:
+        assert bad == _mojify(good), (bad, good)
+
+
+def test_every_mojibake_pair_repairs():
+    for bad, good in MOJIBAKE:
+        assert py_clean_text(bad) == py_clean_text(good), (bad, good)
+
+
+moji_alphabet = (
+    string.ascii_letters + " .,\n" + "".join(chr(c) for c in _TARGET_CODEPOINTS)
+)
+# For the round-trip property the SOURCE string must not itself contain a
+# mojibake-shaped bigram (e.g. 'Â'+NBSP IS the double-encode of NBSP): such
+# inputs are ambiguous by construction — ftfy has the same limit. Excluding
+# the six lead chars from the source alphabet removes exactly that class.
+from redpajama_processor_spark.functions.textclean import MOJIBAKE_LEADS  # noqa: E402
+
+clean_src_alphabet = "".join(ch for ch in moji_alphabet if ch not in MOJIBAKE_LEADS)
+moji_texts = st.text(alphabet=clean_src_alphabet, min_size=0, max_size=120)
+
+
+@given(moji_texts)
+@settings(max_examples=400, deadline=None)
+def test_clean_repairs_arbitrary_mojibake(s):
+    """clean(double_encode(s)) == clean(s) for any mix of target chars and
+    ASCII — the ftfy-fidelity property, derived not hand-picked."""
+    assert py_clean_text(_mojify(s)) == py_clean_text(s)
+
+
+def test_clean_spark_matches_python_on_mojibake(spark):
+    import random
+
+    rng = random.Random(7)
+    corpus = [
+        _mojify("".join(rng.choices(moji_alphabet, k=rng.randint(0, 120))))
+        for _ in range(300)
+    ] + [bad for bad, _ in MOJIBAKE]
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.functions.textclean import clean_text_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i int, text string"
+    )
+    rows = df.select("i", clean_text_col(F.col("text")).alias("c")).collect()
+    for r in rows:
+        assert r["c"] == py_clean_text(corpus[r["i"]]), repr(corpus[r["i"]])
+
+
+def test_clean_duckdb_matches_python_on_mojibake(duck):
+    import random
+
+    from redpajama_processor_spark.functions.textclean import duckdb_clean_sql
+
+    rng = random.Random(11)
+    corpus = [
+        _mojify("".join(rng.choices(moji_alphabet, k=rng.randint(0, 120))))
+        for _ in range(200)
+    ] + [bad for bad, _ in MOJIBAKE]
+    duck.execute("CREATE OR REPLACE TABLE _moji AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, ?)" for i in range(len(corpus)))
+                 + ") t(i, text)", corpus)
+    got = dict(duck.execute(f"SELECT i, {duckdb_clean_sql('text')} FROM _moji").fetchall())
+    for i, t in enumerate(corpus):
+        assert got[i] == py_clean_text(t), repr(t)
