@@ -467,6 +467,19 @@ def q_ann_srp_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse quantize -> probe nearest cells -> exact re-rank)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = ANN.ivf_topk(e, queries, k=5, n_centroids=16, n_probe=4)
+    return r.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"), "cosine",
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     emb = _emb_dup(spark, sf_dir)
     pairs = D.embedding_neardup_pairs(emb, threshold=0.99, n_planes=8)
@@ -735,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score": q_doc_quality_score,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "events_hourly": q_events_hourly,
         "events_first_per_user_type": q_events_first_per_user_type,
@@ -981,6 +995,9 @@ def oracle_sql() -> dict[str, str]:
               FROM qb q JOIN cb c ON q.bucket = c.bucket
                AND c.vec_id != q.vec_id)
             WHERE rank <= 5""",
+        "ann_ivf_topk": ANN.duckdb_ivf_topk_sql(
+            "embeddings", k=5, n_centroids=16, n_probe=4
+        ),
         "emb_neardup": f"""
             WITH e AS (SELECT vec_id, embedding, {srp8} AS bucket FROM {_SQL_EMB_DUP})
             SELECT src, dst, ROUND(cosine, 6) AS cosine FROM (

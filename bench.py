@@ -38,7 +38,9 @@ BENCH_QUERIES = [
     "doc_quality_filter",
     "doc_exact_dedup",
     "doc_lsh_pairs",
+    "doc_fuzzy_components",
     "doc_simhash",
+    "transcript_core",
     "ann_topk",
     "events_hourly",
     "events_sessionize",

@@ -44,6 +44,19 @@ def main() -> None:
     ap.add_argument("--lm", default=None, help="bigram LM json (broadcast)")
     ap.add_argument("--no-fuzzy", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--stage-dir",
+        default=None,
+        help="parquet stage-table dir for fault-tolerant lineage cuts "
+        "(resume with --stage-reuse after a driver kill)",
+    )
+    ap.add_argument("--stage-reuse", action="store_true")
+    ap.add_argument(
+        "--fasttext-model",
+        default=None,
+        help="fastText .bin filename shipped via spark-submit --files "
+        "(e.g. lid.176.bin); lexicon fallback when absent",
+    )
     args = ap.parse_args()
 
     from redpajama_processor_spark.datagen import gen_turns_spark, lm_corpus
@@ -97,12 +110,19 @@ def main() -> None:
                 spark, part, lm,
                 run_fuzzy=False if labels is not None else not args.no_fuzzy,
                 dedup_labels=labels,
+                fasttext_model=args.fasttext_model,
             ),
         )
         out = run.result()
         out.write.mode("overwrite").parquet(args.output)
     else:
-        out = curate(spark, turns, lm, run_fuzzy=not args.no_fuzzy)
+        out = curate(
+            spark, turns, lm,
+            run_fuzzy=not args.no_fuzzy,
+            stage_dir=args.stage_dir,
+            stage_reuse=args.stage_reuse,
+            fasttext_model=args.fasttext_model,
+        )
         out.write.mode("overwrite").parquet(args.output)
 
     result = spark.read.parquet(args.output)

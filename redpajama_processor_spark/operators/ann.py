@@ -137,6 +137,134 @@ def duckdb_srp_bucket_sql(vec: str, n_planes: int, dims: int = 64) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize every corpus vector to its nearest centroid
+    (cosine, ties -> smallest centroid id), probe the n_probe nearest cells
+    per query, exact cosine re-rank inside the probed cells.
+
+    Centroids are DETERMINISTIC — the n_centroids smallest-id corpus
+    vectors — standing in for a trained k-means codebook (public IVF
+    practice); the plumbing is identical either way: a tiny centroid table
+    collected to the driver and broadcast as literals, so the assignment
+    pass is NARROW (an argmax over n_centroids column expressions — no
+    shuffle of the corpus). At 100 TB: assignment pipelines into the scan;
+    the only wide ops are the per-query top-k and the cell equi-join
+    against the (broadcast) probe list.
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cvecs = [[float(x) for x in r[vec_col]] for r in cent]
+
+    def _cell_expr(vec: Column) -> Column:
+        cos_arr = F.array(
+            *[
+                cosine_col(vec, F.array(*[F.lit(x) for x in cv]))
+                for cv in cvecs
+            ]
+        )
+        # bind once; array_position returns the FIRST maximal index ->
+        # ties break toward the smallest centroid id (centroids are in
+        # id order), matching the oracle's ORDER BY cos DESC, cid ASC
+        return F.element_at(
+            F.transform(
+                F.array(cos_arr),
+                lambda a: F.array_position(a, F.array_max(a)).cast("int"),
+            ),
+            1,
+        )
+
+    assign = corpus.select(
+        id_col, vec_col, _cell_expr(F.col(vec_col)).alias("_cell")
+    )
+
+    # probe list: per query, the n_probe nearest centroids (|Q| x C rows)
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(cvecs)],
+            f"_cell int, _cvec array<double>",
+        )
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(F.desc("_ccos"), F.col("_cell"))
+    probe = (
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+        .crossJoin(cent_df)
+        .withColumn("_ccos", cosine_col(F.col("_qvec"), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "_qvec", "_cell")
+    )
+
+    scored = (
+        assign.join(F.broadcast(probe), "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_col(F.col("_qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def duckdb_ivf_topk_sql(
+    table: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB rendering of ivf_topk over an embeddings-shaped table."""
+    cos_ce = duckdb_cosine_sql("e.embedding", "c.cvec")
+    cos_qc = duckdb_cosine_sql("q.embedding", "c.cvec")
+    cos_qe = duckdb_cosine_sql("q._qvec", "a.embedding")
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                 list_transform(embedding, v -> v::DOUBLE) AS cvec
+          FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_centroids})),
+        assign AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos_ce} DESC, c.cell) AS rn
+            FROM {table} e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probe AS (
+          SELECT query_id, _qvec, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS _qvec, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {cos_qc} DESC, c.cell) AS rn
+            FROM (SELECT * FROM {table} WHERE {query_pred}) q
+            CROSS JOIN cent c)
+          WHERE rn <= {n_probe})
+        SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 {cos_qe} AS cosine,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {cos_qe} DESC, a.vec_id) AS rank
+          FROM probe q JOIN assign a ON q.cell = a.cell
+           AND a.vec_id != q.query_id)
+        WHERE rank <= {k}"""
+
+
 def srp_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -50,7 +50,7 @@ def _tick(label: str, t0: float) -> float:
     return time.time()
 
 from .functions import signals as S
-from .functions.langid import langid_udf, spark_langid_col
+from .functions.langid import fasttext_langid_udf, langid_udf, spark_langid_col
 from .functions.perplexity import DEFAULT_MAX_PPL, perplexity_udf, train_bigram_lm
 from .functions.scrub import SCRUB_RULES, scrub_udf, spark_scrub_cols
 from .functions.textclean import clean_text_col
@@ -92,6 +92,7 @@ def curate(
     dedup_labels: DataFrame | None = None,
     stage_dir: str | None = None,
     stage_reuse: bool = False,
+    fasttext_model: str | None = None,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,
     scrubbed text, keep and drop_rule. Never physically drops rows —
@@ -126,8 +127,15 @@ def curate(
     df = turns.withColumn("_key", doc_key_col())
 
     # --- langid (raw text) + clean ---------------------------------------
+    # fasttext_model: filename shipped via spark-submit --files; each worker
+    # lazily loads it from SparkFiles (lexicon fallback when absent)
     if use_native_langid:
         df = df.withColumn("language", spark_langid_col(F.col("text")))
+    elif fasttext_model:
+        df = df.withColumn(
+            "language",
+            fasttext_langid_udf(fasttext_model)(F.col("text")).getField("lang"),
+        )
     else:
         df = df.withColumn("language", langid_udf()(F.col("text")).getField("lang"))
     df = df.withColumn("clean_text", clean_text_col(F.col("text")))

@@ -12,6 +12,10 @@ state, checkpointLocation giving exactly-once sinks.
   (late data beyond the watermark is dropped, state is bounded).
 - stream_dedup_exact: watermarked dropDuplicates on content hash — the
   streaming rendering of exact dedup (state bounded by the watermark).
+- stream_conv_dup_ratio: CUSTOM STATEFUL operator via applyInPandasWithState
+  — per-conversation first-seen-line state carried across micro-batches
+  (and across restarts via the state store), emitting the same
+  conv_dup_ratio as the batch operator for in-order arrival.
 """
 
 from __future__ import annotations
@@ -67,6 +71,58 @@ def stream_dedup_exact(
         stream.withColumn("_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_hash"])
+    )
+
+
+def stream_conv_dup_ratio(
+    stream: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming cross-turn repeated-line ratio (the batch operator
+    operators/convdup.conv_dup_ratio, re-expressed as a custom stateful
+    operator). State per conv_id = map line -> first-seen turn_idx, held in
+    the state store: it survives micro-batch boundaries AND query restarts
+    (exactly the transcript-curation shape: conversations stream in over
+    hours; each new turn is judged against everything the conversation has
+    already said). For in-order arrival the emitted ratios equal the batch
+    operator bit-for-bit (same 0x20-trim line spec, same int/int division).
+
+    State is bounded per conversation by its distinct-line count; a
+    production deployment adds a GroupStateTimeout to expire conversations
+    idle past the session horizon.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, turn_idx int, conv_dup_ratio double"
+    state_schema = "lines map<string,int>"
+
+    def fn(key, pdfs, state):
+        (conv_id,) = key
+        # GroupState.get is a property returning the state tuple
+        first: dict[str, int] = dict(state.get[0]) if state.exists else {}
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for t, text in zip(pdf["turn_idx"], pdf[text_col]):
+                lines = [ln.strip(" ") for ln in (text or "").split("\n")]
+                lines = [ln for ln in lines if ln]
+                rep = 0
+                for ln in lines:
+                    seen = first.get(ln)
+                    if seen is None:
+                        first[ln] = int(t)
+                    elif seen < t:
+                        rep += 1
+                ratio = float(rep) / float(len(lines)) if lines else 0.0
+                rows.append((conv_id, int(t), ratio))
+        state.update((first,))
+        yield pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "conv_dup_ratio"]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -53,3 +53,29 @@ def test_quality_filter_stays_codegen(spark, sf_dir):
     a = audit_plan(df)
     assert a["n_codegen"] >= 1
     assert a["n_exchanges"] == 0
+
+
+def test_transcript_core_prunes_documents_scan(spark, sf_dir):
+    """The stage chain projects only (doc_id, text); lang/source/n_chars must
+    not reach the parquet scan."""
+    df = entry.q_transcript_core(spark, sf_dir)
+    a = audit_plan(df)
+    assert a["read_schemas"], "no scan found"
+    for s in a["read_schemas"]:
+        assert "source" not in s and "n_chars" not in s, s
+
+
+def test_fuzzy_verify_semi_join_before_shingles(spark, sf_dir):
+    """verify_pairs_jaccard must not materialize shingle arrays for the
+    whole corpus: candidate ids are semi-joined first (plan contains a
+    LeftSemi before the shingle projection feeds the pair joins)."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.operators.dedup import verify_pairs_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pairs = docs.limit(5).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    plan = verify_pairs_jaccard(pairs, docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan

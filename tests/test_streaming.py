@@ -77,3 +77,61 @@ def test_stream_dedup_exact(spark, turns_path, tmp_path):
     n_distinct = batch.select(F.md5("text")).distinct().count()
     # availableNow drains in micro-batches; state dedups within the run
     assert got.count() == n_distinct
+
+
+def test_stateful_conv_dup_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState conv-dup: first-seen-line state must carry
+    across micro-batches AND across query restarts (state store recovery),
+    matching the batch oracle over the whole conversation."""
+    import os
+
+    import pandas as pd
+
+    from redpajama_processor_spark.operators.convdup import py_conv_dup_ratios
+    from redpajama_processor_spark.streaming.events import (
+        read_turns_stream,
+        run_available_now,
+        stream_conv_dup_ratio,
+    )
+
+    turns = [
+        ("c1", 0, "alpha line\nbeta line"),
+        ("c1", 1, "gamma fresh\ndelta fresh"),
+        ("c1", 2, "alpha line\nnew stuff"),       # repeats turn-0 line
+        ("c1", 3, "alpha line\nbeta line"),       # repeats both
+        ("c2", 0, "solo content"),
+        ("c2", 1, "solo content\nplus extra"),
+    ]
+    schema = "conv_id string, turn_idx int, text string"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: first half; run to completion (query stops = "restart" point)
+    write_batch(turns[:3], "a")
+    run_available_now(
+        stream_conv_dup_ratio(read_turns_stream(spark, src, schema)), out, ckpt
+    )
+    # batch 2: rest of the conversation arrives after the restart
+    write_batch(turns[3:], "b")
+    run_available_now(
+        stream_conv_dup_ratio(read_turns_stream(spark, src, schema)), out, ckpt
+    )
+
+    got = {
+        (r.conv_id, r.turn_idx): r.conv_dup_ratio
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(turns)
+    for conv in ("c1", "c2"):
+        expected = py_conv_dup_ratios(
+            [(t, x) for c, t, x in turns if c == conv]
+        )
+        for t, v in expected.items():
+            assert got[(conv, t)] == v, (conv, t, got[(conv, t)], v)
