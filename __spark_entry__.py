@@ -689,6 +689,18 @@ def _transcript_core_sql() -> str:
         LEFT JOIN cdr r ON c.conv_id = r.conv_id AND c.turn_idx = r.turn_idx"""
 
 
+def q_transcript_core_census(spark, sf_dir):
+    """Per-rule kept/dropped counters over the oracled stage chain (the
+    north_rule metrics shape, value-verified end to end)."""
+    d = q_transcript_core(spark, sf_dir)
+    return (
+        d.groupBy(
+            F.coalesce(F.col("core_drop_rule"), F.lit("__kept__")).alias("rule")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # transcript pipeline (rows-only checks: not ANSI-SQL-expressible end-to-end)
 # ---------------------------------------------------------------------------
@@ -742,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_fuzzy_components": q_doc_fuzzy_components,
         "transcript_core": q_transcript_core,
+        "transcript_core_census": q_transcript_core_census,
         "doc_simhash": q_doc_simhash,
         "doc_tokens": q_doc_tokens,
         "doc_scrub": q_doc_scrub,
@@ -955,6 +968,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(r) AS component
             FROM reach GROUP BY id""",
         "transcript_core": _transcript_core_sql(),
+        "transcript_core_census": (
+            "SELECT COALESCE(core_drop_rule, '__kept__') AS rule, COUNT(*) AS n "
+            f"FROM ({_transcript_core_sql()}) GROUP BY 1"
+        ),
         "doc_simhash": (
             f"SELECT doc_id, {H.duckdb_simhash_sql('text')} AS simhash FROM documents"
         ),

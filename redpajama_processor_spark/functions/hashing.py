@@ -392,7 +392,8 @@ def add_simhash(df, text_col: str = "text", out_col: str = "simhash", bits: int 
     toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.split(t, WORD_SPLIT_RE))
     )
-    hashes = F.transform(toks, base_hash_col)
+    # 30-bit hashes ship as int32: half the Arrow bytes (see add_minhash)
+    hashes = F.transform(toks, lambda s: base_hash_col(s).cast("int"))
     return df.withColumn(out_col, simhash_votes_udf(bits)(hashes))
 
 

