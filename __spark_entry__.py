@@ -598,9 +598,19 @@ def q_transcript_core(spark, sf_dir):
         "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
     )
 
-    sig = S.spark_signal_cols(F.col("clean_text"))
+    df = df.withColumns(
+        {
+            "_words": S.words_col(F.col("clean_text")),
+            "_lines": F.split(F.col("clean_text"), r"\n"),
+        }
+    )
+    sig = S.spark_signal_cols(
+        F.col("clean_text"), words=F.col("_words"), lines=F.col("_lines")
+    )
     hkeep, hrule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
-    df = df.withColumns({"_hkeep": hkeep, "_hrule": hrule})
+    df = df.withColumns({"_hkeep": hkeep, "_hrule": hrule}).drop(
+        "_words", "_lines"
+    )
 
     cdr = conv_dup_ratio(
         df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))

@@ -213,12 +213,22 @@ def _annotate_rest(df: DataFrame, lm_b, use_native_scrub: bool = True) -> DataFr
     # --- heuristic signals (native columns; zero shuffle) -----------------
     # one withColumns call = ONE analyzer pass over the wide plan; a chain of
     # 13 withColumn calls costs 13 re-analyses of a 40-column tree (driver
-    # serial time that Amdahl charges against every added core)
-    sig = S.spark_signal_cols(F.col("clean_text"))
+    # serial time that Amdahl charges against every added core). The token/
+    # line arrays are materialized ONCE first: HOF lambdas defeat Spark's
+    # subexpression elimination, so inlining re-splits per signal (~1.8x).
+    df = df.withColumns(
+        {
+            "_words": S.words_col(F.col("clean_text")),
+            "_lines": F.split(F.col("clean_text"), r"\n"),
+        }
+    )
+    sig = S.spark_signal_cols(
+        F.col("clean_text"), words=F.col("_words"), lines=F.col("_lines")
+    )
     heur_keep, heur_rule = S.spark_keep_and_rule(
         {k: F.col(k) for k in S.SIGNAL_COLS}, include_stopword_rule=True
     )
-    df = df.withColumns(dict(sig))
+    df = df.withColumns(dict(sig)).drop("_words", "_lines")
     df = df.withColumns({"_heur_keep": heur_keep, "_heur_rule": heur_rule})
 
     # --- conversation-level repeated lines (skew-safe groupBy) ------------
