@@ -44,7 +44,10 @@ from redpajama_processor_spark.functions.scrub import (
     duckdb_scrub_sql,
     spark_scrub_cols,
 )
+from redpajama_processor_spark.functions import repetition as _REP
 from redpajama_processor_spark.operators import ann as ANN
+from redpajama_processor_spark.operators import buckets as _BUCKETS
+from redpajama_processor_spark.operators import decontaminate as _DECON
 from redpajama_processor_spark.operators import dedup as D
 
 # ---------------------------------------------------------------------------
@@ -439,6 +442,41 @@ def q_doc_quality_score(spark, sf_dir):
     return d.select("doc_id", score.alias("quality_score"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher n-gram repetition battery (relational rendering: one explode,
+    one map-side-combined groupBy — the 100 TB plan)."""
+    from redpajama_processor_spark.functions.repetition import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus = dup copies (doc_id+100000, same
+    text), benchmark = every 50th original — copies of benchmark docs (and
+    any doc sharing an 8-gram) must flag contaminated. Broadcast semi-join;
+    zero corpus shuffle."""
+    from redpajama_processor_spark.operators.decontaminate import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, bench, n=8).select("doc_id", "contaminated")
+
+
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail split per language by a quality score
+    (stopword_ratio here — SQL-expressible so DuckDB can verify; the
+    pipeline uses the same operator with perplexity)."""
+    from redpajama_processor_spark.operators.buckets import quantile_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    sig = S.spark_signal_cols(F.col("text"))
+    scored = d.select("doc_id", "lang", sig["stopword_ratio"].alias("score"))
+    return quantile_buckets(scored, "score", k=3, by="lang").select(
+        "doc_id", "lang", "bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN / embeddings
 # ---------------------------------------------------------------------------
@@ -769,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_scrub": q_doc_scrub,
         "doc_quality_score": q_doc_quality_score,
+        "doc_repetition": q_doc_repetition,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1000,6 +1041,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality_score": (
             f"SELECT doc_id, {score_sql} AS quality_score FROM documents"
+        ),
+        "doc_repetition": _REP.duckdb_repetition_sql("documents"),
+        "doc_decontaminate": _DECON.duckdb_contaminated_sql(
+            "(SELECT doc_id + 100000 AS doc_id, text FROM documents)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)",
+            n=8,
+        ),
+        "doc_ccnet_buckets": _BUCKETS.duckdb_quantile_buckets_sql(
+            f"(SELECT doc_id, lang, {sig['stopword_ratio']} AS score "
+            "FROM documents)",
+            "score",
+            k=3,
+            by="lang",
+            select_cols="doc_id, lang",
         ),
         "ann_topk": f"""
             SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "doc_lsh_pairs",
     "doc_fuzzy_components",
     "doc_simhash",
+    "doc_repetition",
     "transcript_core",
     "ann_topk",
     "events_hourly",

@@ -1,0 +1,341 @@
+"""Gopher-style n-gram repetition signals (training-data quality battery).
+
+The reference's only repetition rule is the intra-document DuplicateLineFilter
+(/root/reference/step7_quality_filtering.py:87-92). Real training-data
+pipelines (Gopher, Rae et al. 2021, Table A1; RedPajama-V2's own published
+signal set) additionally measure n-gram-level repetition:
+
+  top_{n}gram_char_frac  (n = 2..4): fraction of document characters covered
+      by the single most frequent word n-gram,
+  dup_{n}gram_char_frac  (n = 5..10): fraction of document characters covered
+      by word n-grams that occur more than once.
+
+Deterministic spec (fixed here; all renderings must agree bit-for-bit):
+  words           = signals.words_col spec (ASCII-ws split of trimmed text)
+  ngrams(n)       = concat_ws(' ', words[i..i+n-1]) for i = 1..n_words-n+1;
+                    [] when n_words < n
+  n_chars         = length(text) (unicode code points)
+  top frac(n)     = least(1.0, cnt* x length(g*) / n_chars) where g* is the
+                    most frequent n-gram, ties broken by LARGEST ngram string
+                    (max of (cnt, gram) pairs); 0.0 when no ngrams or empty
+                    text
+  dup frac(n)     = least(1.0, sum over distinct g with cnt>=2 of
+                    cnt x length(g) / n_chars); 0.0 likewise
+  (the least(1.0, .) cap absorbs overlap double-counting, mirroring Gopher's
+  clamp; character counts include the joining spaces of the ngram string)
+
+Renderings:
+  1. ``repetition_signals``        — RELATIONAL: explode n-grams once (all n
+     in one pass) -> groupBy(doc, n, gram) with map-side combine ->
+     per-(doc, n) max-struct / conditional sum -> conditional-agg pivot ->
+     join back. Linear work, one shuffle keyed by (doc, n, gram) — no hot
+     key at 100 TB because distinct n-grams spread; long documents cost
+     O(tokens), never O(tokens^2). This is the scale plan.
+  2. ``repetition_signals_arrow``  — NARROW: Arrow-batched pandas UDF doing
+     the same spec with a per-document Counter (zero shuffle; the fast path
+     when the corpus is already well-partitioned and n-gram explosion x6
+     would dominate the shuffle budget).
+  3. ``duckdb_repetition_sql``     — the DuckDB oracle rendering.
+Equality of 1 == 2 == 3 is pytest-enforced (test_repetition.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .signals import TRIM_RE, WORD_SPLIT_RE, words_col
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+# Gopher Table A1 thresholds (public): drop when frac exceeds these.
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def ngrams_col(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; [] when fewer than n words."""
+    return F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def _frac_cols(ns_top=TOP_NS, ns_dup=DUP_NS) -> list[str]:
+    return [f"top_{n}gram_char_frac" for n in ns_top] + [
+        f"dup_{n}gram_char_frac" for n in ns_dup
+    ]
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns_top: tuple[int, ...] = TOP_NS,
+    ns_dup: tuple[int, ...] = DUP_NS,
+) -> DataFrame:
+    """Per-document repetition fractions, relational rendering.
+
+    Plan: ONE projection builds every n's gram array, ONE explode emits
+    (id, n, gram) rows, ONE groupBy counts them (map-side combined: a
+    document repeating 'the same line' 10^4 times ships one row per distinct
+    gram per task), ONE groupBy reduces to per-(id, n) top/dup aggregates,
+    and a conditional-agg pivot + left join restores one row per document
+    (docs with no ngrams keep 0.0). Shuffle volume ~ sum_n (tokens) rows of
+    small strings — linear in corpus size, AQE-coalesced.
+    """
+    ns = sorted(set(ns_top) | set(ns_dup))
+    words = words_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.col(text_col)).alias("_nc"),
+        words.alias("_w"),
+    )
+
+    # all n-gram streams in one pass: array of (n, gram) structs, one explode.
+    # NB: the tag closure must stay single-argument — a 2-arg lambda (e.g. a
+    # `n=n` default) makes pyspark pass the array INDEX as the second arg.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    per_n = [F.transform(ngrams_col(F.col("_w"), n), _tag(n)) for n in ns]
+    ex = base.select(
+        "_id", "_nc", F.explode(F.flatten(F.array(*per_n))).alias("_g")
+    ).select("_id", "_nc", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+
+    counts = ex.groupBy("_id", "_nc", "n", "gram").agg(F.count("*").alias("cnt"))
+    per_doc_n = counts.groupBy("_id", "_nc", "n").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_chars"),
+    )
+    nc_d = F.col("_nc").cast("double")
+    per_doc_n = per_doc_n.select(
+        "_id",
+        "n",
+        F.when(F.col("_nc") == 0, F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                (F.col("top.cnt") * F.length("top.gram")).cast("double") / nc_d,
+            )
+        )
+        .alias("top_frac"),
+        F.when(F.col("_nc") == 0, F.lit(0.0))
+        .otherwise(F.least(F.lit(1.0), F.col("dup_chars").cast("double") / nc_d))
+        .alias("dup_frac"),
+    )
+
+    pivoted = per_doc_n.groupBy("_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+            ).alias(f"top_{n}gram_char_frac")
+            for n in ns_top
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_frac"))), F.lit(0.0)
+            ).alias(f"dup_{n}gram_char_frac")
+            for n in ns_dup
+        ],
+    )
+    out = docs.select(F.col(id_col).alias("_id")).join(pivoted, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in _frac_cols(ns_top, ns_dup)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow fast path (narrow; zero shuffle)
+# ---------------------------------------------------------------------------
+
+def repetition_signals_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns_top: tuple[int, ...] = TOP_NS,
+    ns_dup: tuple[int, ...] = DUP_NS,
+) -> DataFrame:
+    """Same spec via one Arrow-batched struct UDF (Counter per document).
+
+    O(tokens) per document, no shuffle — preferable when the x(len(ns))
+    n-gram explosion would dominate the shuffle budget. Proven equal to the
+    relational rendering in tests.
+    """
+    import re
+
+    cols = _frac_cols(ns_top, ns_dup)
+    schema = T.StructType([T.StructField(c, T.DoubleType()) for c in cols])
+    trim_re = re.compile(TRIM_RE)
+    split_re = re.compile(WORD_SPLIT_RE)
+    ns_top_l, ns_dup_l = list(ns_top), list(ns_dup)
+
+    @F.pandas_udf(schema)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for text in texts:
+            t = trim_re.sub("", text or "")
+            words = split_re.split(t) if t else []
+            nc = len(text or "")
+            vals = {}
+            for n in ns_top_l + ns_dup_l:
+                key = (
+                    f"top_{n}gram_char_frac"
+                    if n in ns_top_l
+                    else f"dup_{n}gram_char_frac"
+                )
+                if key in vals:  # n in both sets: computed twice below
+                    pass
+                if nc == 0 or len(words) < n:
+                    vals.setdefault(f"top_{n}gram_char_frac", 0.0)
+                    vals.setdefault(f"dup_{n}gram_char_frac", 0.0)
+                    continue
+                grams = Counter(
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                )
+                # ties -> largest gram string, mirroring max(struct(cnt, gram))
+                top_cnt, top_gram = max(
+                    ((c, g) for g, c in grams.items()), key=lambda p: p
+                )
+                vals[f"top_{n}gram_char_frac"] = min(
+                    1.0, float(top_cnt * len(top_gram)) / float(nc)
+                )
+                dup_chars = sum(c * len(g) for g, c in grams.items() if c >= 2)
+                vals[f"dup_{n}gram_char_frac"] = min(
+                    1.0, float(dup_chars) / float(nc)
+                )
+            rows.append([vals.get(c, 0.0) for c in cols])
+        return pd.DataFrame(rows, columns=cols)
+
+    out = docs.select(F.col(id_col), _rep(F.col(text_col)).alias("_r"))
+    return out.select(id_col, *[F.col(f"_r.{c}").alias(c) for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle rendering
+# ---------------------------------------------------------------------------
+
+def duckdb_repetition_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns_top: tuple[int, ...] = TOP_NS,
+    ns_dup: tuple[int, ...] = DUP_NS,
+) -> str:
+    """Identical arithmetic as DuckDB SQL (unnest + group by + pivot)."""
+    ns = sorted(set(ns_top) | set(ns_dup))
+    trimmed = f"regexp_replace({text_col}, '{TRIM_RE}', '', 'g')"
+    words = (
+        f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
+    )
+    n_values = ", ".join(f"({n})" for n in ns)
+    top_cols = ",\n      ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN top_frac END), 0.0)"
+        f" AS top_{n}gram_char_frac"
+        for n in ns_top
+    )
+    dup_cols = ",\n      ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN dup_frac END), 0.0)"
+        f" AS dup_{n}gram_char_frac"
+        for n in ns_dup
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, length({text_col}) AS _nc, {words} AS _w
+  FROM {table}
+),
+ex AS (
+  SELECT _id, _nc, t.n AS n,
+         unnest(list_transform(
+           generate_series(1, len(_w) - t.n + 1),
+           i -> array_to_string(_w[i : i + t.n - 1], ' ')
+         )) AS gram
+  FROM base CROSS JOIN (VALUES {n_values}) AS t(n)
+  WHERE len(_w) >= t.n
+),
+counts AS (
+  SELECT _id, _nc, n, gram, COUNT(*) AS cnt
+  FROM ex GROUP BY ALL
+),
+per_doc_n AS (
+  SELECT _id, _nc, n,
+         MAX(ROW(cnt, gram)) AS top,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM counts GROUP BY ALL
+),
+fracs AS (
+  SELECT _id, n,
+         CASE WHEN _nc = 0 THEN 0.0 ELSE
+           least(1.0, CAST(top[1] * length(CAST(top[2] AS VARCHAR)) AS DOUBLE)
+                      / CAST(_nc AS DOUBLE)) END AS top_frac,
+         CASE WHEN _nc = 0 THEN 0.0 ELSE
+           least(1.0, CAST(dup_chars AS DOUBLE) / CAST(_nc AS DOUBLE))
+         END AS dup_frac
+  FROM per_doc_n
+),
+pivoted AS (
+  SELECT _id,
+      {top_cols},
+      {dup_cols}
+  FROM fracs GROUP BY _id
+)
+SELECT d.{id_col},
+       {", ".join(f"COALESCE(p.{c}, 0.0) AS {c}" for c in _frac_cols(ns_top, ns_dup))}
+FROM {table} d LEFT JOIN pivoted p ON d.{id_col} = p._id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracle (single-process; reuses the Arrow body's logic)
+# ---------------------------------------------------------------------------
+
+def py_repetition(
+    text: str,
+    ns_top: tuple[int, ...] = TOP_NS,
+    ns_dup: tuple[int, ...] = DUP_NS,
+) -> dict[str, float]:
+    import re
+    from collections import Counter
+
+    t = re.sub(TRIM_RE, "", text or "")
+    words = re.split(WORD_SPLIT_RE, t) if t else []
+    nc = len(text or "")
+    out: dict[str, float] = {}
+    for n in ns_top:
+        out[f"top_{n}gram_char_frac"] = 0.0
+    for n in ns_dup:
+        out[f"dup_{n}gram_char_frac"] = 0.0
+    for n in sorted(set(ns_top) | set(ns_dup)):
+        if nc == 0 or len(words) < n:
+            continue
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        if n in ns_top:
+            top_cnt, top_gram = max(((c, g) for g, c in grams.items()))
+            out[f"top_{n}gram_char_frac"] = min(
+                1.0, float(top_cnt * len(top_gram)) / float(nc)
+            )
+        if n in ns_dup:
+            dup_chars = sum(c * len(g) for g, c in grams.items() if c >= 2)
+            out[f"dup_{n}gram_char_frac"] = min(1.0, float(dup_chars) / float(nc))
+    return out

@@ -1,0 +1,110 @@
+"""CCNet-style quantile bucketing (head / middle / tail split).
+
+The RedPajama/CCNet lineage (the reference's own corpus, RP-v2, ships CCNet
+buckets as a quality signal — the companion signal files the reference
+downloads at /root/reference/scripts/redpajama_transfer.sh:63-65) splits
+each language's documents into quantile buckets of a quality score
+(perplexity in CCNet). This module provides that operator over any score
+column.
+
+Two renderings, picked by scale:
+
+  quantile_buckets        — EXACT: ntile(k) over a per-group total order
+      (score, id tiebreak). Deterministic and SQL-oracle-able, but a global
+      sort per group: right for per-language splits where each language fits
+      a sort (CCNet's own granularity), wrong for one 100 TB group.
+  quantile_buckets_approx — SCALE PATH: approx_percentile cutoffs (one
+      partial-agg pass, no sort) joined back as range predicates. At 10^12
+      rows the cutoff table is k rows per language — broadcast join, zero
+      extra corpus shuffle. Bucket boundaries differ from exact ntile only
+      by the sketch's epsilon (documented, tested within tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_LABELS = ("head", "middle", "tail")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    k: int = 3,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] | None = DEFAULT_LABELS,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact per-group quantile split via ntile(k); ascending score (CCNet:
+    lower perplexity = head). Ties broken deterministically by id."""
+    parts = [F.col(by)] if by else []
+    w = Window.partitionBy(*parts).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    tile = F.ntile(k).over(w)
+    if labels is not None:
+        if len(labels) != k:
+            raise ValueError(f"need {k} labels, got {len(labels)}")
+        lab = F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+    else:
+        lab = tile.cast("string")
+    return df.withColumn(out_col, lab)
+
+
+def quantile_buckets_approx(
+    df: DataFrame,
+    score_col: str,
+    k: int = 3,
+    by: str | None = None,
+    labels: tuple[str, ...] | None = DEFAULT_LABELS,
+    out_col: str = "bucket",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based split: per-group approx_percentile cutoffs broadcast back.
+
+    One groupBy partial-agg over the corpus (map-side combined KLL sketches),
+    then a broadcast join + k-way CASE — no global sort anywhere. This is the
+    rendering that survives a 10^12-row group."""
+    qs = [i / k for i in range(1, k)]
+    keys = [by] if by else []
+    cuts = df.groupBy(*keys).agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("_cuts")
+    )
+    joined = df.join(F.broadcast(cuts), keys) if keys else df.crossJoin(
+        F.broadcast(cuts)
+    )
+    tile = F.lit(1)
+    for i in range(k - 1):
+        tile = tile + F.when(
+            F.col(score_col) > F.element_at("_cuts", i + 1), 1
+        ).otherwise(0)
+    if labels is not None:
+        if len(labels) != k:
+            raise ValueError(f"need {k} labels, got {len(labels)}")
+        lab = F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+    else:
+        lab = tile.cast("string")
+    return joined.withColumn(out_col, lab).drop("_cuts")
+
+
+def duckdb_quantile_buckets_sql(
+    table: str,
+    score_expr: str,
+    k: int = 3,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] | None = DEFAULT_LABELS,
+    select_cols: str | None = None,
+) -> str:
+    """DuckDB rendering of the EXACT ntile split (same tiebreak)."""
+    part = f"PARTITION BY {by} " if by else ""
+    tile = (
+        f"ntile({k}) OVER ({part}ORDER BY ({score_expr}) ASC, {id_col} ASC)"
+    )
+    if labels is not None:
+        arr = "[" + ", ".join(f"'{x}'" for x in labels) + "]"
+        lab = f"{arr}[{tile}]"
+    else:
+        lab = f"CAST({tile} AS VARCHAR)"
+    cols = select_cols or (f"{id_col}" + (f", {by}" if by else ""))
+    return f"SELECT {cols}, {lab} AS bucket FROM {table}"

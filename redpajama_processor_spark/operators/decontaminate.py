@@ -1,0 +1,124 @@
+"""Benchmark decontamination: flag documents that share a word n-gram with a
+held-out evaluation set.
+
+No reference analog (the reference curates pre-training data only); this is
+the standard published decontamination procedure (GPT-3 appendix C /
+FLAN/PaLM: 8-13-gram overlap against benchmark text). A training corpus at
+100 TB must be scrubbed of eval-set overlap before training.
+
+Spec (deterministic):
+  words(t)     = signals.words_col spec (ASCII-ws split of trimmed text)
+  grams_n(t)   = space-joined word n-grams (repetition.ngrams_col spec)
+  contaminated(d) = EXISTS g in grams_n(d.text) s.t. g in grams_n(any bench
+                    doc) — membership on the EXACT gram string
+
+Scale plan: the benchmark side is small (MBs — eval sets, not corpora), so
+its distinct gram set broadcasts; the corpus side explodes its grams and
+LEFT SEMI joins against the broadcast — zero corpus shuffle, one narrow
+explode+join pipeline into the scan, then a tiny distinct on contaminated
+ids. The corpus is never collected, never shuffled. When the benchmark side
+outgrows the broadcast threshold (unusual), drop the hint and AQE plans a
+regular shuffled semi-join keyed on the gram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.repetition import ngrams_col
+from ..functions.signals import words_col
+
+DEFAULT_N = 8
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Distinct ids of documents sharing at least one word n-gram with the
+    benchmark set."""
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngrams_col(words_col(F.col(bench_text_col)), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop: bool = False,
+) -> DataFrame:
+    """Annotate (default) or drop contaminated documents.
+
+    drop=False adds a boolean ``contaminated`` column (the engine's label-
+    don't-delete convention — consumers filter, predicate pushdown prunes);
+    drop=True anti-joins them away (the reference's physical-removal style).
+    """
+    ids = contaminated_ids(docs, benchmark, n, id_col, text_col)
+    if drop:
+        return docs.join(ids, id_col, "left_anti")
+    return docs.join(
+        ids.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
+def duckdb_contaminated_sql(
+    corpus_table: str,
+    bench_table: str,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB rendering of ``decontaminate(drop=False)``: corpus_table and
+    bench_table are table names or parenthesized subqueries."""
+    from ..functions.signals import TRIM_RE, WORD_SPLIT_RE
+
+    trimmed = f"regexp_replace({text_col}, '{TRIM_RE}', '', 'g')"
+    words = (
+        f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
+    )
+    grams = (
+        f"list_transform(generate_series(1, len(_w) - {n} + 1), "
+        f"i -> array_to_string(_w[i : i + {n} - 1], ' '))"
+    )
+    return f"""
+WITH cw AS (
+  SELECT {id_col} AS _id, {words} AS _w FROM {corpus_table}
+),
+bw AS (
+  SELECT {words} AS _w FROM {bench_table}
+),
+bench_grams AS (
+  SELECT DISTINCT unnest({grams}) AS gram FROM bw WHERE len(_w) >= {n}
+),
+corpus_grams AS (
+  SELECT _id, unnest({grams}) AS gram FROM cw WHERE len(_w) >= {n}
+),
+contaminated AS (
+  SELECT DISTINCT g._id FROM corpus_grams g
+  JOIN bench_grams b ON g.gram = b.gram
+)
+SELECT d.{id_col}, (c._id IS NOT NULL) AS contaminated
+FROM {corpus_table} d LEFT JOIN contaminated c ON d.{id_col} = c._id
+"""

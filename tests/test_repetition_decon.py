@@ -1,0 +1,127 @@
+"""Gopher repetition signals, decontamination, and quantile buckets.
+
+The entry-contract test already proves Spark == DuckDB for the three new
+entry queries; these tests prove the additional renderings and semantics:
+relational == Arrow == pure-Python for repetition, known-answer fixtures for
+decontamination, and exact-vs-approx bucket agreement."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions.repetition import (
+    py_repetition,
+    repetition_signals,
+    repetition_signals_arrow,
+)
+from redpajama_processor_spark.operators.buckets import (
+    quantile_buckets,
+    quantile_buckets_approx,
+)
+from redpajama_processor_spark.operators.decontaminate import (
+    contaminated_ids,
+    decontaminate,
+)
+
+REP_FIXTURES = [
+    ("", "empty"),
+    ("   \n\t ", "whitespace only"),
+    ("one two", "fewer words than any n"),
+    ("a b a b a b a b a b a b", "heavy 2-gram repetition"),
+    ("the cat sat on the mat and the cat sat on the mat again", "dup 5-grams"),
+    ("x " * 50, "single repeated token"),
+    ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do", "no repeats"),
+    ("tie tie tok tok", "tied top gram counts"),
+]
+
+
+def test_repetition_three_renderings_equal(spark):
+    rows = [(i, t) for i, (t, _) in enumerate(REP_FIXTURES)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rel = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(df).collect()
+    }
+    arw = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals_arrow(df).collect()
+    }
+    for i, (text, label) in enumerate(REP_FIXTURES):
+        exp = py_repetition(text)
+        for k, v in exp.items():
+            assert rel[i][k] == pytest.approx(v, abs=0), (label, k, rel[i][k], v)
+            assert arw[i][k] == pytest.approx(v, abs=0), (label, k, arw[i][k], v)
+
+
+def test_repetition_relational_equals_arrow_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rel = repetition_signals(docs).orderBy("doc_id").collect()
+    arw = repetition_signals_arrow(docs).orderBy("doc_id").collect()
+    assert rel == arw
+
+
+def test_repetition_known_values():
+    # "a b a b a b" (6 words, 11 chars): 2-gram "a b" x3 + "b a" x2;
+    # top = max((3,'a b'),(2,'b a')) = (3,'a b') -> 3*3/11
+    sig = py_repetition("a b a b a b")
+    assert sig["top_2gram_char_frac"] == pytest.approx(9 / 11)
+    # tie case: "tie tie" x1, "tie tok" x1, "tok tok" x1 -> ties broken by
+    # LARGEST gram string = "tok tok" (cnt 1, len 7, text len 15)
+    sig = py_repetition("tie tie tok tok")
+    assert sig["top_2gram_char_frac"] == pytest.approx(7 / 15)
+
+
+def test_decontaminate_flags_overlap(spark):
+    mk = " ".join(f"w{i}" for i in range(10))  # 10-word shared block
+    bench = spark.createDataFrame([(0, f"intro {mk} outro")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {mk} suffix"),       # shares the 8-gram block
+            (2, "totally unrelated words here that never overlap at all ok"),
+            (3, mk),                            # exactly the block
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out == {1: True, 2: False, 3: True}
+    dropped = decontaminate(corpus, bench, n=8, drop=True)
+    assert [r["doc_id"] for r in dropped.collect()] == [2]
+
+
+def test_decontaminate_requires_full_ngram(spark):
+    # 7-word overlap < n=8 -> clean
+    mk = " ".join(f"w{i}" for i in range(7))
+    bench = spark.createDataFrame([(0, f"intro {mk} outro")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, f"pre {mk} post")], ["doc_id", "text"])
+    assert contaminated_ids(corpus, bench, n=8).count() == 0
+
+
+def test_quantile_buckets_exact(spark):
+    rows = [(i, "g", float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(df, "score", k=3, by="lang").collect()
+    }
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_quantile_buckets_approx_matches_exact_bulk(spark, sf_dir):
+    """Sketch buckets agree with exact ntile away from boundaries: the
+    disagreement fraction is bounded by the sketch epsilon."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", F.length("text").cast("double").alias("score")
+    )
+    exact = quantile_buckets(docs, "score", k=3, by="lang").select(
+        "doc_id", F.col("bucket").alias("b_exact")
+    )
+    approx = quantile_buckets_approx(docs, "score", k=3, by="lang").select(
+        "doc_id", F.col("bucket").alias("b_approx")
+    )
+    j = exact.join(approx, "doc_id")
+    n = j.count()
+    agree = j.filter(F.col("b_exact") == F.col("b_approx")).count()
+    assert agree / n >= 0.95, f"approx/exact bucket agreement {agree}/{n}"
