@@ -443,11 +443,15 @@ def q_doc_quality_score(spark, sf_dir):
 
 
 def q_doc_repetition(spark, sf_dir):
-    """Gopher n-gram repetition battery (relational rendering: one explode,
-    one map-side-combined groupBy — the 100 TB plan)."""
-    from redpajama_processor_spark.functions.repetition import repetition_signals
+    """Gopher n-gram repetition battery — Arrow rendering (narrow, zero
+    shuffle, Counter per doc = O(tokens); measured 5x the relational
+    explode+groupBy rendering at sf0.1, which remains for pathological
+    500k-word docs and is proven equal in tests)."""
+    from redpajama_processor_spark.functions.repetition import (
+        repetition_signals_arrow,
+    )
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    return repetition_signals_arrow(_t(spark, sf_dir, "documents"))
 
 
 def q_doc_decontaminate(spark, sf_dir):
@@ -461,6 +465,17 @@ def q_doc_decontaminate(spark, sf_dir):
     corpus = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(corpus, bench, n=8).select("doc_id", "contaminated")
+
+
+def q_transcript_conv_paradup(spark, sf_dir):
+    """Within-conversation repeated-PARAGRAPH ratio (north_star W3's second
+    unit; same skew-safe groupBy plan as the line variant)."""
+    from redpajama_processor_spark.operators.convdup import conv_dup_ratio
+
+    t = _doc_turns(spark, sf_dir)
+    return conv_dup_ratio(t, unit="paragraph").select(
+        "conv_id", "turn_idx", "conv_dup_ratio"
+    )
 
 
 def q_doc_ccnet_buckets(spark, sf_dir):
@@ -810,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "transcript_conv_paradup": q_transcript_conv_paradup,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1048,6 +1064,30 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)",
             n=8,
         ),
+        "transcript_conv_paradup": f"""
+            WITH t AS (SELECT conv_id, turn_idx, text FROM {_SQL_DOC_TURNS}),
+            ex AS (
+              SELECT conv_id, turn_idx, trim(p, ' ') AS p FROM (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_split_to_array(text, '\\n\\n+')) AS p
+                FROM t)
+              WHERE trim(p, ' ') != ''
+            ),
+            first_seen AS (
+              SELECT conv_id, p, MIN(turn_idx) AS ft FROM ex GROUP BY ALL
+            ),
+            per_turn AS (
+              SELECT e.conv_id, e.turn_idx,
+                     SUM(CASE WHEN e.turn_idx > f.ft THEN 1 ELSE 0 END) AS n_rep,
+                     COUNT(*) AS n_lines
+              FROM ex e JOIN first_seen f ON e.conv_id = f.conv_id AND e.p = f.p
+              GROUP BY ALL
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   COALESCE(CAST(p.n_rep AS DOUBLE) / CAST(p.n_lines AS DOUBLE),
+                            0.0) AS conv_dup_ratio
+            FROM t LEFT JOIN per_turn p
+              ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx""",
         "doc_ccnet_buckets": _BUCKETS.duckdb_quantile_buckets_sql(
             f"(SELECT doc_id, lang, {sig['stopword_ratio']} AS score "
             "FROM documents)",

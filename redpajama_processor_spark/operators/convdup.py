@@ -29,9 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _exploded_lines(df: DataFrame, text_col: str) -> DataFrame:
+#: unit -> split regex. "line" splits on \n; "paragraph" on blank-line
+#: boundaries (one-or-more \n\n runs) — the north_star asks for BOTH
+#: repeated-line and repeated-paragraph detection within a conversation.
+UNIT_SPLIT = {"line": r"\n", "paragraph": r"\n\n+"}
+
+
+def _exploded_lines(df: DataFrame, text_col: str, unit: str = "line") -> DataFrame:
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+        F.transform(F.split(F.col(text_col), UNIT_SPLIT[unit]), F.trim),
         lambda ln: ln != "",
     )
     return df.select(
@@ -45,6 +51,7 @@ def conv_dup_ratio(
     df: DataFrame,
     text_col: str = "text",
     salt_partitions: int | None = None,
+    unit: str = "line",
 ) -> DataFrame:
     """Return (conv_id, turn_idx, conv_dup_ratio).
 
@@ -60,7 +67,7 @@ def conv_dup_ratio(
     already collapses those within each task; the salt bounds the reduce-side
     key width too.
     """
-    ex = _exploded_lines(df, text_col)
+    ex = _exploded_lines(df, text_col, unit)
 
     if salt_partitions:
         partial = (
@@ -102,19 +109,24 @@ def conv_dup_ratio(
 CONV_DUP_MAX = 0.3
 
 
-def py_conv_dup_ratios(turns: list[tuple[int, str]]) -> dict[int, float]:
+def py_conv_dup_ratios(
+    turns: list[tuple[int, str]], unit: str = "line"
+) -> dict[int, float]:
     """Oracle: turns = [(turn_idx, text)] of ONE conversation -> ratio map."""
+    import re
+
+    split = re.compile(UNIT_SPLIT[unit]).split
     first: dict[str, int] = {}
     ordered = sorted(turns)
     ratios: dict[int, float] = {}
     for idx, text in ordered:
-        lines = [ln.strip(" ") for ln in text.split("\n")]
+        lines = [ln.strip(" ") for ln in split(text)]
         lines = [ln for ln in lines if ln]
         for ln in lines:
             if ln not in first:
                 first[ln] = idx
     for idx, text in ordered:
-        lines = [ln.strip(" ") for ln in text.split("\n")]
+        lines = [ln.strip(" ") for ln in split(text)]
         lines = [ln for ln in lines if ln]
         if not lines:
             ratios[idx] = 0.0

@@ -73,8 +73,12 @@ def separate_by_metadata(
 
 
 def sample_sink(df: DataFrame, path: str, k: int = 100, seed: int = 42) -> None:
-    """Deterministic inspection sample (reference: df.sample(n).to_json)."""
-    frac = min(1.0, max(0.001, k * 20 / max(df.count(), 1)))
-    df.sample(fraction=frac, seed=seed).limit(k).coalesce(1).write.mode(
+    """Deterministic inspection sample (reference: df.sample(n).to_json).
+
+    Uniform k-sample in ONE pass: orderBy(rand(seed)).limit(k) compiles to
+    TakeOrderedAndProject (per-partition k-heaps, no global sort) — the
+    previous rendering paid an extra full scan for df.count() just to size
+    a sample fraction."""
+    df.orderBy(F.rand(seed)).limit(k).coalesce(1).write.mode(
         "overwrite"
     ).json(path)

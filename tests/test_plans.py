@@ -65,6 +65,51 @@ def test_transcript_core_prunes_documents_scan(spark, sf_dir):
         assert "source" not in s and "n_chars" not in s, s
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus side is never
+    hash-exchanged for the semi-join (zero corpus shuffle at 100 TB)."""
+    df = entry.q_doc_decontaminate(spark, sf_dir)
+    assert_broadcast(df, at_least=1)
+    a = audit_plan(df)
+    assert "BroadcastHashJoin" in a["plan"] or "BroadcastNestedLoop" in a["plan"]
+
+
+def test_repetition_arrow_entry_is_narrow(spark, sf_dir):
+    """The entry rendering (Arrow) must be shuffle-free."""
+    df = entry.q_doc_repetition(spark, sf_dir)
+    a = audit_plan(df)
+    assert a["n_exchanges"] == 0, a["n_exchanges"]
+
+
+def test_repetition_relational_bounded_shuffles(spark, sf_dir):
+    """Relational repetition (the giant-doc path): gram counting shuffles on
+    (doc, n, gram) with map-side partial aggregation; exchange count is a
+    bounded constant independent of corpus size, and no exchange happens
+    below the explode (narrow scan->explode->partial_agg chain)."""
+    from redpajama_processor_spark.functions.repetition import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = audit_plan(repetition_signals(docs))
+    assert a["n_exchanges"] <= 6, a["n_exchanges"]
+    assert "partial_count" in a["plan"] or "HashAggregate" in a["plan"]
+
+
+def test_quantile_buckets_approx_no_sort(spark, sf_dir):
+    """The sketch path must not global-sort the corpus (no Sort above the
+    scan except inside the tiny cutoff aggregation)."""
+    from redpajama_processor_spark.operators.buckets import (
+        quantile_buckets_approx,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("score")
+    )
+    df = quantile_buckets_approx(docs, "score", k=3, by="lang")
+    a = audit_plan(df)
+    assert_broadcast(df, at_least=1)
+    assert "Sort [score" not in a["plan"], "corpus-wide sort in approx path"
+
+
 def test_fuzzy_verify_semi_join_before_shingles(spark, sf_dir):
     """verify_pairs_jaccard must not materialize shingle arrays for the
     whole corpus: candidate ids are semi-joined first (plan contains a
