@@ -49,6 +49,8 @@ from redpajama_processor_spark.operators import ann as ANN
 from redpajama_processor_spark.operators import buckets as _BUCKETS
 from redpajama_processor_spark.operators import decontaminate as _DECON
 from redpajama_processor_spark.operators import dedup as D
+from redpajama_processor_spark.operators import dupspans as _DUPSPANS
+from redpajama_processor_spark.operators import packing as _PACK
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -467,6 +469,38 @@ def q_doc_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=8).select("doc_id", "contaminated")
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """Cross-document duplicated 10-token spans (Lee-et-al exact-substring
+    signal) over the near-dup corpus — copies share most windows."""
+    from redpajama_processor_spark.operators.dupspans import dup_span_stats
+
+    return dup_span_stats(_docs_near(spark, sf_dir), n=10)
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk LM sequence packing per source (BPE-ish tokens)."""
+    from redpajama_processor_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.bpeish_token_count_col(F.col("text")).cast("long").alias("tok"),
+    )
+    return pack_sequences(d, "tok", seq_len=2048, group_col="source").select(
+        "doc_id", "source", "pack_group", "seq_id", "offset_in_seq"
+    )
+
+
+def q_doc_mixture_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling (md5-threshold)."""
+    from redpajama_processor_spark.operators.packing import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(
+        d, {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1, "zh": 0.0}
+    )
+
+
 def q_transcript_conv_paradup(spark, sf_dir):
     """Within-conversation repeated-PARAGRAPH ratio (north_star W3's second
     unit; same skew-safe groupBy plan as the line variant)."""
@@ -826,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "transcript_conv_paradup": q_transcript_conv_paradup,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1063,6 +1100,17 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id + 100000 AS doc_id, text FROM documents)",
             "(SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)",
             n=8,
+        ),
+        "doc_dup_spans": _DUPSPANS.duckdb_dup_span_sql(_SQL_DOCS_NEAR, n=10),
+        "doc_pack_sequences": _PACK.duckdb_pack_sql(
+            "documents",
+            T.duckdb_bpeish_token_count_sql("text"),
+            seq_len=2048,
+            group_col="source",
+        ),
+        "doc_mixture_sample": _PACK.duckdb_mixture_sql(
+            "documents",
+            {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1, "zh": 0.0},
         ),
         "transcript_conv_paradup": f"""
             WITH t AS (SELECT conv_id, turn_idx, text FROM {_SQL_DOC_TURNS}),

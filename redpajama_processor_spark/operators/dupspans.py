@@ -1,0 +1,140 @@
+"""Cross-document duplicated-span detection (exact-substring dedup signal).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al. 2022)
+removes EXACT substrings shared across documents (suffix-array ExactSubstr).
+The distributed equivalent used at corpus scale is rolling-window matching:
+slide a fixed-length token window over every document and find windows whose
+content occurs in more than one document. The reference has no analog (its
+fuzzy dedup is whole-document MinHash); this closes that gap for the
+training-data pipeline.
+
+Spec (deterministic):
+  words         = signals.words_col spec
+  windows(n)    = space-joined word n-grams (repetition.ngrams_col spec),
+                  one per position i = 1..n_words-n+1
+  a window position is DUPLICATED iff its gram string occurs in >= 2
+  DISTINCT documents
+  n_windows     = max(n_words - n + 1, 0)
+  dup_span_frac = duplicated positions / n_windows (0.0 when no windows)
+
+Scale plan: explode windows -> groupBy(gram) agg countDistinct-style (two
+map-side-combined aggregations: (gram, doc) dedup then gram count) -> semi
+join back on gram -> per-doc count. Shuffles are keyed on the gram string —
+high cardinality, no hot keys; the shared-gram table after aggregation is a
+small fraction of the corpus. At 10^12 scale replace the gram string with
+xxhash64(gram) to shrink shuffle bytes (collision odds ~ B(n,2)/2^64;
+documented tradeoff) — the entry keeps raw strings for oracle exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.repetition import ngrams_col
+from ..functions.signals import words_col
+
+DEFAULT_SPAN = 10
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = DEFAULT_SPAN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document (n_windows, n_dup_spans, dup_span_frac).
+
+    hash_grams=True swaps gram strings for xxhash64 on the shuffle key (the
+    10^12-row path; not oracle-exact only because DuckDB lacks xxhash64)."""
+    words = words_col(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(ngrams_col(words, n)).alias("_pos", "gram"),
+    )
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+
+    # grams shared by >= 2 distinct docs: dedup (gram, doc) first — both
+    # aggregations get map-side partial combine, unlike countDistinct
+    shared = (
+        grams.select("gram", "_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram")
+    )
+    dup_counts = (
+        grams.join(shared, "gram", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    totals = grams.groupBy("_id").agg(F.count("*").alias("n_windows"))
+    out = (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(dup_counts, "_id", "left")
+        .withColumns(
+            {
+                "n_windows": F.coalesce("n_windows", F.lit(0)).cast("long"),
+                "n_dup_spans": F.coalesce("n_dup_spans", F.lit(0)).cast("long"),
+            }
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_windows",
+        "n_dup_spans",
+        F.when(F.col("n_windows") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_dup_spans").cast("double") / F.col("n_windows").cast("double")
+        )
+        .alias("dup_span_frac"),
+    )
+
+
+def duckdb_dup_span_sql(
+    corpus_table: str,
+    n: int = DEFAULT_SPAN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from ..functions.signals import TRIM_RE, WORD_SPLIT_RE
+
+    trimmed = f"regexp_replace({text_col}, '{TRIM_RE}', '', 'g')"
+    words = (
+        f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
+    )
+    grams = (
+        f"list_transform(generate_series(1, len(_w) - {n} + 1), "
+        f"i -> array_to_string(_w[i : i + {n} - 1], ' '))"
+    )
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS _id, {words} AS _w FROM {corpus_table}
+),
+grams AS (
+  SELECT _id, unnest({grams}) AS gram FROM w WHERE len(_w) >= {n}
+),
+shared AS (
+  SELECT gram FROM (SELECT DISTINCT gram, _id FROM grams)
+  GROUP BY gram HAVING COUNT(*) >= 2
+),
+dup_counts AS (
+  SELECT _id, COUNT(*) AS n_dup_spans FROM grams
+  WHERE gram IN (SELECT gram FROM shared) GROUP BY _id
+),
+totals AS (SELECT _id, COUNT(*) AS n_windows FROM grams GROUP BY _id)
+SELECT d.{id_col},
+       CAST(COALESCE(t.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+            ELSE CAST(COALESCE(c.n_dup_spans, 0) AS DOUBLE)
+                 / CAST(t.n_windows AS DOUBLE) END AS dup_span_frac
+FROM {corpus_table} d
+LEFT JOIN totals t ON d.{id_col} = t._id
+LEFT JOIN dup_counts c ON d.{id_col} = c._id
+"""

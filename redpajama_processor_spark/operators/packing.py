@@ -1,0 +1,139 @@
+"""LM training-sequence packing and deterministic mixture sampling.
+
+Two operations every pre-training data pipeline runs AFTER curation (no
+reference analog — the reference stops at filtered JSONL):
+
+1. ``pack_sequences`` — concat-and-chunk packing: documents are laid
+   end-to-end in a deterministic order within each pack group and cut into
+   fixed-length training sequences. Standard GPT-style packing (documents
+   may straddle sequence boundaries).
+
+   Spec: within each group (default: source), order docs by id; cum =
+   running token total INCLUDING the doc; a doc's pack offset = cum - tok;
+   seq_id = floor(offset / seq_len); offset_in_seq = offset % seq_len.
+
+   Scale: one window per group — groups must individually fit a sort
+   (source-level granularity). For 10^12-doc groups pass shards= to
+   sub-shard the window key deterministically (doc_id div shard_size):
+   order is preserved within a shard and seq_ids are shard-local, which is
+   exactly the per-file id-range trick the reference uses for AddId
+   (/root/reference/step2_add_ids.py:74-77).
+
+2. ``mixture_sample`` — deterministic per-group sampling to hit a data-mix
+   recipe (e.g. {'en': 1.0, 'fr': 0.5}): keep a row iff the first 4 hex
+   chars of md5(group#id) fall below the rate threshold. Pure column
+   expression, zero shuffle, reproducible across engines and runs (md5 is
+   bit-identical in Spark and DuckDB — the same trick the oracle-checked
+   dedup queries rely on). Rate resolution is 1/65536.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SEQ_LEN = 2048
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    shards: int | None = None,
+) -> DataFrame:
+    """Assign (seq_id, offset_in_seq) per document; adds pack_group."""
+    if shards:
+        group = F.concat_ws(
+            "#", F.col(group_col), (F.col(id_col) % shards).cast("string")
+        )
+    else:
+        group = F.col(group_col).cast("string")
+    df = docs.withColumn("pack_group", group)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    off = (cum - F.col(token_col)).cast("long")
+    return df.withColumns(
+        {
+            "seq_id": F.floor(off / seq_len).cast("long"),
+            "offset_in_seq": (off % seq_len).cast("long"),
+        }
+    )
+
+
+def duckdb_pack_sql(
+    corpus_table: str,
+    token_expr: str,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    select_cols: str | None = None,
+) -> str:
+    cols = select_cols or f"{id_col}, {group_col}"
+    return f"""
+SELECT {cols},
+       CAST({group_col} AS VARCHAR) AS pack_group,
+       CAST(floor(off / {seq_len}) AS BIGINT) AS seq_id,
+       CAST(off % {seq_len} AS BIGINT) AS offset_in_seq
+FROM (
+  SELECT *,
+         CAST(SUM(tok) OVER (PARTITION BY {group_col} ORDER BY {id_col} ASC
+              ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS off
+  FROM (SELECT *, ({token_expr}) AS tok FROM {corpus_table})
+)
+"""
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    label_only: bool = True,
+) -> DataFrame:
+    """Deterministic hash sampling to a per-group rate recipe.
+
+    label_only=True adds a ``sampled`` boolean (the engine's label-don't-
+    delete convention); False filters physically."""
+    key = F.substring(
+        F.md5(F.concat_ws("#", F.col(group_col), F.col(id_col).cast("string"))),
+        1,
+        4,
+    )
+    rate = F.lit(default_rate)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    thresh = F.lpad(
+        F.conv(F.floor(rate * 65536).cast("int").cast("string"), 10, 16), 4, "0"
+    )
+    sampled = (rate >= 1.0) | (key < F.lower(thresh))
+    if label_only:
+        return docs.withColumn("sampled", sampled)
+    return docs.filter(sampled)
+
+
+def duckdb_mixture_sql(
+    corpus_table: str,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    select_cols: str | None = None,
+) -> str:
+    cols = select_cols or f"{id_col}, {group_col}"
+    cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {float(r)}" for g, r in sorted(rates.items())
+    )
+    rate = f"(CASE {cases} ELSE {float(default_rate)} END)"
+    key = f"substr(md5({group_col} || '#' || CAST({id_col} AS VARCHAR)), 1, 4)"
+    thresh = f"lower(lpad(to_hex(CAST(floor({rate} * 65536) AS BIGINT)), 4, '0'))"
+    return (
+        f"SELECT {cols}, (({rate}) >= 1.0 OR {key} < {thresh}) AS sampled "
+        f"FROM {corpus_table}"
+    )

@@ -1,0 +1,99 @@
+"""Known-answer tests for sequence packing, mixture sampling, and
+cross-document duplicated-span detection (the entry-contract test already
+proves Spark == DuckDB on the sf fixtures)."""
+
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.dupspans import dup_span_stats
+from redpajama_processor_spark.operators.packing import (
+    mixture_sample,
+    pack_sequences,
+)
+
+
+def test_pack_sequences_known(spark):
+    # one group, seq_len 10; docs of 4/4/4/9/2 tokens ->
+    # offsets 0,4,8,12,21 -> seq 0,0,0,1,2 ; offset_in_seq 0,4,8,2,1
+    rows = [(i, "g", t) for i, t in enumerate([4, 4, 4, 9, 2])]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    out = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences(df, "tok", seq_len=10).collect()
+    }
+    assert out == {0: (0, 0), 1: (0, 4), 2: (0, 8), 3: (1, 2), 4: (2, 1)}
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [(0, "a", 7), (1, "b", 7), (2, "a", 7), (3, "b", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    out = {
+        r["doc_id"]: (r["pack_group"], r["seq_id"])
+        for r in pack_sequences(df, "tok", seq_len=10).collect()
+    }
+    assert out == {0: ("a", 0), 1: ("b", 0), 2: ("a", 0), 3: ("b", 0)}
+
+
+def test_pack_sequences_sharded(spark):
+    rows = [(i, "a", 5) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    out = pack_sequences(df, "tok", seq_len=10, shards=2)
+    groups = {r["doc_id"]: r["pack_group"] for r in out.collect()}
+    assert groups == {0: "a#0", 1: "a#1", 2: "a#0", 3: "a#1"}
+
+
+def test_mixture_sample_rates(spark):
+    rows = [(i, "en") for i in range(400)] + [(i, "zh") for i in range(400, 800)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_sample(df, {"en": 1.0, "zh": 0.0})
+    kept = out.groupBy("lang").agg(
+        F.sum(F.col("sampled").cast("int")).alias("k")
+    ).collect()
+    k = {r["lang"]: r["k"] for r in kept}
+    assert k == {"en": 400, "zh": 0}
+    # a 0.5 rate lands near half (md5 uniformity; 400 trials)
+    half = mixture_sample(df.filter("lang = 'en'"), {"en": 0.5})
+    n = half.filter("sampled").count()
+    assert 140 <= n <= 260, n
+    # deterministic: same ids every run
+    a = sorted(r["doc_id"] for r in half.filter("sampled").collect())
+    b = sorted(r["doc_id"] for r in half.filter("sampled").collect())
+    assert a == b
+
+
+def test_dup_span_stats_known(spark):
+    shared = " ".join(f"s{i}" for i in range(5))  # 5-token shared block
+    rows = [
+        (0, f"{shared} unique0 tail0"),
+        (1, f"lead1 {shared} tail1"),
+        (2, "nothing in common with the others at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in dup_span_stats(df, n=5).collect()}
+    # doc0: 7 tokens -> 3 windows; only window at pos1 == shared block
+    assert out[0]["n_windows"] == 3 and out[0]["n_dup_spans"] == 1
+    # doc1: 7 tokens -> 3 windows; window at pos2 == shared block
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 0
+    assert out[0]["dup_span_frac"] == 1 / 3
+
+
+def test_dup_span_within_doc_repeat_not_cross(spark):
+    # a doc repeating ITS OWN 5-gram twice is not cross-doc duplicated
+    block = " ".join(f"r{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(0, f"{block} mid {block}"), (1, "a b c d e f")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_dup_spans"] for r in dup_span_stats(df, n=5).collect()}
+    assert out == {0: 0, 1: 0}
+
+
+def test_dup_span_hashed_path_matches(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "prefix alpha beta gamma delta epsilon zeta"),
+        (2, "unrelated words entirely different from both documents"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = dup_span_stats(df, n=5).orderBy("doc_id").collect()
+    hashed = dup_span_stats(df, n=5, hash_grams=True).orderBy("doc_id").collect()
+    assert plain == hashed
