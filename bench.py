@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_fuzzy_components",
     "doc_simhash",
     "doc_repetition",
+    "doc_dup_spans",
     "transcript_core",
     "ann_topk",
     "events_hourly",

@@ -165,19 +165,12 @@ def repetition_signals(
 # Arrow fast path (narrow; zero shuffle)
 # ---------------------------------------------------------------------------
 
-def repetition_signals_arrow(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ns_top: tuple[int, ...] = TOP_NS,
-    ns_dup: tuple[int, ...] = DUP_NS,
-) -> DataFrame:
-    """Same spec via one Arrow-batched struct UDF (Counter per document).
-
-    O(tokens) per document, no shuffle — preferable when the x(len(ns))
-    n-gram explosion would dominate the shuffle budget. Proven equal to the
-    relational rendering in tests.
-    """
+def repetition_struct_udf(
+    ns_top: tuple[int, ...] = TOP_NS, ns_dup: tuple[int, ...] = DUP_NS
+):
+    """The Arrow-batched struct UDF behind ``repetition_signals_arrow`` —
+    exposed so pipelines can annotate INLINE (scalar UDF in the projection,
+    zero shuffle, no join-back)."""
     import re
 
     cols = _frac_cols(ns_top, ns_dup)
@@ -225,7 +218,25 @@ def repetition_signals_arrow(
             rows.append([vals.get(c, 0.0) for c in cols])
         return pd.DataFrame(rows, columns=cols)
 
-    out = docs.select(F.col(id_col), _rep(F.col(text_col)).alias("_r"))
+    return _rep
+
+
+def repetition_signals_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns_top: tuple[int, ...] = TOP_NS,
+    ns_dup: tuple[int, ...] = DUP_NS,
+) -> DataFrame:
+    """Same spec via one Arrow-batched struct UDF (Counter per document).
+
+    O(tokens) per document, no shuffle — preferable when the x(len(ns))
+    n-gram explosion would dominate the shuffle budget. Proven equal to the
+    relational rendering in tests.
+    """
+    cols = _frac_cols(ns_top, ns_dup)
+    udf = repetition_struct_udf(ns_top, ns_dup)
+    out = docs.select(F.col(id_col), udf(F.col(text_col)).alias("_r"))
     return out.select(id_col, *[F.col(f"_r.{c}").alias(c) for c in cols])
 
 

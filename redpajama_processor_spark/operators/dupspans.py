@@ -51,19 +51,18 @@ def dup_span_stats(
     words = words_col(F.col(text_col))
     grams = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(ngrams_col(words, n)).alias("_pos", "gram"),
+        F.explode(ngrams_col(words, n)).alias("gram"),
     )
     if hash_grams:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
 
-    # grams shared by >= 2 distinct docs: dedup (gram, doc) first — both
-    # aggregations get map-side partial combine, unlike countDistinct
+    # grams in >= 2 distinct docs in ONE map-side-combined aggregation:
+    # min(_id) != max(_id) <=> at least two documents carry the gram
+    # (replaces a distinct + second groupBy — two full gram shuffles saved)
     shared = (
-        grams.select("gram", "_id")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        grams.groupBy("gram")
+        .agg(F.min("_id").alias("_lo"), F.max("_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("gram")
     )
     dup_counts = (
@@ -71,17 +70,16 @@ def dup_span_stats(
         .groupBy("_id")
         .agg(F.count("*").alias("n_dup_spans"))
     )
-    totals = grams.groupBy("_id").agg(F.count("*").alias("n_windows"))
+    # n_windows is a NARROW per-row expression — no explode, no shuffle
     out = (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(totals, "_id", "left")
-        .join(dup_counts, "_id", "left")
-        .withColumns(
-            {
-                "n_windows": F.coalesce("n_windows", F.lit(0)).cast("long"),
-                "n_dup_spans": F.coalesce("n_dup_spans", F.lit(0)).cast("long"),
-            }
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.greatest(F.size(words) - n + 1, F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
         )
+        .join(dup_counts, "_id", "left")
+        .withColumn("n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)).cast("long"))
     )
     return out.select(
         F.col("_id").alias(id_col),

@@ -93,6 +93,8 @@ def curate(
     stage_dir: str | None = None,
     stage_reuse: bool = False,
     fasttext_model: str | None = None,
+    with_repetition: bool = False,
+    with_ppl_buckets: bool = False,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,
     scrubbed text, keep and drop_rule. Never physically drops rows —
@@ -117,7 +119,13 @@ def curate(
     CC rounds) is a parquet stage table instead of a localCheckpoint — the
     fault-tolerant cluster path (executor loss cannot discard a stage; a
     killed driver resumes with stage_reuse=True, skipping stages whose
-    _SUCCESS marker exists)."""
+    _SUCCESS marker exists).
+
+    with_repetition / with_ppl_buckets: ANNOTATION-ONLY extras (keep/drop
+    unchanged — the oracle-gated spec stays fixed): the Gopher n-gram
+    repetition battery (narrow Arrow pass over clean_text) and CCNet-style
+    head/middle/tail perplexity buckets per language (approx-percentile
+    cutoffs, broadcast join — no sort)."""
     if lm is None:
         from .datagen import lm_corpus
 
@@ -157,7 +165,7 @@ def curate(
                 "component": F.coalesce("component", F.col("_key")),
             }
         )
-        return _annotate_rest(df, lm_b, use_native_scrub)
+        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets)
 
     # --- exact dedup among langid survivors ------------------------------
     en = df.filter(F.col("language") == "EN").select(
@@ -204,10 +212,16 @@ def curate(
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
-    return _annotate_rest(df, lm_b, use_native_scrub)
+    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets)
 
 
-def _annotate_rest(df: DataFrame, lm_b, use_native_scrub: bool = True) -> DataFrame:
+def _annotate_rest(
+    df: DataFrame,
+    lm_b,
+    use_native_scrub: bool = True,
+    with_repetition: bool = False,
+    with_ppl_buckets: bool = False,
+) -> DataFrame:
     """Signals, conv-dup, perplexity, scrub, final keep/drop (narrow except
     the conv_dup partial-agg shuffles)."""
     # --- heuristic signals (native columns; zero shuffle) -----------------
@@ -274,6 +288,21 @@ def _annotate_rest(df: DataFrame, lm_b, use_native_scrub: bool = True) -> DataFr
         .withColumn("keep", F.col("drop_rule").isNull())
         .drop("_heur_keep", "_heur_rule")
     )
+
+    # --- optional annotation-only extras (keep/drop untouched) -------------
+    if with_repetition:
+        from .functions.repetition import _frac_cols, repetition_struct_udf
+
+        rep = repetition_struct_udf()(F.col("clean_text")).alias("_rep")
+        df = df.withColumn("_rep", rep).withColumns(
+            {c: F.col(f"_rep.{c}") for c in _frac_cols()}
+        ).drop("_rep")
+    if with_ppl_buckets:
+        from .operators.buckets import quantile_buckets_approx
+
+        df = quantile_buckets_approx(
+            df, "perplexity", k=3, by="language", out_col="ppl_bucket"
+        )
     return df
 
 

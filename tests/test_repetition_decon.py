@@ -109,6 +109,51 @@ def test_quantile_buckets_exact(spark):
     )
 
 
+def test_curate_annotation_extras(spark):
+    """with_repetition / with_ppl_buckets add columns but never change the
+    oracle-gated keep/drop/scrubbed outputs."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas, lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.functions.repetition import (
+        _frac_cols,
+        py_repetition,
+    )
+    from redpajama_processor_spark.pipeline import curate
+
+    turns = gen_turns_pandas(12)
+    lm = train_bigram_lm(lm_corpus())
+    base = (
+        curate(spark, spark.createDataFrame(turns), lm, run_fuzzy=False)
+        .select("conv_id", "turn_idx", "keep", "drop_rule", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    extra = (
+        curate(
+            spark,
+            spark.createDataFrame(turns),
+            lm,
+            run_fuzzy=False,
+            with_repetition=True,
+            with_ppl_buckets=True,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (base.keep == extra.keep).all()
+    assert (base.drop_rule.fillna("") == extra.drop_rule.fillna("")).all()
+    for c in _frac_cols():
+        assert c in extra.columns
+    assert set(extra.ppl_bucket.unique()) <= {"head", "middle", "tail"}
+    # repetition values match the python oracle on the cleaned text
+    for i in range(0, len(extra), 37):
+        exp = py_repetition(base.clean_text[i])
+        for k, v in exp.items():
+            assert extra[k][i] == v
+
+
 def test_quantile_buckets_approx_matches_exact_bulk(spark, sf_dir):
     """Sketch buckets agree with exact ntile away from boundaries: the
     disagreement fraction is bounded by the sketch epsilon."""
