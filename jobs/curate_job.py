@@ -57,6 +57,16 @@ def main() -> None:
         help="fastText .bin filename shipped via spark-submit --files "
         "(e.g. lid.176.bin); lexicon fallback when absent",
     )
+    ap.add_argument(
+        "--with-repetition",
+        action="store_true",
+        help="annotate Gopher n-gram repetition fractions (keep unchanged)",
+    )
+    ap.add_argument(
+        "--with-ppl-buckets",
+        action="store_true",
+        help="annotate CCNet head/middle/tail perplexity buckets per language",
+    )
     args = ap.parse_args()
 
     from redpajama_processor_spark.datagen import gen_turns_spark, lm_corpus
@@ -111,6 +121,8 @@ def main() -> None:
                 run_fuzzy=False if labels is not None else not args.no_fuzzy,
                 dedup_labels=labels,
                 fasttext_model=args.fasttext_model,
+                with_repetition=args.with_repetition,
+                with_ppl_buckets=args.with_ppl_buckets,
             ),
         )
         out = run.result()
@@ -122,6 +134,8 @@ def main() -> None:
             stage_dir=args.stage_dir,
             stage_reuse=args.stage_reuse,
             fasttext_model=args.fasttext_model,
+            with_repetition=args.with_repetition,
+            with_ppl_buckets=args.with_ppl_buckets,
         )
         out.write.mode("overwrite").parquet(args.output)
 
