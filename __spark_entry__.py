@@ -47,6 +47,7 @@ from redpajama_processor_spark.functions.scrub import (
 from redpajama_processor_spark.functions import repetition as _REP
 from redpajama_processor_spark.operators import ann as ANN
 from redpajama_processor_spark.operators import buckets as _BUCKETS
+from redpajama_processor_spark.operators import chunking as _CHUNK
 from redpajama_processor_spark.operators import decontaminate as _DECON
 from redpajama_processor_spark.operators import dedup as D
 from redpajama_processor_spark.operators import dupspans as _DUPSPANS
@@ -501,6 +502,28 @@ def q_doc_mixture_sample(spark, sf_dir):
     )
 
 
+def q_doc_exact_dedup_incr(spark, sf_dir):
+    """Snapshot-incremental exact dedup: the new batch (dup copies) dedups
+    within itself AND against a prior snapshot's hash table (every even
+    original)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    prior = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("_hash")
+    )
+    return D.exact_dedup_incremental(batch, prior).select(
+        "doc_id", F.col("_hash").alias("text_md5"), "is_dup", "is_prior_dup"
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Paragraph-boundary chunking of long documents (concat-and-chunk at
+    64 ws-tokens so the fixture docs split into multiple chunks)."""
+    from redpajama_processor_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
+
+
 def q_transcript_conv_paradup(spark, sf_dir):
     """Within-conversation repeated-PARAGRAPH ratio (north_star W3's second
     unit; same skew-safe groupBy plan as the line variant)."""
@@ -863,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_exact_dedup_incr": q_doc_exact_dedup_incr,
+        "doc_chunks": q_doc_chunks,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1102,6 +1127,19 @@ def oracle_sql() -> dict[str, str]:
             n=8,
         ),
         "doc_dup_spans": _DUPSPANS.duckdb_dup_span_sql(_SQL_DOCS_NEAR, n=10),
+        "doc_exact_dedup_incr": """
+            WITH batch AS (
+              SELECT doc_id + 100000 AS doc_id, text, md5(text) AS _hash
+              FROM documents),
+            prior AS (
+              SELECT DISTINCT md5(text) AS _hash FROM documents
+              WHERE doc_id % 2 = 0)
+            SELECT b.doc_id, b._hash AS text_md5,
+                   row_number() OVER (PARTITION BY b._hash
+                                      ORDER BY b.doc_id) > 1 AS is_dup,
+                   (p._hash IS NOT NULL) AS is_prior_dup
+            FROM batch b LEFT JOIN prior p ON b._hash = p._hash""",
+        "doc_chunks": _CHUNK.duckdb_chunk_sql("documents", max_tokens=64),
         "doc_pack_sequences": _PACK.duckdb_pack_sql(
             "documents",
             T.duckdb_bpeish_token_count_sql("text"),

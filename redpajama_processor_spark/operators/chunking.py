@@ -1,0 +1,111 @@
+"""Long-document chunking at paragraph boundaries.
+
+Pre-training corpora cap document length (the reference's WordCountFilter
+upper bound is 500k words — step7_quality_filtering.py:30-36 — i.e. it
+DROPS giants); a less lossy pipeline splits over-long documents into
+chunks at paragraph boundaries before tokenization/packing. No reference
+analog; standard practice (context-window-sized chunks).
+
+Spec (deterministic, lossless):
+  paragraphs  = split(text, '\\n\\n') EXACTLY (no run-collapsing) — joining
+                the pieces back with '\\n\\n' reproduces the input verbatim
+  tok(p)      = ws token count (tokens.ws_token_count spec)
+  cum         = running tok total per doc over paragraph position
+  chunk_id    = floor((cum - tok) / max_tokens)   (concat-and-chunk, same
+                spec as packing.pack_sequences — a paragraph larger than
+                max_tokens becomes its own oversized chunk rather than
+                being split mid-paragraph)
+  chunk_text  = paragraphs of the chunk rejoined with '\\n\\n'
+
+Scale: posexplode -> running-sum window partitioned by doc -> groupBy
+(doc, chunk). The groupBy keys extend the window's partition key, so rows
+stay co-partitioned after the window — ONE shuffle on doc id total, and
+documents (not the corpus) bound the window size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokens import ws_token_count_col
+
+DEFAULT_CHUNK_TOKENS = 1024
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = DEFAULT_CHUNK_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, chunk): chunk_id, chunk_text, n_tokens."""
+    paras = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("_pos", "_p"),
+    ).withColumn("_tok", ws_token_count_col(F.col("_p")).cast("long"))
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_tok").over(w)
+    paras = paras.withColumn(
+        "chunk_id", F.floor((cum - F.col("_tok")) / max_tokens).cast("long")
+    )
+    return (
+        paras.groupBy("_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                    lambda x: x.getField("_p"),
+                ),
+                "\n\n",
+            ).alias("chunk_text"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+        )
+        .select(F.col("_id").alias(id_col), "chunk_id", "chunk_text", "n_tokens")
+    )
+
+
+def duckdb_chunk_sql(
+    corpus_table: str,
+    max_tokens: int = DEFAULT_CHUNK_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from ..functions.signals import TRIM_RE, WORD_SPLIT_RE
+
+    tok = (
+        "CASE WHEN regexp_replace(_p, '{tr}', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array("
+        "regexp_replace(_p, '{tr}', '', 'g'), '{ws}')) END"
+    ).format(tr=TRIM_RE, ws=WORD_SPLIT_RE)
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS _id,
+         string_split({text_col}, chr(10) || chr(10)) AS _paras
+  FROM {corpus_table}
+),
+ex AS (
+  SELECT _id,
+         unnest(generate_series(1, len(_paras))) AS _pos,
+         unnest(_paras) AS _p
+  FROM w
+),
+toks AS (
+  SELECT _id, _pos, _p, CAST({tok} AS BIGINT) AS _tok FROM ex
+),
+assigned AS (
+  SELECT *,
+         CAST(floor(CAST(SUM(_tok) OVER (PARTITION BY _id ORDER BY _pos
+              ROWS UNBOUNDED PRECEDING) - _tok AS DOUBLE)
+              / {max_tokens}) AS BIGINT) AS chunk_id
+  FROM toks
+)
+SELECT _id AS {id_col}, chunk_id,
+       string_agg(_p, chr(10) || chr(10) ORDER BY _pos) AS chunk_text,
+       CAST(SUM(_tok) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY _id, chunk_id
+"""

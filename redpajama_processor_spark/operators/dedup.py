@@ -73,6 +73,32 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    df: DataFrame,
+    prior_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "md5",
+) -> DataFrame:
+    """Snapshot-incremental exact dedup: annotate against BOTH the current
+    batch (keep-first window) and a prior corpus's hash table.
+
+    The Common-Crawl-snapshot pattern: each new crawl dedups within itself
+    AND against every previously released snapshot's content hashes — the
+    prior corpus never rescans, only its (small) ``_hash`` column table is
+    read. is_dup = duplicate within this batch; is_prior_dup = content
+    already present in the prior snapshot(s). One shuffle on _hash for the
+    window plus one hash join against the prior table (broadcast when it
+    fits, AQE decides); the prior table at 100 TB is ~32 bytes/doc.
+    """
+    cur = exact_dedup(df, text_col, id_col, method)
+    prior = prior_hashes.select(F.col("_hash")).distinct()
+    hit = prior.withColumn("is_prior_dup", F.lit(True))
+    return cur.join(hit, "_hash", "left").withColumn(
+        "is_prior_dup", F.coalesce("is_prior_dup", F.lit(False))
+    )
+
+
 def duplicate_census(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Duplicate-cluster census: hash -> member count, clusters only.
 

@@ -87,6 +87,67 @@ def test_dup_span_within_doc_repeat_not_cross(spark):
     assert out == {0: 0, 1: 0}
 
 
+def test_chunk_documents_lossless_and_bounded(spark, sf_dir):
+    """Rejoining a doc's chunks in chunk order reproduces the text verbatim,
+    and every chunk except paragraph-oversized ones respects max_tokens."""
+    from redpajama_processor_spark.operators.chunking import chunk_documents
+
+    # fixture docs are single-paragraph; build multi-paragraph variants by
+    # doubling each text with a blank-line separator (still deterministic)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs = raw.select(
+        "doc_id", F.concat_ws("\n\n", "text", "text", "text").alias("text")
+    )
+    chunks = chunk_documents(docs, max_tokens=64)
+    joined = (
+        chunks.orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda x: x.getField("chunk_text"),
+                ),
+                "\n\n",
+            ).alias("rejoined")
+        )
+    )
+    cmp = docs.join(joined, "doc_id")
+    assert cmp.filter(F.col("text") != F.col("rejoined")).count() == 0
+    assert chunks.count() > docs.count(), "fixture docs should multi-chunk"
+
+
+def test_chunk_documents_oversized_paragraph(spark):
+    big = " ".join(f"w{i}" for i in range(30))  # one 30-token paragraph
+    df = spark.createDataFrame(
+        [(0, f"{big}\n\nshort one\n\n{big}")], ["doc_id", "text"]
+    )
+    from redpajama_processor_spark.operators.chunking import chunk_documents
+
+    out = chunk_documents(df, max_tokens=10).orderBy("chunk_id").collect()
+    # paragraph 1 (30 tok) -> chunk 0 alone; paragraph 2 starts at cum 30 ->
+    # chunk 3; paragraph 3 at cum 32 -> chunk 3 too
+    assert [(r["chunk_id"], r["n_tokens"]) for r in out] == [(0, 30), (3, 32)]
+
+
+def test_exact_dedup_incremental_flags(spark):
+    from redpajama_processor_spark.operators.dedup import exact_dedup_incremental
+    from pyspark.sql import functions as SF
+
+    batch = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "brand new")],
+        ["doc_id", "text"],
+    )
+    prior = spark.createDataFrame([("seen before",)], ["t"]).select(
+        SF.md5("t").alias("_hash")
+    )
+    out = {
+        r["doc_id"]: (r["is_dup"], r["is_prior_dup"])
+        for r in exact_dedup_incremental(batch, prior).collect()
+    }
+    assert out == {1: (False, True), 2: (False, False), 3: (True, False)}
+
+
 def test_dup_span_hashed_path_matches(spark):
     rows = [
         (0, "alpha beta gamma delta epsilon zeta"),
