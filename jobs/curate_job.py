@@ -98,13 +98,10 @@ def main() -> None:
         # Dedup must see the WHOLE corpus — running it inside a bucket
         # would only catch within-bucket duplicates.
         labels_path = os.path.join(args.checkpoint_root, "dedup_labels")
-        if not os.path.exists(os.path.join(labels_path, "_SUCCESS")):
-            if args.no_fuzzy:
-                lbl = None
-            else:
-                dedup_labels_for(spark, turns).write.mode("overwrite").parquet(
-                    labels_path
-                )
+        if not os.path.exists(os.path.join(labels_path, "_SUCCESS")) and not args.no_fuzzy:
+            dedup_labels_for(spark, turns).write.mode("overwrite").parquet(
+                labels_path
+            )
         labels = (
             spark.read.parquet(labels_path)
             if os.path.exists(os.path.join(labels_path, "_SUCCESS"))

@@ -189,14 +189,7 @@ def repetition_struct_udf(
             words = split_re.split(t) if t else []
             nc = len(text or "")
             vals = {}
-            for n in ns_top_l + ns_dup_l:
-                key = (
-                    f"top_{n}gram_char_frac"
-                    if n in ns_top_l
-                    else f"dup_{n}gram_char_frac"
-                )
-                if key in vals:  # n in both sets: computed twice below
-                    pass
+            for n in sorted(set(ns_top_l) | set(ns_dup_l)):
                 if nc == 0 or len(words) < n:
                     vals.setdefault(f"top_{n}gram_char_frac", 0.0)
                     vals.setdefault(f"dup_{n}gram_char_frac", 0.0)
