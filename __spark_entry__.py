@@ -52,6 +52,7 @@ from redpajama_processor_spark.operators import decontaminate as _DECON
 from redpajama_processor_spark.operators import dedup as D
 from redpajama_processor_spark.operators import dupspans as _DUPSPANS
 from redpajama_processor_spark.operators import packing as _PACK
+from redpajama_processor_spark import prepare as _PREP
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -524,6 +525,17 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
 
 
+def q_doc_prepare_training(spark, sf_dir):
+    """Composite post-curation chain: heuristic filter -> exact dedup ->
+    paragraph chunking (64 tok) -> sequence packing (128) — one oracled
+    query over four composed operators."""
+    from redpajama_processor_spark.prepare import prepare_training_data
+
+    return prepare_training_data(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, seq_len=128
+    )
+
+
 def q_transcript_conv_paradup(spark, sf_dir):
     """Within-conversation repeated-PARAGRAPH ratio (north_star W3's second
     unit; same skew-safe groupBy plan as the line variant)."""
@@ -888,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_exact_dedup_incr": q_doc_exact_dedup_incr,
         "doc_chunks": q_doc_chunks,
+        "doc_prepare_training": q_doc_prepare_training,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1140,6 +1153,9 @@ def oracle_sql() -> dict[str, str]:
                    (p._hash IS NOT NULL) AS is_prior_dup
             FROM batch b LEFT JOIN prior p ON b._hash = p._hash""",
         "doc_chunks": _CHUNK.duckdb_chunk_sql("documents", max_tokens=64),
+        "doc_prepare_training": _PREP.duckdb_prepare_sql(
+            "documents", chunk_tokens=64, seq_len=128
+        ),
         "doc_pack_sequences": _PACK.duckdb_pack_sql(
             "documents",
             T.duckdb_bpeish_token_count_sql("text"),

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "doc_simhash",
     "doc_repetition",
     "doc_dup_spans",
+    "doc_prepare_training",
     "transcript_core",
     "ann_topk",
     "events_hourly",

@@ -1,0 +1,96 @@
+"""prepare_training_data: the post-curation half of a pre-training pipeline
+as one composition — quality filter -> exact dedup -> paragraph chunking ->
+sequence packing (optionally mixture sampling first).
+
+The reference stops at filtered JSONL (step7); a training run additionally
+needs the curated corpus chunked to context length and packed into training
+sequences. Every stage here is an already-verified operator; this module
+only composes them, and the composition itself is DuckDB-oracle-checked
+end-to-end (entry: doc_prepare_training).
+
+Scale shape: signals filter is narrow; dedup one hash shuffle; chunking one
+doc-key shuffle; packing one window per pack group. Nothing quadratic, no
+collects, every stage's plan audited individually in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import signals as S
+from .functions.tokens import ws_token_count_col
+from .operators.chunking import chunk_documents
+from .operators.dedup import exact_dedup
+from .operators.packing import pack_sequences
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    chunk_tokens: int = 1024,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(doc_id, chunk_id, pack_group, seq_id, offset_in_seq, n_tokens) for
+    every surviving chunk. Survivors = docs passing the full heuristic
+    battery (incl. stopword rule) that are not exact duplicates."""
+    sig = S.spark_signal_cols(F.col(text_col))
+    keep, _ = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    kept = docs.filter(keep)
+    deduped = exact_dedup(kept, text_col, id_col).filter(~F.col("is_dup")).drop(
+        "_hash", "is_dup"
+    )
+    chunks = chunk_documents(deduped, chunk_tokens, id_col, text_col)
+    # a sortable composite key: chunk order within doc order (chunk counts
+    # are bounded by doc length / 1 token, so 10^6 per doc is safe headroom)
+    chunks = chunks.join(
+        docs.select(id_col, group_col), id_col
+    ).withColumn("_ck", F.col(id_col) * 1000000 + F.col("chunk_id"))
+    packed = pack_sequences(
+        chunks, "n_tokens", seq_len, group_col=group_col, id_col="_ck"
+    )
+    return packed.select(
+        id_col, "chunk_id", "pack_group", "seq_id", "offset_in_seq", "n_tokens"
+    )
+
+
+def duckdb_prepare_sql(
+    table: str = "documents",
+    chunk_tokens: int = 1024,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    from .functions.signals import duckdb_keep_and_rule_sql, duckdb_signal_sql
+    from .operators.chunking import duckdb_chunk_sql
+
+    keep_sql, _ = duckdb_keep_and_rule_sql(
+        duckdb_signal_sql(text_col), include_stopword_rule=True
+    )
+    survivors = f"""(
+      SELECT {id_col}, {text_col} FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5({text_col})
+                                     ORDER BY {id_col}) AS _rn
+        FROM {table} WHERE {keep_sql}
+      ) WHERE _rn = 1)"""
+    chunks = duckdb_chunk_sql(survivors, chunk_tokens, id_col, text_col)
+    return f"""
+SELECT c.{id_col}, c.chunk_id,
+       CAST(d.{group_col} AS VARCHAR) AS pack_group,
+       CAST(floor(off / {seq_len}) AS BIGINT) AS seq_id,
+       CAST(off % {seq_len} AS BIGINT) AS offset_in_seq,
+       c.n_tokens
+FROM (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (PARTITION BY _grp ORDER BY _ck ASC
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+  FROM (
+    SELECT ch.*, d0.{group_col} AS _grp,
+           ch.{id_col} * 1000000 + ch.chunk_id AS _ck
+    FROM ({chunks}) ch JOIN {table} d0 ON ch.{id_col} = d0.{id_col}
+  )
+) c JOIN {table} d ON c.{id_col} = d.{id_col}
+"""
