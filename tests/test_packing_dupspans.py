@@ -148,6 +148,42 @@ def test_exact_dedup_incremental_flags(spark):
     assert out == {1: (False, True), 2: (False, False), 3: (True, False)}
 
 
+def test_chunk_sql_lossless_property():
+    """Hypothesis over arbitrary texts (incl. \\n\\n runs, unicode,
+    whitespace edge cases): the DuckDB rendering of the chunk spec is
+    lossless — rejoining chunks reproduces the input verbatim. Runs engine-
+    free (DuckDB only), so hundreds of examples are cheap; Spark == DuckDB
+    is separately proven by the entry contract."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redpajama_processor_spark.operators.chunking import duckdb_chunk_sql
+
+    text_st = st.text(
+        alphabet=st.sampled_from(list("ab \n\t…é")), min_size=0, max_size=200
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(text_st, min_size=1, max_size=4))
+    def run(texts):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(texts))
+        )
+        sql = duckdb_chunk_sql("t", max_tokens=5)
+        re = con.execute(
+            f"""SELECT doc_id, string_agg(chunk_text, chr(10)||chr(10)
+                ORDER BY chunk_id) AS rejoined
+                FROM ({sql}) GROUP BY doc_id ORDER BY doc_id"""
+        ).fetchall()
+        con.close()
+        assert [r[1] for r in re] == texts
+
+    run()
+
+
 def test_dup_span_hashed_path_matches(spark):
     rows = [
         (0, "alpha beta gamma delta epsilon zeta"),

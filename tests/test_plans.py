@@ -110,6 +110,26 @@ def test_quantile_buckets_approx_no_sort(spark, sf_dir):
     assert "Sort [score" not in a["plan"], "corpus-wide sort in approx path"
 
 
+def test_pack_sequences_single_window_no_global_sort(spark, sf_dir):
+    """Packing must sort within pack groups only — no global Exchange
+    SinglePartition / no corpus-wide sort."""
+    df = entry.q_doc_pack_sequences(spark, sf_dir)
+    a = audit_plan(df)
+    assert "SinglePartition" not in a["plan"], "global gather in pack plan"
+
+
+def test_chunk_groupby_reuses_window_partitioning(spark, sf_dir):
+    """chunk_documents: the groupBy(doc, chunk) must NOT add an exchange
+    after the window (both key on the doc id) — one shuffle total."""
+    from redpajama_processor_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = audit_plan(chunk_documents(docs, max_tokens=64))
+    # formatted plans list each node twice (tree line + detail header), so
+    # one physical Exchange == 2 regex hits
+    assert a["n_exchanges"] <= 2, f"chunking should shuffle once: {a['n_exchanges']}"
+
+
 def test_fuzzy_verify_semi_join_before_shingles(spark, sf_dir):
     """verify_pairs_jaccard must not materialize shingle arrays for the
     whole corpus: candidate ids are semi-joined first (plan contains a
