@@ -1,0 +1,86 @@
+"""SQL surface: the engine's functions as spark.sql()-callable UDFs.
+
+SQL-first shops drive Spark through ``spark.sql`` rather than the DataFrame
+API. This module registers the engine's vectorized UDFs and the full signal
+battery under an ``rp_`` prefix so the entire quality pipeline is writable
+as one SQL statement (see tests/test_sql_api.py for the end-to-end query).
+
+The scalar signal battery (pure column expressions) is registered as a
+STRUCT-returning view-builder rather than per-signal UDFs — SQL callers
+select ``rp_signals(text).alpha_ratio`` etc., keeping the whole battery one
+codegen pass exactly like the DataFrame path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import signals as S
+from .functions.langid import langid_udf
+from .functions.perplexity import perplexity_udf, train_bigram_lm
+from .functions.repetition import repetition_struct_udf
+from .functions.scrub import scrub_udf
+from .functions.textclean import clean_text_col
+from .functions.tokens import bpeish_token_count_col, ws_token_count_col
+
+
+def _signals_struct(text: Column) -> Column:
+    sig = S.spark_signal_cols(text)
+    return F.struct(*[sig[k].alias(k) for k in S.SIGNAL_COLS])
+
+
+def _keep_struct(text: Column) -> Column:
+    sig = S.spark_signal_cols(text)
+    keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    return F.struct(keep.alias("keep"), rule.alias("drop_rule"))
+
+
+def register_udfs(spark: SparkSession, lm: dict | None = None) -> list[str]:
+    """Register all rp_* functions; returns the registered names.
+
+    lm: bigram LM dict for rp_perplexity (defaults to the deterministic
+    datagen LM — pass the corpus-trained one in production)."""
+    if lm is None:
+        from .datagen import lm_corpus
+
+        lm = train_bigram_lm(lm_corpus())
+    lm_b = spark.sparkContext.broadcast(lm)
+
+    spark.udf.register("rp_langid", langid_udf())
+    spark.udf.register("rp_perplexity", perplexity_udf(lm_b))
+    spark.udf.register("rp_scrub", scrub_udf())
+    spark.udf.register("rp_repetition", repetition_struct_udf())
+
+    # Expression batteries (signals, keep/drop, clean, token counts) are NOT
+    # registered as UDFs — spark.udf.register only takes row functions, and
+    # wrapping a pure column expression in python would demote it from
+    # whole-stage codegen to an Arrow round trip. SQL callers reach them
+    # expression-level through rp_annotate_view below.
+    return ["rp_langid", "rp_perplexity", "rp_scrub", "rp_repetition"]
+
+
+def rp_annotate_view(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str = "text",
+    view_name: str = "rp_annotated",
+) -> str:
+    """Register a temp view of df + expression-level battery columns
+    (signals struct, keep/drop struct, clean_text, token counts) so SQL
+    callers get the zero-UDF codegen path:
+
+        spark.sql("SELECT *, sig.alpha_ratio FROM rp_annotated WHERE kd.keep")
+    """
+    t = F.col(text_col)
+    out = df.withColumns(
+        {
+            "sig": _signals_struct(t),
+            "kd": _keep_struct(t),
+            "clean_text": clean_text_col(t),
+            "ws_tokens": ws_token_count_col(t).cast("long"),
+            "bpe_tokens": bpeish_token_count_col(t).cast("long"),
+        }
+    )
+    out.createOrReplaceTempView(view_name)
+    return view_name

@@ -1,0 +1,75 @@
+"""SQL surface: the full quality pipeline written as spark.sql statements
+must agree with the DataFrame path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.sql_api import register_udfs, rp_annotate_view
+
+
+def test_sql_battery_matches_dataframe_path(spark, sf_dir):
+    from redpajama_processor_spark.functions import signals as S
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rp_annotate_view(spark, docs, view_name="rp_docs")
+    sql = spark.sql(
+        """SELECT doc_id, sig.alpha_ratio, sig.stopword_ratio,
+                  kd.keep, kd.drop_rule, ws_tokens
+           FROM rp_docs"""
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    sig = S.spark_signal_cols(F.col("text"))
+    keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    df = docs.select(
+        "doc_id",
+        sig["alpha_ratio"].alias("alpha_ratio"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        keep.alias("keep"),
+        rule.alias("drop_rule"),
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert (sql.alpha_ratio == df.alpha_ratio).all()
+    assert (sql.stopword_ratio == df.stopword_ratio).all()
+    assert (sql.keep == df.keep).all()
+    assert (sql.drop_rule.fillna("") == df.drop_rule.fillna("")).all()
+
+
+def test_sql_udfs_registered_and_usable(spark, sf_dir):
+    names = register_udfs(spark)
+    assert "rp_langid" in names
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.createOrReplaceTempView("docs_sql")
+    out = spark.sql(
+        """SELECT doc_id,
+                  rp_langid(text).lang AS lang,
+                  rp_perplexity(text) AS ppl,
+                  rp_scrub(text).scrubbed_text AS scrubbed,
+                  rp_repetition(text).top_2gram_char_frac AS top2
+           FROM docs_sql LIMIT 50"""
+    ).collect()
+    assert len(out) == 50
+    assert all(r["ppl"] > 0 for r in out)
+    assert all(r["lang"] is not None and r["scrubbed"] is not None for r in out)
+    assert all(0.0 <= r["top2"] <= 1.0 for r in out)
+
+
+def test_sql_langid_matches_dataframe_udf(spark, sf_dir):
+    register_udfs(spark)
+    from redpajama_processor_spark.functions.langid import langid_udf
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.createOrReplaceTempView("docs_sql2")
+    via_sql = {
+        r["doc_id"]: r["lang"]
+        for r in spark.sql(
+            "SELECT doc_id, rp_langid(text).lang AS lang FROM docs_sql2"
+        ).collect()
+    }
+    via_df = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", langid_udf()(F.col("text")).getField("lang").alias("lang")
+        ).collect()
+    }
+    assert via_sql == via_df
