@@ -525,6 +525,25 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
 
 
+def q_doc_boilerplate(spark, sf_dir):
+    """Corpus-wide boilerplate census: the most-repeated trimmed non-empty
+    lines (top-20 heavy hitters; map-side combined count, then a 20-row
+    TakeOrdered — the cross-document complement of the per-doc
+    dup_line_ratio signal)."""
+    d = _docs_dup(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"), F.trim), lambda x: x != ""
+    )
+    return (
+        d.select(F.explode(lines).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy(F.desc("n"), F.asc("line"))
+        .limit(20)
+    )
+
+
 def q_doc_prepare_training(spark, sf_dir):
     """Composite post-curation chain: heuristic filter -> exact dedup ->
     paragraph chunking (64 tok) -> sequence packing (128) — one oracled
@@ -901,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup_incr": q_doc_exact_dedup_incr,
         "doc_chunks": q_doc_chunks,
         "doc_prepare_training": q_doc_prepare_training,
+        "doc_boilerplate": q_doc_boilerplate,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1156,6 +1176,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_prepare_training": _PREP.duckdb_prepare_sql(
             "documents", chunk_tokens=64, seq_len=128
         ),
+        "doc_boilerplate": f"""
+            SELECT line, COUNT(*) AS n FROM (
+              SELECT trim(unnest(string_split(text, chr(10))), ' ') AS line
+              FROM {_SQL_DOCS_DUP})
+            WHERE line != ''
+            GROUP BY line HAVING COUNT(*) >= 2
+            ORDER BY n DESC, line ASC LIMIT 20""",
         "doc_pack_sequences": _PACK.duckdb_pack_sql(
             "documents",
             T.duckdb_bpeish_token_count_sql("text"),
