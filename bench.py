@@ -125,6 +125,10 @@ def main() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+    # warm the scan/noop-write/codegen machinery once so the first measured
+    # query is not charged JVM warm-up (~3-5s on this host)
+    _noop(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")))
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
