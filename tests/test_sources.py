@@ -117,3 +117,40 @@ def test_catalog_roundtrip_and_bucket_read(spark, tmp_path):
     for b in range(1, 8):
         cb = {r.conv_id for r in cat.read_bucket("turns", b).select("conv_id").distinct().collect()}
         assert not (convs0 & cb)
+
+
+def test_gzip_integrity_classification(spark, tmp_path):
+    """F9 + fix_damaged_files parity: distributed gzip integrity check."""
+    import gzip as gz
+
+    from redpajama_processor_spark.sources.integrity import (
+        classify_gzip_file,
+        verify_gzip_dir,
+    )
+
+    good = tmp_path / "good.json.gz"
+    with gz.open(good, "wt") as f:
+        f.write('{"id": 1, "text": "ok"}\n')
+    (tmp_path / "badmagic.json.gz").write_bytes(b"PKnotgzip")
+    full = gz.compress(b'{"id": 2}\n' * 1000)
+    (tmp_path / "truncated.json.gz").write_bytes(full[: len(full) // 2])
+    (tmp_path / "badjson.json.gz").write_bytes(gz.compress(b"not json at all\n"))
+    (tmp_path / "empty.json.gz").write_bytes(b"")
+
+    # pure classifier
+    assert classify_gzip_file(good.read_bytes()) == "ok"
+    assert classify_gzip_file(b"PK") == "bad_magic"
+    assert classify_gzip_file(full[:50]) == "truncated_gzip"
+    assert classify_gzip_file(b"") == "empty"
+
+    out = {
+        r["path"].split("/")[-1]: r["status"]
+        for r in verify_gzip_dir(spark, str(tmp_path / "*.json.gz")).collect()
+    }
+    # binaryFile skips zero-length files (documented in verify_gzip_dir)
+    assert out == {
+        "good.json.gz": "ok",
+        "badmagic.json.gz": "bad_magic",
+        "truncated.json.gz": "truncated_gzip",
+        "badjson.json.gz": "bad_json",
+    }
