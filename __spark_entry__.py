@@ -53,6 +53,7 @@ from redpajama_processor_spark.operators import dedup as D
 from redpajama_processor_spark.operators import dupspans as _DUPSPANS
 from redpajama_processor_spark.operators import packing as _PACK
 from redpajama_processor_spark import prepare as _PREP
+from redpajama_processor_spark.operators import snapshot as _SNAP
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -525,6 +526,29 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
 
 
+def q_doc_snapshot_diff(spark, sf_dir):
+    """Corpus version diff: v2 drops every 10th doc, rewrites every 7th
+    (non-dropped), adds 5 new ids — one full-outer join on (id, md5)."""
+    from redpajama_processor_spark.operators.snapshot import snapshot_diff
+
+    v1 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        v1.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            v1.orderBy("doc_id").limit(5).select(
+                (F.col("doc_id") + 900000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(v1, v2)
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """Corpus-wide boilerplate census: the most-repeated trimmed non-empty
     lines (top-20 heavy hitters; map-side combined count, then a 20-row
@@ -921,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_prepare_training": q_doc_prepare_training,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_snapshot_diff": q_doc_snapshot_diff,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1175,6 +1200,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _CHUNK.duckdb_chunk_sql("documents", max_tokens=64),
         "doc_prepare_training": _PREP.duckdb_prepare_sql(
             "documents", chunk_tokens=64, seq_len=128
+        ),
+        "doc_snapshot_diff": _SNAP.duckdb_snapshot_diff_sql(
+            "documents",
+            """(SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 != 0
+                UNION ALL
+                SELECT doc_id + 900000 AS doc_id, text FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 5))""",
         ),
         "doc_boilerplate": f"""
             SELECT line, COUNT(*) AS n FROM (

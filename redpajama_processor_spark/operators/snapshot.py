@@ -1,0 +1,57 @@
+"""Corpus snapshot diff: added / removed / changed between two versions.
+
+Releasing a curated corpus incrementally (v1 -> v2) needs the delta by key
+and by content: which documents appeared, disappeared, or changed text.
+The reference has no analog (it overwrites output directories); this is the
+full-outer-join rendering of EXCEPT-by-key in both directions plus a
+content-hash comparison.
+
+Plan: ONE full-outer hash join on the id (both sides project (id, md5) —
+32 B/doc shuffles, never the text), then a pure-column CASE. At 100 TB the
+hash projections are the only data moved; AQE broadcasts the smaller
+snapshot when one side is a small delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, change) for every id present in either snapshot; change in
+    {'added', 'removed', 'changed', 'unchanged'}."""
+    o = old.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("_ho"))
+    n = new.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("_hn"))
+    j = o.join(n, "_id", "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("_id").alias(id_col), change.alias("change"))
+
+
+def duckdb_snapshot_diff_sql(
+    old_table: str,
+    new_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+SELECT COALESCE(o._id, n._id) AS {id_col},
+       CASE WHEN o._id IS NULL THEN 'added'
+            WHEN n._id IS NULL THEN 'removed'
+            WHEN o._h != n._h THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM (SELECT {id_col} AS _id, md5({text_col}) AS _h FROM {old_table}) o
+FULL OUTER JOIN
+     (SELECT {id_col} AS _id, md5({text_col}) AS _h FROM {new_table}) n
+ON o._id = n._id
+"""
