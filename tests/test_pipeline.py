@@ -217,3 +217,22 @@ def test_component_never_null(curated):
     assert curated["component"].notna().all()
     assert curated["is_fuzzy_dup"].notna().all()
     assert curated["is_exact_dup"].notna().all()
+
+
+def test_curate_empty_corpus(spark):
+    """Zero-row input flows through every stage (windows, dedup joins,
+    groupBys, extras) without error and preserves the output schema."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas, lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.pipeline import curate
+
+    lm = train_bigram_lm(lm_corpus())
+    empty = spark.createDataFrame(gen_turns_pandas(2)).limit(0)
+    out = curate(spark, empty, lm)
+    assert out.count() == 0
+    assert {"keep", "drop_rule", "scrubbed_text", "component"} <= set(out.columns)
+    extras = curate(
+        spark, empty, lm, run_fuzzy=False,
+        with_repetition=True, with_ppl_buckets=True,
+    )
+    assert extras.count() == 0 and "ppl_bucket" in extras.columns
