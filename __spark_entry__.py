@@ -526,6 +526,14 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
 
 
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic k-per-language sample (md5-ordered window rank)."""
+    from redpajama_processor_spark.operators.packing import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, k=7, group_col="lang")
+
+
 def q_doc_snapshot_diff(spark, sf_dir):
     """Corpus version diff: v2 drops every 10th doc, rewrites every 7th
     (non-dropped), adds 5 new ids — one full-outer join on (id, md5)."""
@@ -946,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prepare_training": q_doc_prepare_training,
         "doc_boilerplate": q_doc_boilerplate,
         "doc_snapshot_diff": q_doc_snapshot_diff,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1200,6 +1209,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _CHUNK.duckdb_chunk_sql("documents", max_tokens=64),
         "doc_prepare_training": _PREP.duckdb_prepare_sql(
             "documents", chunk_tokens=64, seq_len=128
+        ),
+        "doc_stratified_sample": _PACK.duckdb_stratified_sql(
+            "documents", k=7, group_col="lang"
         ),
         "doc_snapshot_diff": _SNAP.duckdb_snapshot_diff_sql(
             "documents",

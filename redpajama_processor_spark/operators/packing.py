@@ -118,6 +118,44 @@ def mixture_sample(
     return docs.filter(sampled)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    md5(group#id) (a stable pseudo-random order, reproducible across runs
+    and engines) and keep the first k. One window shuffle on the group key;
+    for heavy groups the md5 ranking spreads ties uniformly so the window
+    sees no pathological ordering skew."""
+    key = F.md5(F.concat_ws("#", F.col(group_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def duckdb_stratified_sql(
+    corpus_table: str,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    select_cols: str | None = None,
+) -> str:
+    cols = select_cols or f"{id_col}, {group_col}"
+    key = f"md5({group_col} || '#' || CAST({id_col} AS VARCHAR))"
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}
+            ORDER BY {key} ASC, {id_col} ASC) AS _rk
+  FROM {corpus_table}
+) WHERE _rk <= {k}
+"""
+
+
 def duckdb_mixture_sql(
     corpus_table: str,
     rates: dict[str, float],
