@@ -170,45 +170,19 @@ def repetition_struct_udf(
 ):
     """The Arrow-batched struct UDF behind ``repetition_signals_arrow`` —
     exposed so pipelines can annotate INLINE (scalar UDF in the projection,
-    zero shuffle, no join-back)."""
-    import re
-
+    zero shuffle, no join-back). The per-document body IS ``py_repetition``
+    (the single source of truth) — one copy, so the oracle and the
+    production path cannot de-synchronize."""
     cols = _frac_cols(ns_top, ns_dup)
     schema = T.StructType([T.StructField(c, T.DoubleType()) for c in cols])
-    trim_re = re.compile(TRIM_RE)
-    split_re = re.compile(WORD_SPLIT_RE)
-    ns_top_l, ns_dup_l = list(ns_top), list(ns_dup)
+    ns_top_t, ns_dup_t = tuple(ns_top), tuple(ns_dup)
 
     @F.pandas_udf(schema)
     def _rep(texts: pd.Series) -> pd.DataFrame:
-        from collections import Counter
-
-        rows = []
-        for text in texts:
-            t = trim_re.sub("", text or "")
-            words = split_re.split(t) if t else []
-            nc = len(text or "")
-            vals = {}
-            for n in sorted(set(ns_top_l) | set(ns_dup_l)):
-                if nc == 0 or len(words) < n:
-                    vals.setdefault(f"top_{n}gram_char_frac", 0.0)
-                    vals.setdefault(f"dup_{n}gram_char_frac", 0.0)
-                    continue
-                grams = Counter(
-                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-                )
-                # ties -> largest gram string, mirroring max(struct(cnt, gram))
-                top_cnt, top_gram = max(
-                    ((c, g) for g, c in grams.items()), key=lambda p: p
-                )
-                vals[f"top_{n}gram_char_frac"] = min(
-                    1.0, float(top_cnt * len(top_gram)) / float(nc)
-                )
-                dup_chars = sum(c * len(g) for g, c in grams.items() if c >= 2)
-                vals[f"dup_{n}gram_char_frac"] = min(
-                    1.0, float(dup_chars) / float(nc)
-                )
-            rows.append([vals.get(c, 0.0) for c in cols])
+        rows = [
+            [py_repetition(t, ns_top_t, ns_dup_t)[c] for c in cols]
+            for t in texts
+        ]
         return pd.DataFrame(rows, columns=cols)
 
     return _rep
@@ -245,12 +219,10 @@ def duckdb_repetition_sql(
     ns_dup: tuple[int, ...] = DUP_NS,
 ) -> str:
     """Identical arithmetic as DuckDB SQL (unnest + group by + pivot)."""
+    from .signals import duckdb_words_sql
+
     ns = sorted(set(ns_top) | set(ns_dup))
-    trimmed = f"regexp_replace({text_col}, '{TRIM_RE}', '', 'g')"
-    words = (
-        f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
-    )
+    words = duckdb_words_sql(text_col)
     n_values = ", ".join(f"({n})" for n in ns)
     top_cols = ",\n      ".join(
         f"COALESCE(MAX(CASE WHEN n = {n} THEN top_frac END), 0.0)"

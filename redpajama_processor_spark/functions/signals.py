@@ -260,14 +260,22 @@ def spark_keep_and_rule(
 # 2) DuckDB rendering — identical arithmetic as SQL snippets
 # ---------------------------------------------------------------------------
 
-def duckdb_signal_sql(text: str = "text") -> dict[str, str]:
-    """DuckDB SQL expression per signal, same operand order as Spark."""
-    t = text
-    trimmed = f"regexp_replace({t}, '{TRIM_RE}', '', 'g')"
-    words = (
+def duckdb_words_sql(text: str) -> str:
+    """The word-split spec as one DuckDB expression — THE canonical SQL
+    rendering of ``words_col``; every oracle that tokenizes must call this
+    (signals, repetition, dupspans, decontaminate, chunking) so the central
+    invariant has exactly one SQL copy."""
+    trimmed = f"regexp_replace({text}, '{TRIM_RE}', '', 'g')"
+    return (
         f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
         f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
     )
+
+
+def duckdb_signal_sql(text: str = "text") -> dict[str, str]:
+    """DuckDB SQL expression per signal, same operand order as Spark."""
+    t = text
+    words = duckdb_words_sql(t)
     nw = f"len({words})"
     nc = f"length({t})"
     stoplist = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"

@@ -70,9 +70,13 @@ def quantile_buckets_approx(
     cuts = df.groupBy(*keys).agg(
         F.percentile_approx(score_col, qs, accuracy).alias("_cuts")
     )
-    joined = df.join(F.broadcast(cuts), keys) if keys else df.crossJoin(
-        F.broadcast(cuts)
-    )
+    if keys:
+        # null-safe equality: a NULL group key must keep its rows (groupBy
+        # emits a NULL-group cuts row; a plain equi-join would drop them)
+        cond = df[by].eqNullSafe(cuts[by])
+        joined = df.join(F.broadcast(cuts), cond).drop(cuts[by])
+    else:
+        joined = df.crossJoin(F.broadcast(cuts))
     tile = F.lit(1)
     for i in range(k - 1):
         tile = tile + F.when(

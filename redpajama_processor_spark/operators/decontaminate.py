@@ -91,13 +91,9 @@ def duckdb_contaminated_sql(
 ) -> str:
     """DuckDB rendering of ``decontaminate(drop=False)``: corpus_table and
     bench_table are table names or parenthesized subqueries."""
-    from ..functions.signals import TRIM_RE, WORD_SPLIT_RE
+    from ..functions.signals import duckdb_words_sql
 
-    trimmed = f"regexp_replace({text_col}, '{TRIM_RE}', '', 'g')"
-    words = (
-        f"CASE WHEN {trimmed} = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array({trimmed}, '{WORD_SPLIT_RE}') END"
-    )
+    words = duckdb_words_sql(text_col)
     grams = (
         f"list_transform(generate_series(1, len(_w) - {n} + 1), "
         f"i -> array_to_string(_w[i : i + {n} - 1], ' '))"

@@ -42,8 +42,13 @@ def pack_sequences(
     group_col: str = "source",
     id_col: str = "doc_id",
     shards: int | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Assign (seq_id, offset_in_seq) per document; adds pack_group."""
+    """Assign (seq_id, offset_in_seq) per document; adds pack_group.
+
+    order_cols: within-group ordering (default [id_col]) — pass the natural
+    composite key (e.g. [doc_id, chunk_id]) rather than encoding it into one
+    fixed-radix integer, which collides/overflows at scale."""
     if shards:
         group = F.concat_ws(
             "#", F.col(group_col), (F.col(id_col) % shards).cast("string")
@@ -53,7 +58,7 @@ def pack_sequences(
     df = docs.withColumn("pack_group", group)
     w = (
         Window.partitionBy("pack_group")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*[F.col(c).asc() for c in (order_cols or [id_col])])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)

@@ -25,14 +25,23 @@ def snapshot_diff(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, change) for every id present in either snapshot; change in
-    {'added', 'removed', 'changed', 'unchanged'}."""
-    o = old.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("_ho"))
-    n = new.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("_hn"))
+    {'added', 'removed', 'changed', 'unchanged'}.
+
+    Row presence is tested via explicit marker columns, NOT hash nullness —
+    md5(NULL text) is NULL, so a null-text row would otherwise masquerade as
+    absent. NULL text compares null-safely: null==null is unchanged, null vs
+    value is changed (both renderings agree)."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(text_col).alias("_ho")
+    ).withColumn("_po", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(text_col).alias("_hn")
+    ).withColumn("_pn", F.lit(True))
     j = o.join(n, "_id", "full_outer")
     change = (
-        F.when(F.col("_ho").isNull(), F.lit("added"))
-        .when(F.col("_hn").isNull(), F.lit("removed"))
-        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(~F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("_id").alias(id_col), change.alias("change"))
@@ -48,7 +57,7 @@ def duckdb_snapshot_diff_sql(
 SELECT COALESCE(o._id, n._id) AS {id_col},
        CASE WHEN o._id IS NULL THEN 'added'
             WHEN n._id IS NULL THEN 'removed'
-            WHEN o._h != n._h THEN 'changed'
+            WHEN o._h IS DISTINCT FROM n._h THEN 'changed'
             ELSE 'unchanged' END AS change
 FROM (SELECT {id_col} AS _id, md5({text_col}) AS _h FROM {old_table}) o
 FULL OUTER JOIN

@@ -43,13 +43,14 @@ def prepare_training_data(
         "_hash", "is_dup"
     )
     chunks = chunk_documents(deduped, chunk_tokens, id_col, text_col)
-    # a sortable composite key: chunk order within doc order (chunk counts
-    # are bounded by doc length / 1 token, so 10^6 per doc is safe headroom)
-    chunks = chunks.join(
-        docs.select(id_col, group_col), id_col
-    ).withColumn("_ck", F.col(id_col) * 1000000 + F.col("chunk_id"))
+    chunks = chunks.join(docs.select(id_col, group_col), id_col)
     packed = pack_sequences(
-        chunks, "n_tokens", seq_len, group_col=group_col, id_col="_ck"
+        chunks,
+        "n_tokens",
+        seq_len,
+        group_col=group_col,
+        id_col=id_col,
+        order_cols=[id_col, "chunk_id"],
     )
     return packed.select(
         id_col, "chunk_id", "pack_group", "seq_id", "offset_in_seq", "n_tokens"
@@ -85,11 +86,11 @@ SELECT c.{id_col}, c.chunk_id,
        c.n_tokens
 FROM (
   SELECT *,
-         CAST(SUM(n_tokens) OVER (PARTITION BY _grp ORDER BY _ck ASC
+         CAST(SUM(n_tokens) OVER (PARTITION BY _grp
+              ORDER BY {id_col} ASC, chunk_id ASC
               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
   FROM (
-    SELECT ch.*, d0.{group_col} AS _grp,
-           ch.{id_col} * 1000000 + ch.chunk_id AS _ck
+    SELECT ch.*, d0.{group_col} AS _grp
     FROM ({chunks}) ch JOIN {table} d0 ON ch.{id_col} = d0.{id_col}
   )
 ) c JOIN {table} d ON c.{id_col} = d.{id_col}

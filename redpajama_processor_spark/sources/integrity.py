@@ -34,6 +34,7 @@ def classify_gzip_file(content: bytes, check_json: bool = True) -> str:
     import gzip
     import io
     import json
+    import zlib
 
     if not content:
         return "empty"
@@ -45,7 +46,9 @@ def classify_gzip_file(content: bytes, check_json: bool = True) -> str:
             # drain to catch truncation mid-stream (CRC checked at EOF)
             while g.read(1 << 20):
                 pass
-    except (OSError, EOFError):
+    except (OSError, EOFError, zlib.error):
+        # zlib.error covers well-framed streams with corrupt deflate bytes —
+        # without it one damaged shard would fail the whole Spark job
         return "truncated_gzip"
     if check_json and first.strip():
         try:

@@ -194,3 +194,55 @@ def test_dup_span_hashed_path_matches(spark):
     plain = dup_span_stats(df, n=5).orderBy("doc_id").collect()
     hashed = dup_span_stats(df, n=5, hash_grams=True).orderBy("doc_id").collect()
     assert plain == hashed
+
+
+def test_snapshot_diff_null_text(spark):
+    """md5(NULL) must not masquerade as row absence; null==null unchanged,
+    null vs value changed (code-review regression)."""
+    from redpajama_processor_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, None), (4, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, "a"), (3, None), (5, "new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        1: "changed", 2: "unchanged", 3: "unchanged",
+        4: "removed", 5: "added",
+    }
+
+
+def test_quantile_buckets_approx_keeps_null_group(spark):
+    """Rows whose group key is NULL must survive the cutoff join
+    (code-review regression: null-rejecting equi-join dropped them)."""
+    from redpajama_processor_spark.operators.buckets import (
+        quantile_buckets_approx,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, None, 2.0), (3, None, 3.0), (4, "en", 4.0)],
+        "doc_id long, lang string, score double",
+    )
+    out = quantile_buckets_approx(df, "score", k=3, by="lang")
+    assert out.count() == 4
+    assert out.filter(F.col("lang").isNull()).count() == 2
+
+
+def test_pack_sequences_composite_order(spark):
+    """order_cols packs by (doc, chunk) without a fixed-radix composite key
+    (code-review regression: doc_id*1e6+chunk_id collides at scale)."""
+    from redpajama_processor_spark.operators.packing import pack_sequences
+
+    rows = [(2, 0, "g", 5), (1, 1, "g", 5), (1, 0, "g", 5), (2, 1, "g", 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "source", "tok"])
+    out = {
+        (r["doc_id"], r["chunk_id"]): r["offset_in_seq"]
+        for r in pack_sequences(
+            df, "tok", seq_len=100, order_cols=["doc_id", "chunk_id"]
+        ).collect()
+    }
+    assert out == {(1, 0): 0, (1, 1): 5, (2, 0): 10, (2, 1): 15}

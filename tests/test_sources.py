@@ -137,7 +137,10 @@ def test_gzip_integrity_classification(spark, tmp_path):
     (tmp_path / "badjson.json.gz").write_bytes(gz.compress(b"not json at all\n"))
     (tmp_path / "empty.json.gz").write_bytes(b"")
 
-    # pure classifier
+    # pure classifier (incl. corrupt-deflate-with-valid-framing: zlib.error
+    # must classify, not crash the job — code-review regression)
+    corrupt = bytearray(gz.compress(b'{"a":1}\n' * 100)); corrupt[20] ^= 0xFF
+    assert classify_gzip_file(bytes(corrupt)) == "truncated_gzip"
     assert classify_gzip_file(good.read_bytes()) == "ok"
     assert classify_gzip_file(b"PK") == "bad_magic"
     assert classify_gzip_file(full[:50]) == "truncated_gzip"
