@@ -179,10 +179,8 @@ def repetition_struct_udf(
 
     @F.pandas_udf(schema)
     def _rep(texts: pd.Series) -> pd.DataFrame:
-        rows = [
-            [py_repetition(t, ns_top_t, ns_dup_t)[c] for c in cols]
-            for t in texts
-        ]
+        vals = (py_repetition(t, ns_top_t, ns_dup_t) for t in texts)
+        rows = [[v[c] for c in cols] for v in vals]
         return pd.DataFrame(rows, columns=cols)
 
     return _rep
