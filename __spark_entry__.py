@@ -526,6 +526,31 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
 
 
+def q_events_asof_purchase(spark, sf_dir):
+    """As-of join: each click matched to the user's most recent purchase
+    at-or-before it (union+carry rendering vs DuckDB's native ASOF JOIN)."""
+    from redpajama_processor_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, key="user_id", ts="ts", right_payload=["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("matched_event_id").cast("long").alias("purchase_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_ts").cast("timestamp"))
+        ).alias("micros_since"),
+        F.round(F.col("matched_value") * 100).cast("long").alias("purchase_value_c"),
+    )
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Deterministic k-per-language sample (md5-ordered window rank)."""
     from redpajama_processor_spark.operators.packing import stratified_sample
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": q_doc_boilerplate,
         "doc_snapshot_diff": q_doc_snapshot_diff,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "events_asof_purchase": q_events_asof_purchase,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1210,6 +1236,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_prepare_training": _PREP.duckdb_prepare_sql(
             "documents", chunk_tokens=64, seq_len=128
         ),
+        "events_asof_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                          ORDER BY event_id DESC) AS _rn
+                FROM events WHERE event_type = 'purchase')
+              WHERE _rn = 1),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id,
+                   CAST(p.event_id AS BIGINT) AS purchase_event_id,
+                   CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT)
+                     AS micros_since,
+                   CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_value_c
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts""",
         "doc_stratified_sample": _PACK.duckdb_stratified_sql(
             "documents", k=7, group_col="lang"
         ),

@@ -1,0 +1,86 @@
+"""As-of join (backward, inclusive): attach to each left row the most
+recent right row at-or-before its timestamp, per key.
+
+Spark has no asof join operator (the brief's canonical example of a missing
+primitive). The naive rendering — a range join l.ts >= r.ts + window max —
+explodes to O(|L| x |R|) per key. This module uses the UNION + CARRY
+rendering instead:
+
+  tag both sides -> union -> ONE window per key ordered by
+  (ts, side, ...) with right rows sorted before left rows at equal ts ->
+  last(right_payload, ignorenulls) carries the latest right row forward ->
+  keep left rows.
+
+Cost: one shuffle on the key, one sort per partition — linear, and the
+window never holds more than the running carry. Skew: keys are users/
+conversations; for a pathological single hot key the window serializes that
+key (inherent to asof semantics — order within key is the computation).
+
+Determinism: right rows are first deduped to one per (key, ts) (largest
+id wins) so "the most recent right row" is unique; DuckDB's native
+ASOF JOIN (the oracle rendering) then agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_id: str = "event_id",
+    right_payload: list[str] | None = None,
+    suffix: str = "matched_",
+) -> DataFrame:
+    """left columns + {suffix}{right_id}, {suffix}ts, and suffixed payload
+    columns from the most recent right row with right.ts <= left.ts."""
+    right_payload = right_payload or []
+
+    # one right row per (key, ts): largest right_id wins (deterministic)
+    w_dedup = Window.partitionBy(key, ts).orderBy(F.col(right_id).desc())
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    pack = F.struct(
+        F.col(ts).alias("_rts"),
+        F.col(right_id).alias("_rid"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    r_tag = r.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"), pack.alias("_r")
+    )
+    l_tag = left.select(
+        "*", F.lit(1).alias("_side"), F.lit(None).cast(r_tag.schema["_r"].dataType).alias("_r")
+    ).select(*left.columns, "_side", "_r")
+
+    u = l_tag.unionByName(
+        r_tag.select(
+            *[
+                F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+            ],
+            "_side",
+            "_r",
+        )
+    )
+    # right (side 0) sorts before left (side 1) at equal ts -> inclusive
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_r._rid").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        *left.columns,
+        F.col("_m._rid").alias(f"{suffix}{right_id}"),
+        F.col("_m._rts").alias(f"{suffix}{ts}"),
+        *[F.col(f"_m.{c}").alias(f"{suffix}{c}") for c in right_payload],
+    )
+    return out

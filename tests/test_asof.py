@@ -1,0 +1,67 @@
+"""As-of join: known answers, inclusivity, no-match nulls, same-ts dedup."""
+
+from datetime import datetime
+
+from redpajama_processor_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_known(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00")),
+            (2, 100, _ts("2024-01-01T12:00")),
+            (3, 100, _ts("2024-01-01T09:00")),  # before any right row
+            (4, 200, _ts("2024-01-01T10:00")),  # other key, no right rows
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _ts("2024-01-01T09:30"), 1.0),
+            (11, 100, _ts("2024-01-01T11:00"), 2.0),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    out = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(left, right, right_payload=["value"]).collect()
+    }
+    assert out == {
+        1: (10, 1.0),   # 09:30 is the latest <= 10:00
+        2: (11, 2.0),   # 11:00 latest <= 12:00
+        3: (None, None),
+        4: (None, None),
+    }
+
+
+def test_asof_inclusive_and_same_ts_dedup(spark):
+    t = _ts("2024-01-01T10:00")
+    left = spark.createDataFrame(
+        [(1, 100, t)], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, t, 1.0), (11, 100, t, 2.0)],  # two rights at the SAME ts
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    rows = asof_join(left, right, right_payload=["value"]).collect()
+    # inclusive (ts == matches) and deterministic: largest right id wins
+    assert rows[0]["matched_event_id"] == 11 and rows[0]["matched_value"] == 2.0
+
+
+def test_asof_left_count_preserved(spark, sf_dir):
+    import os
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, right_payload=["value"])
+    assert out.count() == clicks.count()
