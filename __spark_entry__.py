@@ -405,11 +405,12 @@ def q_doc_jaccard_pairs(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
-    """SimHash via the hybrid numpy path; the DuckDB oracle recomputes the
-    pure-SQL rendering, so equality proves hybrid == SQL == (simhash_col,
-    tested separately)."""
+    """SimHash via the token-dictionary rendering (md5 once per distinct
+    corpus token, not per instance); the DuckDB oracle recomputes the
+    pure-SQL per-doc rendering, so equality proves dict == SQL ==
+    (simhash_col / hybrid votes, tested separately)."""
     d = _t(spark, sf_dir, "documents")
-    return H.add_simhash(d, "text").select("doc_id", "simhash")
+    return H.add_simhash_dict(d, "text").select("doc_id", "simhash")
 
 
 def q_doc_tokens(spark, sf_dir):
@@ -872,9 +873,9 @@ def _transcript_core_sql() -> str:
                    AS is_exact_dup
           FROM cleaned WHERE language = 'EN'),
         ne AS (
-          SELECT conv_id, turn_idx, trim(l) AS line
+          SELECT conv_id, turn_idx, trim(l, ' ') AS line
           FROM cleaned, unnest(string_split(clean_text, chr(10))) AS t(l)
-          WHERE trim(l) <> ''),
+          WHERE trim(l, ' ') <> ''),
         first_seen AS (
           SELECT conv_id, line, MIN(turn_idx) AS first_turn
           FROM ne GROUP BY 1, 2),

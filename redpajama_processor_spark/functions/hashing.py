@@ -385,16 +385,100 @@ def simhash_votes_udf(bits: int = HASH_BITS):
     return _simhash
 
 
-def add_simhash(df, text_col: str = "text", out_col: str = "simhash", bits: int = HASH_BITS):
+def add_simhash(
+    df,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = HASH_BITS,
+    base: str = "md5",
+):
     """df + simhash column via the hybrid path (JVM token hashes -> numpy
-    votes). Use simhash_col for the single-expression JVM/oracle rendering."""
+    votes). Use simhash_col for the single-expression JVM/oracle rendering.
+
+    base: 'md5' (DuckDB-portable, the oracle rendering) or 'xxhash'
+    (xxhash64 & 30-bit mask — ~5x cheaper JVM-side, the scale default for
+    pipelines that don't need SQL portability; mirrors add_minhash's
+    base= escape hatch)."""
+    base_fn = base_hash_col if base == "md5" else xxhash_base_col
     t = F.regexp_replace(F.col(text_col), TRIM_RE, "")
     toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.split(t, WORD_SPLIT_RE))
     )
     # 30-bit hashes ship as int32: half the Arrow bytes (see add_minhash)
-    hashes = F.transform(toks, lambda s: base_hash_col(s).cast("int"))
+    hashes = F.transform(toks, lambda s: base_fn(s).cast("int"))
     return df.withColumn(out_col, simhash_votes_udf(bits)(hashes))
+
+
+def add_simhash_dict(
+    df,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = HASH_BITS,
+    id_col: str = "doc_id",
+    base: str = "md5",
+):
+    """Token-DICTIONARY SimHash: identical values to simhash_col/add_simhash
+    (same md5 base hash, same distinct-token ±1 votes — integer arithmetic,
+    engine-exact), but the base hash is computed ONCE PER DISTINCT TOKEN in
+    the corpus instead of once per (doc, token) instance.
+
+    Word-soup corpora have |vocab| orders of magnitude below the token
+    instance count, and the md5 base hash is the measured cost dominator of
+    the votes path (bench r2: doc_simhash 6.95 s, votes themselves < 1 s) —
+    so hashing the vocabulary once and joining the 4-byte hash back is the
+    scale plan:
+
+      1. explode per-doc distinct tokens            (narrow)
+      2. distinct token vocab                       (map-side-combined
+                                                     shuffle; ~|V| rows out)
+      3. base hash once per distinct token          (|V| md5s, not |corpus|)
+      4. broadcast-join hashes back to (doc, token) (narrow; AQE falls back
+                                                     to shuffle join if the
+                                                     vocab outgrows the
+                                                     broadcast threshold)
+      5. per-doc bit votes via groupBy: `bits` conditional SUMs, map-side
+         combined — one shuffle keyed on the doc id
+      6. left-join the packed bits back to df (docs with no tokens -> 0,
+         matching simhash_col's empty-array rendering)
+    """
+    base_fn = base_hash_col if base == "md5" else xxhash_base_col
+    t = F.regexp_replace(F.col(text_col), TRIM_RE, "")
+    toks_arr = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.split(t, WORD_SPLIT_RE))
+    )
+    doc_toks = df.select(F.col(id_col), F.explode(toks_arr).alias("_tok"))
+    vocab = (
+        doc_toks.select("_tok")
+        .distinct()
+        .withColumn("_h", base_fn(F.col("_tok")).cast("long"))
+    )
+    hashed = doc_toks.join(F.broadcast(vocab), "_tok")
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    ((F.col("_h") / F.lit(1 << j)).cast("long") % 2) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = votes.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for j in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias(out_col),
+    )
+    return df.join(packed, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+    )
 
 
 def duckdb_simhash_sql(text: str, bits: int = HASH_BITS) -> str:

@@ -317,18 +317,18 @@ def duckdb_signal_sql(text: str = "text") -> dict[str, str]:
         ),
         "ellipsis_ratio": (
             f"CAST(len(list_filter(string_split({t}, chr(10)), ln -> "
-            f"ends_with(rtrim(ln), '...') OR ends_with(rtrim(ln), '…')))"
+            f"ends_with(rtrim(ln, ' '), '...') OR ends_with(rtrim(ln, ' '), '…')))"
             f" AS DOUBLE) / CAST(len(string_split({t}, chr(10))) AS DOUBLE)"
         ),
         "dup_line_ratio": (
             f"CASE WHEN len(list_filter(list_transform(string_split({t}, chr(10)),"
-            f" ln -> trim(ln)), ln -> ln != '')) = 0 THEN 0.0 ELSE "
+            f" ln -> trim(ln, ' ')), ln -> ln != '')) = 0 THEN 0.0 ELSE "
             f"CAST(len(list_filter(list_transform(string_split({t}, chr(10)),"
-            f" ln -> trim(ln)), ln -> ln != ''))"
+            f" ln -> trim(ln, ' ')), ln -> ln != ''))"
             f" - len(list_distinct(list_filter(list_transform("
-            f"string_split({t}, chr(10)), ln -> trim(ln)), ln -> ln != '')))"
+            f"string_split({t}, chr(10)), ln -> trim(ln, ' ')), ln -> ln != '')))"
             f" AS DOUBLE) / CAST(len(list_filter(list_transform("
-            f"string_split({t}, chr(10)), ln -> trim(ln)), ln -> ln != ''))"
+            f"string_split({t}, chr(10)), ln -> trim(ln, ' ')), ln -> ln != ''))"
             f" AS DOUBLE) END"
         ),
         "stopword_ratio": (
@@ -414,14 +414,18 @@ def py_signals(text: str) -> dict[str, float]:
         out["paren_ratio"] = 0.0
 
     lines = text.split("\n")
+    # trim 0x20 ONLY: Spark F.rtrim/F.trim and DuckDB rtrim/trim strip the
+    # space character, not \t/NBSP/Unicode spaces — a bare .rstrip()/.strip()
+    # here would diverge from both engines on tab-padded lines (the repo-wide
+    # trim spec, see convdup.py)
     n_ell = sum(
         1
         for ln in lines
-        if ln.rstrip().endswith("...") or ln.rstrip().endswith("…")
+        if ln.rstrip(" ").endswith("...") or ln.rstrip(" ").endswith("…")
     )
     out["ellipsis_ratio"] = float(n_ell) / float(len(lines))
 
-    ne = [ln.strip() for ln in lines]
+    ne = [ln.strip(" ") for ln in lines]
     ne = [ln for ln in ne if ln != ""]
     if ne:
         out["dup_line_ratio"] = float(len(ne) - len(set(ne))) / float(len(ne))

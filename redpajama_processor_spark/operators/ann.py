@@ -6,8 +6,13 @@ text-only). Two strategies:
 - ``brute_force_topk``: exact cosine top-k via a (queries x corpus) join.
   The query side is small -> broadcast join; the dot product is a pure
   column expression (zip_with + aggregate), so the whole scan stays in the
-  JVM. At 100 TB the corpus side streams partition-wise — no shuffle at all
-  except the final per-query top-k (TakeOrderedAndProject over k*|Q| rows).
+  JVM. The |Q| x |corpus| scored relation is then reduced by a BOUNDED
+  two-phase top-k (``_topk_reduce``): a narrow per-Arrow-batch partial
+  top-k (at most k rows per query per batch survive — the scored relation
+  itself is never shuffled), then one tiny groupBy merge over the
+  <= k * |Q| * n_batches residue. At 100 TB the corpus side streams
+  partition-wise; the only Exchange in the plan carries the bounded
+  residue (plan-audited in tests/test_plans.py).
 - ``srp_topk``: sign-random-projection (SimHash-for-vectors) bucketing:
   candidates = corpus vectors sharing the query's bucket (or any band),
   then exact cosine only inside the candidate set. The projection matrix is
@@ -59,6 +64,68 @@ def duckdb_cosine_sql(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def _topk_reduce(
+    scored: DataFrame, k: int, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Bounded two-phase per-query top-k over a scored relation.
+
+    The naive rendering — ``row_number().over(Window.partitionBy(query))``
+    — hash-shuffles the ENTIRE scored relation and sorts each query's
+    corpus-sized partition in a single task: a scale-killer at 100x. This
+    reduction never shuffles the scored relation:
+
+    phase 1 (narrow): project to (query_id, id, -cosine) — three thin
+      columns, the vectors never cross into Python — and mapInPandas keeps
+      at most k best rows per query PER ARROW BATCH (vectorized
+      sort_values + groupby().head(k)). Output <= k * |Q| per batch,
+      pipelined into the scan with zero shuffle.
+    phase 2 (tiny, wide): one groupBy(query_id) merge of the bounded
+      residue — sort_array over (negcos, id) structs, slice to k,
+      posexplode to ranked rows. The ONLY Exchange in the plan carries
+      <= k * |Q| * n_batches rows.
+
+    Ordering is identical in both phases and engines: cosine DESC, id ASC
+    (rendered as the ascending sort of (-cosine, id); NaN cosines sort
+    last on both sides — pandas na_position='last' == Spark's NaN-greatest
+    ordering). Partial top-k under a total order composes exactly, so the
+    result equals the full sort's top k.
+    """
+    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+
+    sel = scored.select(
+        F.col(query_id_col), F.col(id_col), (-F.col("cosine")).alias("_negcos")
+    )
+    schema = sel.schema
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values([query_id_col, "_negcos", id_col])
+                    .groupby(query_id_col, sort=False)
+                    .head(k)
+                )
+
+    partial = sel.mapInPandas(_batch_topk, schema)
+    merged = partial.groupBy(query_id_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_negcos"), F.col(id_col)))
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return merged.select(
+        query_id_col, F.posexplode("_top").alias("_pos", "_e")
+    ).select(
+        query_id_col,
+        F.col(f"_e.{id_col}").alias(id_col),
+        (F.col("_pos") + 1).alias("rank"),
+        F.round(-F.col("_e._negcos"), 6).alias("cosine"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,7 +137,9 @@ def brute_force_topk(
     """Exact top-k cosine neighbours per query (excluding self-matches).
 
     queries: DataFrame[query_id, embedding]; broadcast to every corpus
-    partition -> no corpus shuffle; ranking via window over query_id.
+    partition -> no corpus shuffle; scoring is pure-JVM column math and the
+    per-query ranking is the bounded _topk_reduce (never a full-relation
+    window shuffle).
     """
     q = F.broadcast(
         queries.select(
@@ -83,14 +152,7 @@ def brute_force_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", cosine_col(F.col("_qvec"), F.col(vec_col)))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk_reduce(scored, k, id_col, query_id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +256,10 @@ def ivf_topk(
         id_col, vec_col, _cell_expr(F.col(vec_col)).alias("_cell")
     )
 
-    # probe list: per query, the n_probe nearest centroids (|Q| x C rows)
+    # probe list: per query, the n_probe nearest centroids. A window rank is
+    # fine HERE — the ranked relation is |Q| x n_centroids (both small), not
+    # the corpus; the corpus-sized scored relation below goes through the
+    # bounded _topk_reduce instead.
     cent_df = F.broadcast(
         queries.sparkSession.createDataFrame(
             [(i + 1, v) for i, v in enumerate(cvecs)],
@@ -216,12 +281,7 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", cosine_col(F.col("_qvec"), F.col(vec_col)))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk_reduce(scored, k, id_col, query_id_col)
 
 
 def duckdb_ivf_topk_sql(
@@ -293,9 +353,4 @@ def srp_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", cosine_col(F.col("_qvec"), F.col(vec_col)))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk_reduce(scored, k, id_col, query_id_col)

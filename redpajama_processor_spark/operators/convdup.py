@@ -8,8 +8,10 @@ repeats the same paragraph across turns of one conversation.
 
 Semantics (fixed spec, mirrored in the oracle):
   - lines of a turn = trim()-ed, non-empty pieces of split(text, '\\n');
-    trim strips 0x20 ONLY (Spark trim() == DuckDB trim() == Python
-    .strip(' ') — Python's bare .strip() is Unicode-aware and would drift)
+    trim strips 0x20 ONLY (Spark trim() == DuckDB trim(x, ' ') == Python
+    .strip(' ') — DuckDB's one-arg trim() strips Unicode space-category
+    chars (NBSP, en-space) and Python's bare .strip() is Unicode-aware;
+    both would drift)
   - a line in turn t is REPEATED iff the same (conv_id, line) string
     occurred in any earlier turn (turn_idx' < t) of the same conversation
   - conv_dup_ratio(turn) = repeated_lines / lines (0.0 when no lines)

@@ -192,8 +192,9 @@ def lsh_buckets(
             ],
         )
         # md5 string keys are DuckDB-portable (entry oracles); xxhash64 longs
-        # shuffle 4x fewer key bytes (pipeline scale path)
-        return F.md5(cat) if key_hash == "md5" else F.xxhash64(cat).cast("string")
+        # (kept AS longs — an 8-byte shuffle key vs md5's 32-hex-char string,
+        # ~4x fewer key bytes) are the pipeline scale path
+        return F.md5(cat) if key_hash == "md5" else F.xxhash64(cat)
 
     band_structs = F.array(
         *[
@@ -539,9 +540,9 @@ def simhash_dedup(
     bits/band_bits bands of band_bits bits each; docs sharing ANY band are
     candidates (catches Hamming distance < bits/band_bits by pigeonhole).
     """
-    sh = H.add_simhash(df.select(id_col, text_col), text_col, "_simhash", bits).select(
-        id_col, "_simhash"
-    )
+    sh = H.add_simhash_dict(
+        df.select(id_col, text_col), text_col, "_simhash", bits, id_col=id_col
+    ).select(id_col, "_simhash")
     n_bands = bits // band_bits
     bands_arr = F.array(
         *[

@@ -127,16 +127,17 @@ def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
 
     params = perm_params(FUZZY_NUM_PERM)
     rows_per_band = FUZZY_NUM_PERM // FUZZY_BANDS
-    buckets: dict[tuple[int, str], list[str]] = {}
+    buckets: dict[tuple[int, int], list[str]] = {}
     text_of = dict(docs)
     for key, text in docs:
         sig = _minhash(text, params)
         for b in range(FUZZY_BANDS):
             sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            # mirror lsh_buckets(key_hash='xxhash'): signed xxhash64 of the
-            # ':'-joined slice (Spark's cast-to-string of the signed long)
+            # mirror lsh_buckets(key_hash='xxhash'): signed xxhash64 long of
+            # the ':'-joined slice (kept as an int — the Spark path ships the
+            # 8-byte long, not a stringified form)
             u = py_xxh64(":".join(map(str, sl)).encode())
-            bk = str(u - (1 << 64) if u >= (1 << 63) else u)
+            bk = u - (1 << 64) if u >= (1 << 63) else u
             buckets.setdefault((b, bk), []).append(key)
 
     # star edges, deduped across buckets (mirrors buckets_to_edges + the

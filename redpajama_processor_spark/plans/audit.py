@@ -26,8 +26,14 @@ def audit_plan(df: DataFrame) -> dict:
         plan = _formatted(df)
     except Exception:
         plan = df._jdf.queryExecution().explainString("formatted")
+    # formatted mode prints every node twice (tree summary + detail
+    # section) — count DISTINCT shuffle-Exchange node ids; fall back to the
+    # raw count for tree-mode strings without "(N) Exchange" details
+    ex_ids = set(re.findall(r"\((\d+)\) Exchange\b", plan))
     return {
-        "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "n_exchanges": len(ex_ids)
+        if ex_ids
+        else len(re.findall(r"\bExchange\b", plan)),
         "n_broadcast": len(re.findall(r"BroadcastHashJoin", plan)),
         "n_sortmerge": len(re.findall(r"SortMergeJoin", plan)),
         # 'formatted' mode marks codegen membership as "[codegen id : N]";

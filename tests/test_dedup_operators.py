@@ -305,6 +305,26 @@ def test_simhash_hybrid_matches_jvm(spark):
     assert jvm == hyb
 
 
+def test_simhash_dict_matches_jvm(spark):
+    """add_simhash_dict (vocab-dictionary rendering) must equal simhash_col
+    bit-for-bit, including empty/whitespace-only docs (-> 0)."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas
+
+    pdf = gen_turns_pandas(6)[["text"]].reset_index().rename(columns={"index": "doc_id"})
+    pdf.loc[len(pdf)] = [len(pdf), ""]
+    pdf.loc[len(pdf)] = [len(pdf), "   "]
+    df = spark.createDataFrame(pdf)
+    jvm = {r.doc_id: r.s for r in df.select("doc_id", H.simhash_col(F.col("text")).alias("s")).collect()}
+    dic = {
+        r.doc_id: r.simhash
+        for r in H.add_simhash_dict(df, "text").select("doc_id", "simhash").collect()
+    }
+    assert jvm == dic
+    # xxhash base: same shape, different (still deterministic) values
+    x = H.add_simhash_dict(df, "text", base="xxhash").select("doc_id", "simhash")
+    assert x.count() == len(pdf)
+
+
 def test_embedding_neardup_bucket_width_guard(spark):
     """Adversarial: 200 identical vectors -> one SRP bucket. Uncapped would
     emit 19900 pairs; max_bucket=10 bounds it at 45."""

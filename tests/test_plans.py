@@ -38,8 +38,33 @@ def test_ann_plan_has_no_corpus_shuffle(spark, sf_dir):
     df = entry.q_ann_topk(spark, sf_dir)
     a = audit_plan(df)
     # broadcast of queries -> corpus side should not hash-exchange before the
-    # join; the only exchange allowed is the final per-query window/top-k
+    # join; the only exchange allowed is the final bounded top-k merge
     assert a["n_broadcast"] >= 1 or "BroadcastNestedLoopJoin" in a["plan"]
+
+
+@pytest.mark.parametrize("q", ["q_ann_topk", "q_ann_srp_topk"])
+def test_ann_topk_reduction_is_bounded(spark, sf_dir, q):
+    """The |Q| x |corpus| scored relation must never fully Exchange: the
+    per-query rank is a narrow per-batch partial top-k (MapInPandas), and
+    the ONLY shuffle Exchange in the plan carries the k-bounded residue.
+    A Window node here would mean the old full-shuffle row_number plan."""
+    df = getattr(entry, q)(spark, sf_dir)
+    a = audit_plan(df)
+    assert "Window" not in a["plan"], "full-relation window rank regressed"
+    assert "MapInPandas" in a["plan"], "bounded partial top-k missing"
+    assert a["n_exchanges"] == 1, (
+        f"expected exactly the bounded-residue Exchange, got {a['n_exchanges']}"
+    )
+
+
+def test_ann_ivf_topk_reduction_is_bounded(spark, sf_dir):
+    """IVF keeps one Window for the tiny |Q| x n_centroids probe ranking;
+    the corpus-sized scored relation still reduces via MapInPandas, and the
+    shuffle Exchanges are only the probe rank + the bounded residue merge."""
+    df = entry.q_ann_ivf_topk(spark, sf_dir)
+    a = audit_plan(df)
+    assert "MapInPandas" in a["plan"]
+    assert a["n_exchanges"] <= 2, a["n_exchanges"]
 
 
 def test_signal_pass_is_narrow(spark, sf_dir):

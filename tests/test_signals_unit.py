@@ -52,6 +52,14 @@ ADVERSARIAL = [
     "ünïcödé wörds hére",
     "line\nline\nline\nother",
     "ends with ellipsis...\nand more…\nplain",
+    # trim-spec adversaries: trim is 0x20-ONLY in all three renderings
+    # (Spark trim/rtrim, DuckDB trim/rtrim, Python .strip(' ')/.rstrip(' ')) —
+    # a bare Python .strip() would treat these \t/NBSP paddings as equal
+    "ends with tab after ellipsis...\t\nplain",
+    "dup\t\ndup\t\ndup \nother",
+    "dup \ndup \ndup\nother",
+    "pad \npad\t\npad \npad \n",
+    "...\t\n... \n... \n…\t",
 ]
 
 
@@ -64,6 +72,29 @@ def test_spark_matches_python(spark):
         for k in S.SIGNAL_COLS:
             assert row[k] == pytest.approx(py[k], abs=0), (
                 f"text={ADVERSARIAL[row['i']]!r} col={k}: spark={row[k]} py={py[k]}"
+            )
+
+
+def test_duckdb_matches_python(duck):
+    """Three-way trim-spec agreement: the DuckDB rendering must equal
+    py_signals on the same adversarial strings (incl. \t/NBSP-padded and
+    '...\t'-terminated lines)."""
+    duck.execute(
+        "CREATE OR REPLACE TABLE _sig_adv AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(ADVERSARIAL)))
+        + ") t(i, text)",
+        list(ADVERSARIAL),
+    )
+    sig = S.duckdb_signal_sql("text")
+    cols = ", ".join(f"{sig[k]} AS {k}" for k in S.SIGNAL_COLS)
+    rows = duck.execute(f"SELECT i, {cols} FROM _sig_adv ORDER BY i").fetchall()
+    names = ["i"] + list(S.SIGNAL_COLS)
+    for row in rows:
+        r = dict(zip(names, row))
+        py = S.py_signals(ADVERSARIAL[r["i"]])
+        for k in S.SIGNAL_COLS:
+            assert float(r[k]) == pytest.approx(py[k], abs=0), (
+                f"text={ADVERSARIAL[r['i']]!r} col={k}: duck={r[k]} py={py[k]}"
             )
 
 
