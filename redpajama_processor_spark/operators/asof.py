@@ -37,8 +37,38 @@ def asof_join(
     suffix: str = "matched_",
 ) -> DataFrame:
     """left columns + {suffix}{right_id}, {suffix}ts, and suffixed payload
-    columns from the most recent right row with right.ts <= left.ts."""
+    columns from the most recent right row with right.ts <= left.ts.
+
+    Up-front contract checks (clear errors instead of silent breakage deep
+    in the union/window): the internal working names (_side, _r) and the
+    output names ({suffix}{right_id}, {suffix}{ts}) must be absent from
+    left; right_payload must avoid the carry-struct's reserved fields
+    (_rts, _rid); and the key/ts dtypes must match across sides (a
+    mismatch would otherwise only fail inside unionByName's cast)."""
     right_payload = right_payload or []
+
+    reserved = {"_side", "_r", f"{suffix}{right_id}", f"{suffix}{ts}"} | {
+        f"{suffix}{c}" for c in right_payload
+    }
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left already has reserved/output columns {sorted(clash)}; "
+            f"rename them or pass a different suffix"
+        )
+    bad_payload = {"_rts", "_rid"} & set(right_payload)
+    if bad_payload:
+        raise ValueError(
+            f"asof_join: right_payload may not use reserved struct fields "
+            f"{sorted(bad_payload)}"
+        )
+    for c in (key, ts):
+        lt, rt = left.schema[c].dataType, right.schema[c].dataType
+        if lt != rt:
+            raise TypeError(
+                f"asof_join: column {c!r} dtype mismatch: left={lt.simpleString()} "
+                f"right={rt.simpleString()}"
+            )
 
     # one right row per (key, ts): largest right_id wins (deterministic)
     w_dedup = Window.partitionBy(key, ts).orderBy(F.col(right_id).desc())

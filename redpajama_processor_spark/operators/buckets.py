@@ -38,9 +38,15 @@ def quantile_buckets(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Exact per-group quantile split via ntile(k); ascending score (CCNet:
-    lower perplexity = head). Ties broken deterministically by id."""
+    lower perplexity = head). Ties broken deterministically by id.
+
+    NULL scores are pinned LAST explicitly: Spark's bare asc() puts nulls
+    first while DuckDB's default is NULLS LAST — the oracle SQL says
+    NULLS LAST, so the Spark side must too."""
     parts = [F.col(by)] if by else []
-    w = Window.partitionBy(*parts).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    w = Window.partitionBy(*parts).orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
+    )
     tile = F.ntile(k).over(w)
     if labels is not None:
         if len(labels) != k:
@@ -102,8 +108,10 @@ def duckdb_quantile_buckets_sql(
 ) -> str:
     """DuckDB rendering of the EXACT ntile split (same tiebreak)."""
     part = f"PARTITION BY {by} " if by else ""
+    # NULLS LAST pinned on both engines (Spark: asc_nulls_last)
     tile = (
-        f"ntile({k}) OVER ({part}ORDER BY ({score_expr}) ASC, {id_col} ASC)"
+        f"ntile({k}) OVER ({part}ORDER BY ({score_expr}) ASC NULLS LAST, "
+        f"{id_col} ASC)"
     )
     if labels is not None:
         arr = "[" + ", ".join(f"'{x}'" for x in labels) + "]"

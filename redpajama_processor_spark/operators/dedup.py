@@ -338,21 +338,31 @@ def connected_components(
     edge list.
 
     Returns (id, component) where component = min id reachable. Each round
-    takes the min over (own label, neighbors' labels, own label's label) —
-    the last term is the pointer-jumping shortcut that makes convergence
-    O(log diameter) instead of O(diameter), so a 10^3-hop dup chain (an
-    adversarial shingle ladder) needs ~10 rounds, not 10^3. Rounds run until
-    fixpoint (change flag carried through the checkpoint), localCheckpoint-
-    ing each round to keep lineage flat — the Spark rendering of NeMo's
-    ConnectedComponents (step6_fuzzy_deduplication.py:192-198).
+    takes the min over (own label, changed neighbors' labels, own label's
+    changed label) — the last term is the pointer-jumping shortcut that
+    makes convergence O(log diameter) instead of O(diameter), so a 10^3-hop
+    dup chain (an adversarial shingle ladder) needs ~10 rounds, not 10^3.
+
+    FRONTIER propagation on the EDGE join: the O(|E|) neighbor join carries
+    only the labels that CHANGED last round (the frontier), not the full
+    label table — labels are monotone decreasing, so a neighbor can only
+    hand out a new value after itself changing, and the minimum's BFS wave
+    re-enters the frontier every round until fully propagated (hence empty
+    frontier == true fixpoint). Round 0 seeds the frontier with every node;
+    it then shrinks geometrically on real dup graphs, so the dominant
+    per-round shuffle decays instead of staying O(|E|), and the shrinking
+    build side broadcasts under AQE. The O(|V|) pointer-jump self-join
+    stays UNRESTRICTED on purpose: label(label(x)) through a node that
+    left the frontier is exactly the shortcut that keeps convergence
+    O(log diameter) — frontier-restricting it can strand a stale label
+    behind a long BFS chase. Convergence is detected by a cheap limit(1)
+    scan of the round's materialized table (the change flag rides through
+    the cut — no extra join action).
 
     Raises RuntimeError if max_iter rounds pass without reaching the
     fixpoint — silently returning half-propagated labels would split one
     dup family into several components and under-remove.
 
-    At 10^12 scale: each iteration is one shuffle of the label table (the
-    candidate subgraph, orders of magnitude smaller than the corpus) plus
-    one self-join of labels; AQE coalesces the shrinking frontier.
     stage_dir routes the per-round lineage cuts through parquet stage
     tables (fault-tolerant; see operators/stage.py) instead of
     executor-local checkpoint blocks.
@@ -373,23 +383,29 @@ def connected_components(
         stage_dir,
         "cc_labels_init",
     )
+    frontier = labels  # round 0: every node is "changed"
 
     for it in range(max_iter):
+        # (a) neighbors of frontier nodes can take the frontier label
         nbr = (
-            sym.join(labels, sym.b == labels.id)
+            sym.join(
+                frontier.select(
+                    F.col("id").alias("_fid"), F.col("component").alias("_fcomp")
+                ),
+                sym.b == F.col("_fid"),
+            )
             .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
+            .agg(F.min("_fcomp").alias("_nbr_min"))
         )
+        # (b) pointer jump over the FULL label table (|V|-sized, cheap):
+        # own label's label — component values are always ids present in
+        # the label table, so the left join below always finds them
         jump = labels.select(
             F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
         )
-        # carry a change indicator through the checkpoint so convergence
-        # detection is a cheap scan of the materialized table, not a join
         best = F.least(
             F.col("component"),
-            F.coalesce(F.col("nbr_min"), F.col("component")),
-            # own label's label: component values are always ids present in
-            # the label table, so the left join below always finds them
+            F.coalesce(F.col("_nbr_min"), F.col("component")),
             F.coalesce(F.col("_jcomp"), F.col("component")),
         )
         new_labels = cut(
@@ -403,10 +419,11 @@ def connected_components(
             stage_dir,
             f"cc_labels_{it % 2}",  # alternate: round reads one, writes the other
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        frontier = new_labels.filter(F.col("_chg")).select("id", "component")
+        changed = frontier.limit(1).count()
         labels = new_labels.drop("_chg")
         if _TIMING:
-            print(f"[dedup-timing] cc round changed={changed}", flush=True)
+            print(f"[dedup-timing] cc round {it} changed={changed}", flush=True)
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -13,10 +13,11 @@ reference analog — the reference stops at filtered JSONL):
    seq_id = floor(offset / seq_len); offset_in_seq = offset % seq_len.
 
    Scale: one window per group — groups must individually fit a sort
-   (source-level granularity). For 10^12-doc groups pass shards= to
-   sub-shard the window key deterministically (doc_id div shard_size):
-   order is preserved within a shard and seq_ids are shard-local, which is
-   exactly the per-file id-range trick the reference uses for AddId
+   (source-level granularity). For 10^12-doc groups pass shard_size= to
+   sub-shard the window key deterministically (floor(doc_id / shard_size)
+   — CONTIGUOUS id ranges, requires a numeric id): packing order is
+   preserved within a shard and seq_ids are shard-local, which is exactly
+   the per-file id-range trick the reference uses for AddId
    (/root/reference/step2_add_ids.py:74-77).
 
 2. ``mixture_sample`` — deterministic per-group sampling to hit a data-mix
@@ -41,17 +42,22 @@ def pack_sequences(
     seq_len: int = DEFAULT_SEQ_LEN,
     group_col: str = "source",
     id_col: str = "doc_id",
-    shards: int | None = None,
+    shard_size: int | None = None,
     order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign (seq_id, offset_in_seq) per document; adds pack_group.
 
     order_cols: within-group ordering (default [id_col]) — pass the natural
     composite key (e.g. [doc_id, chunk_id]) rather than encoding it into one
-    fixed-radix integer, which collides/overflows at scale."""
-    if shards:
+    fixed-radix integer, which collides/overflows at scale.
+
+    shard_size: contiguous id-range sub-sharding (floor(id / shard_size));
+    id_col must be numeric when set."""
+    if shard_size:
         group = F.concat_ws(
-            "#", F.col(group_col), (F.col(id_col) % shards).cast("string")
+            "#",
+            F.col(group_col),
+            F.floor(F.col(id_col) / F.lit(shard_size)).cast("string"),
         )
     else:
         group = F.col(group_col).cast("string")

@@ -75,10 +75,16 @@ def separate_by_metadata(
 def sample_sink(df: DataFrame, path: str, k: int = 100, seed: int = 42) -> None:
     """Deterministic inspection sample (reference: df.sample(n).to_json).
 
-    Uniform k-sample in ONE pass: orderBy(rand(seed)).limit(k) compiles to
-    TakeOrderedAndProject (per-partition k-heaps, no global sort) — the
+    Uniform k-sample in ONE pass: orderBy(content_hash).limit(k) compiles
+    to TakeOrderedAndProject (per-partition k-heaps, no global sort) — the
     previous rendering paid an extra full scan for df.count() just to size
-    a sample fraction."""
-    df.orderBy(F.rand(seed)).limit(k).coalesce(1).write.mode(
-        "overwrite"
-    ).json(path)
+    a sample fraction. The order key is md5(seed || row-JSON), a pure
+    CONTENT hash: F.rand(seed) is seeded per-partition, so its 'sample'
+    changes whenever the partition layout does (file sizes,
+    maxPartitionBytes, cluster width) — the content hash yields the same k
+    rows for the same data under any partitioning, and a different
+    deterministic k-subset per seed."""
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.to_json(F.struct(*df.columns)))
+    )
+    df.orderBy(key).limit(k).coalesce(1).write.mode("overwrite").json(path)

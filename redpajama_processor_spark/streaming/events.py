@@ -77,6 +77,7 @@ def stream_dedup_exact(
 def stream_conv_dup_ratio(
     stream: DataFrame,
     text_col: str = "text",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming cross-turn repeated-line ratio (the batch operator
     operators/convdup.conv_dup_ratio, re-expressed as a custom stateful
@@ -87,18 +88,39 @@ def stream_conv_dup_ratio(
     already said). For in-order arrival the emitted ratios equal the batch
     operator bit-for-bit (same 0x20-trim line spec, same int/int division).
 
-    State is bounded per conversation by its distinct-line count; a
-    production deployment adds a GroupStateTimeout to expire conversations
-    idle past the session horizon.
+    idle_timeout_ms: when set, state is BOUNDED — each batch re-arms a
+    ProcessingTimeTimeout per conversation; a conversation idle past the
+    horizon has its first-seen-line map dropped at a subsequent micro-batch
+    (state would otherwise accumulate forever in a continuous deployment —
+    one map per conversation ever seen). A conversation resuming after
+    expiry re-baselines: its first post-expiry turn counts no repeats.
+    Timeout deadlines live in the state store, so expiry also works across
+    query restarts. Default None keeps NoTimeout: Spark treats
+    ProcessingTimeTimeout queries as always needing another batch
+    (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so a
+    trigger(availableNow) drain would never terminate — the continuous
+    deployment sets the horizon, drain-and-stop batch jobs keep None.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "conv_id string, turn_idx int, conv_dup_ratio double"
     state_schema = "lines map<string,int>"
+    cols = ["conv_id", "turn_idx", "conv_dup_ratio"]
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
 
     def fn(key, pdfs, state):
         (conv_id,) = key
+        if state.hasTimedOut:
+            # idle past the horizon: drop the conversation's line map; a
+            # later turn re-baselines from empty state
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         # GroupState.get is a property returning the state tuple
         first: dict[str, int] = dict(state.get[0]) if state.exists else {}
         rows = []
@@ -117,12 +139,12 @@ def stream_conv_dup_ratio(
                 ratio = float(rep) / float(len(lines)) if lines else 0.0
                 rows.append((conv_id, int(t), ratio))
         state.update((first,))
-        yield pd.DataFrame(
-            rows, columns=["conv_id", "turn_idx", "conv_dup_ratio"]
-        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=cols)
 
     return stream.groupBy("conv_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout_conf
     )
 
 

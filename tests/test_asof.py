@@ -65,3 +65,27 @@ def test_asof_left_count_preserved(spark, sf_dir):
     )
     out = asof_join(clicks, purchases, right_payload=["value"])
     assert out.count() == clicks.count()
+
+
+def test_asof_join_rejects_colliding_and_mismatched_inputs(spark):
+    """Reserved-name and dtype contracts fail fast with clear errors."""
+    import pytest as _pytest
+
+    from redpajama_processor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 0)], "user_id long, ts long, _side int"
+    )
+    right = spark.createDataFrame([(1, 5, 100)], "user_id long, ts long, event_id long")
+    with _pytest.raises(ValueError, match="_side"):
+        asof_join(left, right)
+
+    left2 = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    with _pytest.raises(ValueError, match="_rid"):
+        asof_join(left2, right, right_payload=["_rid"])
+
+    right_str_ts = spark.createDataFrame(
+        [(1, "5", 100)], "user_id long, ts string, event_id long"
+    )
+    with _pytest.raises(TypeError, match="dtype mismatch"):
+        asof_join(left2, right_str_ts)

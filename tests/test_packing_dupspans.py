@@ -34,11 +34,17 @@ def test_pack_sequences_groups_independent(spark):
 
 
 def test_pack_sequences_sharded(spark):
+    """shard_size sub-shards on CONTIGUOUS id ranges (floor(id/size)),
+    matching the reference's per-file id-range AddId trick."""
     rows = [(i, "a", 5) for i in range(4)]
     df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
-    out = pack_sequences(df, "tok", seq_len=10, shards=2)
+    out = pack_sequences(df, "tok", seq_len=10, shard_size=2)
     groups = {r["doc_id"]: r["pack_group"] for r in out.collect()}
-    assert groups == {0: "a#0", 1: "a#1", 2: "a#0", 3: "a#1"}
+    assert groups == {0: "a#0", 1: "a#0", 2: "a#1", 3: "a#1"}
+    # packing restarts per shard: ids 0,1 fill shard a#0 seqs 0..., ids 2,3
+    # fill shard a#1 from seq 0 again
+    seqs = {r["doc_id"]: r["seq_id"] for r in out.collect()}
+    assert seqs == {0: 0, 1: 0, 2: 0, 3: 0}
 
 
 def test_mixture_sample_rates(spark):

@@ -109,6 +109,38 @@ def test_quantile_buckets_exact(spark):
     )
 
 
+def test_quantile_buckets_null_scores_last(spark, duck):
+    """NULL scores must bucket LAST in both engines (Spark bare asc() is
+    nulls-first; the operator pins asc_nulls_last to match the SQL's
+    NULLS LAST)."""
+    from redpajama_processor_spark.operators.buckets import (
+        duckdb_quantile_buckets_sql,
+    )
+
+    rows = [(0, "g", None), (1, "g", 5.0), (2, "g", 1.0), (3, "g", None),
+            (4, "g", 3.0), (5, "g", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(df, "score", k=3, by="lang").collect()
+    }
+    # scores 1,2 -> head; 3,5 -> middle; nulls 0,3 -> tail
+    assert got == {2: "head", 5: "head", 4: "middle", 1: "middle",
+                   0: "tail", 3: "tail"}
+    duck.execute(
+        "CREATE OR REPLACE TABLE _qb_null AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, 'g', {'NULL' if s is None else s})" for i, _, s in rows
+        )
+        + ") t(doc_id, lang, score)"
+    )
+    sql = duckdb_quantile_buckets_sql(
+        "_qb_null", "score", k=3, by="lang", select_cols="doc_id"
+    )
+    dd = dict(duck.execute(sql).fetchall())
+    assert dd == got
+
+
 def test_curate_annotation_extras(spark):
     """with_repetition / with_ppl_buckets add columns but never change the
     oracle-gated keep/drop/scrubbed outputs."""

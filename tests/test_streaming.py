@@ -135,3 +135,77 @@ def test_stateful_conv_dup_state_survives_restart(spark, tmp_path):
         )
         for t, v in expected.items():
             assert got[(conv, t)] == v, (conv, t, got[(conv, t)], v)
+
+
+def test_stateful_conv_dup_idle_state_expires(spark, tmp_path):
+    """ProcessingTimeTimeout bounds the state: a conversation idle past
+    idle_timeout_ms is dropped by a timeout batch, and a resumed
+    conversation re-baselines (its repeated line no longer counts as
+    repeated). Driven by a continuous trigger with a manual stop —
+    ProcessingTimeTimeout queries always report another batch pending, so
+    trigger(availableNow) would never terminate (see the operator
+    docstring)."""
+    import os
+    import time
+
+    from redpajama_processor_spark.streaming.events import (
+        read_turns_stream,
+        stream_conv_dup_ratio,
+    )
+
+    schema = "conv_id string, turn_idx int, text string"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def wait_rows(n, deadline=60.0):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {n} output rows")
+
+    # seed before start so the first batch has data
+    append([("c1", 0, "alpha line"), ("c1", 1, "alpha line")])
+    q = (
+        stream_conv_dup_ratio(
+            read_turns_stream(spark, src, schema), idle_timeout_ms=1000
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        wait_rows(2)
+        # idle past the horizon: timeout batches keep firing with no new
+        # data (that is exactly the always-another-batch behavior) and drop
+        # c1's line map
+        time.sleep(3.0)
+        # c1 resumes; with state expired this repeats NOTHING
+        append([("c1", 2, "alpha line")])
+        wait_rows(3)
+    finally:
+        q.stop()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.conv_dup_ratio
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("c1", 0)] == 0.0
+    assert got[("c1", 1)] == 1.0, "pre-expiry state must still dedup"
+    assert got[("c1", 2)] == 0.0, (
+        "idle conversation state must expire and re-baseline"
+    )
