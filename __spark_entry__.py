@@ -898,6 +898,230 @@ def _transcript_core_sql() -> str:
         LEFT JOIN cdr r ON c.conv_id = r.conv_id AND c.turn_idx = r.turn_idx"""
 
 
+# transcript_full: the ENTIRE flagship stage chain — langid -> clean ->
+# exact dedup -> fuzzy dedup (MinHash/LSH + exact-Jaccard verify + connected
+# components) -> heuristics -> conv-dup -> PERPLEXITY -> final keep/drop
+# precedence — in one DuckDB-oracled query. transcript_core proves the
+# chain minus fuzzy/perplexity (plus scrub); this closes the gap: the
+# bigram-LM perplexity stage is rendered relationally in SQL
+# (functions/perplexity.duckdb_perplexity_ctes) and fuzzy via the
+# recursive-CTE closure proven in doc_fuzzy_components.
+
+TF_NUM_PERM = 16  # SQL-tractable K (16 affine minima inline); banding math
+TF_BANDS = 8      # identical to the pipeline's (rows/band drive the knee)
+TF_NGRAM = 24     # reference shingle width (step6_fuzzy_deduplication.py:51)
+TF_JACCARD = 0.8  # pipeline verify threshold
+
+
+def q_transcript_full(spark, sf_dir):
+    from redpajama_processor_spark.datagen import lm_corpus
+    from redpajama_processor_spark.functions.perplexity import (
+        DEFAULT_MAX_PPL,
+        perplexity_udf,
+        train_bigram_lm,
+    )
+    from redpajama_processor_spark.functions.textclean import clean_text_col
+    from redpajama_processor_spark.operators.convdup import (
+        CONV_DUP_MAX,
+        conv_dup_ratio,
+    )
+
+    df = _doc_turns(spark, sf_dir).withColumn(
+        "_key", F.format_string("%s#%06d", F.col("conv_id"), F.col("turn_idx"))
+    )
+    df = df.withColumn("language", spark_langid_col(F.col("text")))
+    df = df.withColumn("clean_text", clean_text_col(F.col("text")))
+
+    en = df.filter(F.col("language") == "EN").select(
+        "_key", F.md5("clean_text").alias("_hash")
+    )
+    w = Window.partitionBy("_hash").orderBy("_key")
+    exact = en.withColumn("is_exact_dup", F.row_number().over(w) > 1).select(
+        "_key", "is_exact_dup"
+    )
+    df = df.join(exact, "_key", "left").withColumn(
+        "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
+    )
+
+    surv = df.filter(
+        (F.col("language") == "EN") & (~F.col("is_exact_dup"))
+    ).select(F.col("_key").alias("doc_id"), F.col("clean_text").alias("text"))
+    fz = D.fuzzy_dedup(
+        surv,
+        num_perm=TF_NUM_PERM,
+        bands=TF_BANDS,
+        ngram=TF_NGRAM,
+        jaccard_threshold=TF_JACCARD,
+        use_numpy=False,
+        verify=True,
+        base="md5",
+    ).select(F.col("doc_id").alias("_key"), "is_fuzzy_dup", "component")
+    df = df.join(fz, "_key", "left").withColumns(
+        {
+            "is_fuzzy_dup": F.coalesce("is_fuzzy_dup", F.lit(False)),
+            "component": F.coalesce("component", F.col("_key")),
+        }
+    )
+
+    df = df.withColumns(
+        {
+            "_words": S.words_col(F.col("clean_text")),
+            "_lines": F.split(F.col("clean_text"), r"\n"),
+        }
+    )
+    sig = S.spark_signal_cols(
+        F.col("clean_text"), words=F.col("_words"), lines=F.col("_lines")
+    )
+    hkeep, hrule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    df = df.withColumns({"_hkeep": hkeep, "_hrule": hrule}).drop(
+        "_words", "_lines"
+    )
+
+    cdr = conv_dup_ratio(
+        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    )
+    df = df.join(cdr, ["conv_id", "turn_idx"], "left").withColumn(
+        "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
+    )
+
+    lm_b = spark.sparkContext.broadcast(train_bigram_lm(lm_corpus()))
+    df = df.withColumn("_ppl", perplexity_udf(lm_b)(F.col("clean_text")))
+
+    drop = (
+        F.when(F.col("language") != "EN", F.lit("langid"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("is_fuzzy_dup"), F.lit("fuzzy_dup"))
+        .when(~F.col("_hkeep"), F.col("_hrule"))
+        .when(F.col("conv_dup_ratio") > F.lit(CONV_DUP_MAX), F.lit("conv_dup_line"))
+        .when(F.col("_ppl") > F.lit(DEFAULT_MAX_PPL), F.lit("perplexity"))
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "language",
+        "is_exact_dup",
+        "is_fuzzy_dup",
+        "component",
+        "conv_dup_ratio",
+        F.round(F.col("_ppl"), 4).alias("perplexity"),
+        drop.alias("full_drop_rule"),
+        drop.isNull().alias("full_keep"),
+    )
+
+
+def _transcript_full_sql() -> str:
+    from redpajama_processor_spark.datagen import lm_corpus
+    from redpajama_processor_spark.functions import perplexity as P
+    from redpajama_processor_spark.functions.textclean import duckdb_clean_sql
+    from redpajama_processor_spark.operators.convdup import CONV_DUP_MAX
+
+    lm = P.train_bigram_lm(lm_corpus())
+    keep_sql, rule_sql = S.duckdb_keep_and_rule_sql(
+        S.duckdb_signal_sql("clean_text"), include_stopword_rule=True
+    )
+    bh = H.duckdb_base_hashes_sql("clean_text", TF_NGRAM)
+    sig16 = H.duckdb_minhash_from_hashes_sql("hs", TF_NUM_PERM)
+    sh = _shingles_sql("clean_text", TF_NGRAM)
+    rpb = TF_NUM_PERM // TF_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT _key, {b} AS band_id, md5(concat_ws(':', {cols})) AS band_key "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(f"s[{b * rpb + r + 1}]" for r in range(rpb)),
+        )
+        for b in range(TF_BANDS)
+    )
+    ppl_ctes = P.duckdb_perplexity_ctes(lm, "cleaned", key="_key", text="clean_text")
+    fuzzy_pred = "(cp.component IS NOT NULL AND cp.component <> c._key)"
+    ppl_val = "COALESCE(p.ppl, CAST('infinity' AS DOUBLE))"
+    drop = (
+        "CASE WHEN c.language <> 'EN' THEN 'langid' "
+        "WHEN COALESCE(e.is_exact_dup, FALSE) THEN 'exact_dup' "
+        f"WHEN {fuzzy_pred} THEN 'fuzzy_dup' "
+        f"WHEN NOT ({keep_sql}) THEN {rule_sql} "
+        f"WHEN COALESCE(r.conv_dup_ratio, 0.0) > {CONV_DUP_MAX} "
+        "THEN 'conv_dup_line' "
+        f"WHEN {ppl_val} > {P.DEFAULT_MAX_PPL} THEN 'perplexity' END"
+    )
+    return f"""
+        WITH RECURSIVE turns AS (SELECT * FROM {_SQL_DOC_TURNS}),
+        cleaned AS MATERIALIZED (
+          -- MATERIALIZED on purpose: the mojibake-repair chain is a ~125-
+          -- deep nested expression; inlined per consumer it both re-runs
+          -- per reference AND overflows DuckDB's 128-frame binder recursion
+          -- when reached through this query's deeper CTE chain
+          SELECT conv_id, turn_idx,
+                 conv_id || '#' || printf('%06d', turn_idx) AS _key,
+                 {duckdb_langid_sql('text')} AS language,
+                 {duckdb_clean_sql('text')} AS clean_text
+          FROM turns),
+        exact AS (
+          SELECT _key,
+                 row_number() OVER (PARTITION BY md5(clean_text) ORDER BY _key) > 1
+                   AS is_exact_dup
+          FROM cleaned WHERE language = 'EN'),
+        surv AS (
+          SELECT c._key, c.clean_text
+          FROM cleaned c LEFT JOIN exact e ON c._key = e._key
+          WHERE c.language = 'EN' AND NOT COALESCE(e.is_exact_dup, FALSE)),
+        bhs AS MATERIALIZED (SELECT _key, {bh} AS hs FROM surv),
+        sigs AS MATERIALIZED (SELECT _key, {sig16} AS s FROM bhs),
+        bands AS ({band_selects}),
+        hubs AS (
+          SELECT band_id, band_key, MIN(_key) AS hub
+          FROM bands GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT h.hub AS src, b._key AS dst
+          FROM bands b JOIN hubs h
+            ON b.band_id = h.band_id AND b.band_key = h.band_key
+           AND b._key > h.hub),
+        shs AS (
+          SELECT _key, {sh} AS sh FROM surv
+          WHERE _key IN (SELECT src FROM cand UNION SELECT dst FROM cand)),
+        edges AS (
+          SELECT src, dst FROM cand
+          JOIN shs a ON cand.src = a._key
+          JOIN shs b2 ON cand.dst = b2._key
+          WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b2.sh))) AS DOUBLE)
+              >= {TF_JACCARD}),
+        sym AS (SELECT src AS a, dst AS b FROM edges
+                UNION SELECT dst, src FROM edges),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM sym
+          UNION
+          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT id AS _key, MIN(r) AS component FROM reach GROUP BY id),
+        ne AS (
+          SELECT conv_id, turn_idx, trim(l, ' ') AS line
+          FROM cleaned, unnest(string_split(clean_text, chr(10))) AS t(l)
+          WHERE trim(l, ' ') <> ''),
+        first_seen AS (
+          SELECT conv_id, line, MIN(turn_idx) AS first_turn
+          FROM ne GROUP BY 1, 2),
+        cdr AS (
+          SELECT ne.conv_id, ne.turn_idx,
+                 CAST(SUM(CASE WHEN ne.turn_idx > fs.first_turn THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_dup_ratio
+          FROM ne JOIN first_seen fs
+            ON ne.conv_id = fs.conv_id AND ne.line = fs.line
+          GROUP BY 1, 2),
+        {ppl_ctes}
+        SELECT c.conv_id, c.turn_idx, c.language,
+               COALESCE(e.is_exact_dup, FALSE) AS is_exact_dup,
+               {fuzzy_pred} AS is_fuzzy_dup,
+               COALESCE(cp.component, c._key) AS component,
+               COALESCE(r.conv_dup_ratio, 0.0) AS conv_dup_ratio,
+               ROUND({ppl_val}, 4) AS perplexity,
+               {drop} AS full_drop_rule,
+               ({drop}) IS NULL AS full_keep
+        FROM cleaned c
+        LEFT JOIN exact e ON c._key = e._key
+        LEFT JOIN comp cp ON c._key = cp._key
+        LEFT JOIN cdr r ON c.conv_id = r.conv_id AND c.turn_idx = r.turn_idx
+        LEFT JOIN lm_ppl p ON c._key = p._key"""
+
+
 def q_transcript_core_census(spark, sf_dir):
     """Per-rule kept/dropped counters over the oracled stage chain (the
     north_rule metrics shape, value-verified end to end)."""
@@ -964,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fuzzy_components": q_doc_fuzzy_components,
         "transcript_core": q_transcript_core,
         "transcript_core_census": q_transcript_core_census,
+        "transcript_full": q_transcript_full,
         "doc_simhash": q_doc_simhash,
         "doc_tokens": q_doc_tokens,
         "doc_scrub": q_doc_scrub,
@@ -1012,8 +1237,14 @@ def _keep_rule_sql() -> tuple[str, str]:
 
 
 def _bands_union_sql(src_table: str) -> str:
-    """bands(doc_id, band_id, band_key) as a UNION ALL of per-band selects."""
-    sig = H.duckdb_minhash_sql("text", MINHASH_K, MINHASH_NGRAM)
+    """bands(doc_id, band_id, band_key) as a UNION ALL of per-band selects.
+
+    Base hashes and signatures are MATERIALIZED: DuckDB inlines plain CTEs
+    per reference, so the 8 band selects would otherwise recompute the full
+    minhash 8x, and each of the K list_min passes would re-shingle+md5 —
+    a K*bands-fold blowup on the most expensive subexpression."""
+    bh = H.duckdb_base_hashes_sql("text", MINHASH_NGRAM)
+    sig = H.duckdb_minhash_from_hashes_sql("hs", MINHASH_K)
     rpb = MINHASH_K // MINHASH_BANDS
     selects = []
     for b in range(MINHASH_BANDS):
@@ -1026,7 +1257,8 @@ def _bands_union_sql(src_table: str) -> str:
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
         )
     return (
-        f"WITH sigs AS (SELECT doc_id, {sig} AS s FROM {src_table}), "
+        f"WITH bhs AS MATERIALIZED (SELECT doc_id, {bh} AS hs FROM {src_table}), "
+        f"sigs AS MATERIALIZED (SELECT doc_id, {sig} AS s FROM bhs), "
         f"bands AS (" + " UNION ALL ".join(selects) + ")"
     )
 
@@ -1191,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(r) AS component
             FROM reach GROUP BY id""",
         "transcript_core": _transcript_core_sql(),
+        "transcript_full": _transcript_full_sql(),
         "transcript_core_census": (
             "SELECT COALESCE(core_drop_rule, '__kept__') AS rule, COUNT(*) AS n "
             f"FROM ({_transcript_core_sql()}) GROUP BY 1"

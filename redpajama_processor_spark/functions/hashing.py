@@ -198,24 +198,41 @@ def minhash_md5_col(
     return minhash_from_hashes_col(hashes, num_perm, seed)
 
 
-def duckdb_minhash_sql(
-    text: str, num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED
-) -> str:
-    """DuckDB SQL producing the identical array<long> signature."""
+def duckdb_base_hashes_sql(text: str, n: int = DEFAULT_NGRAM) -> str:
+    """DuckDB list<bigint> of md5 base hashes over distinct char n-grams —
+    the once-per-row half of the minhash rendering. Materialize this in a
+    CTE when the signature is consumed more than once: inlined into K
+    list_min passes it would re-shingle and re-md5 K times per row (the
+    SQL twin of add_minhash's _bh materialization)."""
     shingles = (
         f"CASE WHEN length({text}) <= {n} THEN [{text}] "
         f"ELSE list_distinct(list_transform(range(1, length({text}) - {n - 1} + 1), "
         f"i -> substr({text}, i::INT, {n}))) END"
     )
-    hashes = (
+    return (
         f"list_transform({shingles}, s -> "
         f"('0x' || substr(md5(s), 1, {HASH_BITS // 4}))::BIGINT)"
     )
+
+
+def duckdb_minhash_from_hashes_sql(
+    hashes: str, num_perm: int, seed: int = SEED
+) -> str:
+    """K affine minima over an already-computed base-hash list column."""
     mins = ", ".join(
         f"list_min(list_transform({hashes}, h -> (({a}::BIGINT * h + {b}) % {MERSENNE_P})))"
         for a, b in perm_params(num_perm, seed)
     )
     return f"[{mins}]"
+
+
+def duckdb_minhash_sql(
+    text: str, num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED
+) -> str:
+    """DuckDB SQL producing the identical array<long> signature."""
+    return duckdb_minhash_from_hashes_sql(
+        duckdb_base_hashes_sql(text, n), num_perm, seed
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,118 @@ def perplexity_udf(lm_broadcast):
 # by the 'perplexity' rule. Calibrated on the fixture strata: normal-ish
 # prose scores <= ~120, gibberish >= ~490 under the lm_corpus() bigram LM.
 DEFAULT_MAX_PPL = 400.0
+
+
+# ---------------------------------------------------------------------------
+# DuckDB rendering (the oracle for the perplexity stage)
+# ---------------------------------------------------------------------------
+
+#: separator used for bigram keys in the SQL rendering. The Python dict uses
+#: '\x00', which is awkward inside SQL literals; '\x1f' (unit separator) is
+#: equivalent as long as no token contains either byte — asserted at render
+#: time. Tokens come from a \s+ split, which can never emit empty strings,
+#: and no whitespace class contains 0x1f.
+SQL_SEP = "\x1f"
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def py_ws_charclass() -> str:
+    """RE2 character class equal to Python's Unicode ``\\s`` — derived, not
+    hand-listed: every BMP codepoint re matches as \\s, compressed to
+    ranges. DuckDB's own \\s is ASCII-only (RE2), so the SQL tokenizer must
+    spell the class out to match ``tokenize``'s ``re.split(r'\\s+')``."""
+    cps = [cp for cp in range(0x10000) if re.match(r"\s", chr(cp))]
+    ranges: list[tuple[int, int]] = []
+    for cp in cps:
+        if ranges and cp == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], cp)
+        else:
+            ranges.append((cp, cp))
+    out = []
+    for lo, hi in ranges:
+        if lo == hi:
+            out.append(f"\\x{{{lo:x}}}")
+        else:
+            out.append(f"\\x{{{lo:x}}}-\\x{{{hi:x}}}")
+    return "[" + "".join(out) + "]"
+
+
+def duckdb_tokens_sql(text: str) -> str:
+    """DuckDB list<varchar> equal to ``tokenize(text)``: strip Python-\\s
+    from both ends, lowercase, split on Python-\\s runs."""
+    cls = py_ws_charclass()
+    trimmed = f"regexp_replace({text}, '^{cls}+|{cls}+$', '', 'g')"
+    t = f"lower({trimmed})"
+    return (
+        f"CASE WHEN {t} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({t}, '{cls}+') END"
+    )
+
+
+def duckdb_lm_ctes(lm: dict, prefix: str = "lm") -> str:
+    """The LM counts as three inline VALUES CTEs ({prefix}_uni(w, c),
+    {prefix}_bi(k, c) with k = prev || SQL_SEP || w, {prefix}_ctx(a, c)) —
+    relational joins beat per-row MAP literals (DuckDB map extraction scans
+    keys linearly; the bigram table has thousands of entries)."""
+    for w in lm["uni"]:
+        assert SQL_SEP not in w and "\x00" not in w, repr(w)
+    uni = ", ".join(f"({_sq(w)}, {c})" for w, c in sorted(lm["uni"].items()))
+    bi = ", ".join(
+        f"({_sq(k.replace(chr(0), SQL_SEP))}, {c})"
+        for k, c in sorted(lm["bi"].items())
+    )
+    ctx = ", ".join(f"({_sq(a)}, {c})" for a, c in sorted(lm["ctx"].items()))
+    return (
+        f"{prefix}_uni(w, c) AS (VALUES {uni}), "
+        f"{prefix}_bi(k, c) AS (VALUES {bi}), "
+        f"{prefix}_ctx(a, c) AS (VALUES {ctx})"
+    )
+
+
+def duckdb_perplexity_ctes(
+    lm: dict, src: str, key: str = "_key", text: str = "clean_text",
+    prefix: str = "lm",
+) -> str:
+    """CTE chain computing ``{prefix}_ppl({key}, ppl)`` over ``src`` rows —
+    the SQL rendering of ``score_texts``. Rows with zero tokens get no
+    {prefix}_ppl row (callers COALESCE to +infinity, matching the UDF).
+
+    Exact-arithmetic notes (must mirror score_texts operand-for-operand):
+    - per-token p = 0.7*(bi/ctx when ctx>0 else 0) + 0.2*(uni/total)
+      + (0.1/vocab); the uniform term is rendered as a full-precision
+      string cast so both engines add the identical float64;
+    - the per-document log-sum uses DuckDB's ordered-list aggregate
+      (list(logp ORDER BY i)) + list_sum — a strictly sequential in-order
+      sum like np.add.reduceat, where a bare SUM() could reassociate;
+    - ln()/exp() are libm-correct to ~1 ulp in both engines; consumers
+      round the final ppl (4 dp) before hashing.
+    """
+    toks = duckdb_tokens_sql(text)
+    unif = repr(LAMBDA_UNIF / lm["vocab"])
+    total = lm["total"]
+    return f"""{duckdb_lm_ctes(lm, prefix)},
+        {prefix}_toks AS (
+          SELECT {key}, {toks} AS toks FROM {src}),
+        {prefix}_tokrows AS (
+          SELECT {key}, i, toks[i] AS w,
+                 CASE WHEN i = 1 THEN '{BOS}' ELSE toks[i - 1] END AS prev
+          FROM {prefix}_toks, unnest(range(1, len(toks) + 1)) AS t(i)),
+        {prefix}_logp AS (
+          SELECT tr.{key}, tr.i,
+                 ln(0.7 * (CASE WHEN COALESCE(c.c, 0) > 0
+                           THEN CAST(COALESCE(b.c, 0) AS DOUBLE) / CAST(c.c AS DOUBLE)
+                           ELSE 0.0 END)
+                    + 0.2 * (CAST(COALESCE(u.c, 0) AS DOUBLE) / {total})
+                    + CAST('{unif}' AS DOUBLE)) AS logp
+          FROM {prefix}_tokrows tr
+          LEFT JOIN {prefix}_bi b ON tr.prev || '{SQL_SEP}' || tr.w = b.k
+          LEFT JOIN {prefix}_ctx c ON tr.prev = c.a
+          LEFT JOIN {prefix}_uni u ON tr.w = u.w),
+        {prefix}_ppl AS (
+          SELECT {key},
+                 exp(-(list_sum(list(logp ORDER BY i)))
+                     / len(list(logp ORDER BY i))) AS ppl
+          FROM {prefix}_logp GROUP BY {key})"""

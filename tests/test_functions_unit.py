@@ -254,3 +254,56 @@ def test_fasttext_udf_falls_back_to_lexicon(spark):
     a = df.select(fasttext_langid_udf()(F.col("text")).alias("s")).collect()
     b = df.select(langid_udf()(F.col("text")).alias("s")).collect()
     assert [r.s for r in a] == [r.s for r in b]
+
+
+def test_duckdb_perplexity_matches_python(duck):
+    """The relational DuckDB rendering of the bigram-LM scorer must equal
+    py_perplexity (same tokenizer incl. Python-\\s vs RE2-\\s differences,
+    same operand order, sequential in-order log-sum)."""
+    import math
+
+    from redpajama_processor_spark.datagen import lm_corpus
+    from redpajama_processor_spark.functions.perplexity import (
+        duckdb_perplexity_ctes,
+        duckdb_tokens_sql,
+        py_perplexity,
+        tokenize,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(lm_corpus())
+    texts = [
+        "the cat sat on the mat",
+        "THE CAT   sat\non the mat  ",
+        "",
+        "   \t \xa0 ",  # NBSP is Python-\s but not RE2-\s
+        "zzz qqq unknown words here",
+        "tab\tsep em space and nbsp\xa0joined",
+        "single",
+        "x​zero-width is not ws",
+        "o'quote and 100% sym#bols...",
+    ]
+    duck.execute(
+        "CREATE OR REPLACE TABLE _ppl_t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") x(k, txt)",
+        texts,
+    )
+    toks = duck.execute(
+        f"SELECT k, {duckdb_tokens_sql('txt')} FROM _ppl_t ORDER BY k"
+    ).fetchall()
+    for k, t in toks:
+        assert t == tokenize(texts[k]), (texts[k], t)
+    sql = (
+        "WITH "
+        + duckdb_perplexity_ctes(lm, "_ppl_t", key="k", text="txt")
+        + " SELECT k, ppl FROM lm_ppl"
+    )
+    got = dict(duck.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        exp = py_perplexity(t, lm)
+        if math.isinf(exp):
+            # zero-token rows emit no lm_ppl row (consumers COALESCE to inf)
+            assert i not in got
+        else:
+            assert got[i] == pytest.approx(exp, rel=1e-12), (t, got[i], exp)
