@@ -212,46 +212,98 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: str = "first_ids",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every corpus vector to its nearest centroid
     (cosine, ties -> smallest centroid id), probe the n_probe nearest cells
     per query, exact cosine re-rank inside the probed cells.
 
-    Centroids are DETERMINISTIC — the n_centroids smallest-id corpus
-    vectors — standing in for a trained k-means codebook (public IVF
-    practice); the plumbing is identical either way: a tiny centroid table
-    collected to the driver and broadcast as literals, so the assignment
-    pass is NARROW (an argmax over n_centroids column expressions — no
-    shuffle of the corpus). At 100 TB: assignment pipelines into the scan;
-    the only wide ops are the per-query top-k and the cell equi-join
-    against the (broadcast) probe list.
+    Centroids are DETERMINISTIC either way — the plumbing is identical to a
+    trained k-means codebook (a tiny centroid table collected to the driver
+    and broadcast as literals, so the assignment pass is NARROW: an argmax
+    over n_centroids column expressions, no shuffle of the corpus):
+
+    - 'first_ids': the n_centroids smallest-id corpus vectors. The SQL
+      oracle's rendering (trivially expressible as ORDER BY id LIMIT n).
+    - 'sample': a deterministic pseudo-random seed set — the n_centroids
+      vectors with the smallest md5('ivf-cent-' || id); unbiased w.r.t.
+      id locality when ids correlate with content (on the fixture, whose
+      ids are already content-independent, it is just a different draw).
+    - 'kmeans': 'sample' seeds + 3 distributed Lloyd iterations (assign
+      pass is the same narrow argmax; per-cell means via one tiny
+      posexplode groupBy per round) — the real codebook path.
+
+    Measured recall@5 vs brute_force_topk, sf0.001 fixture, 16 cells /
+    4 probes, queries DISJOINT from the centroid set
+    (tests/test_dedup_operators.py::test_ivf_kmeans_recall): 'first_ids'
+    0.46, 'sample' 0.44, 'kmeans' 0.64 — Lloyd refinement lifts recall
+    well above either raw draw at the same probe budget. (Benchmarking
+    note: with the fixture's default vec_id<10 queries, 'first_ids'
+    reads 0.94 — an artifact, those queries ARE its centroids, so each
+    query's own cell contains its neighborhood; disjoint queries are the
+    honest measurement.) Recall floors are asserted only for the refined
+    path.
+
+    At 100 TB: assignment pipelines into the scan; the only wide ops are
+    the bounded top-k reduction and the cell equi-join against the
+    (broadcast) probe list; each Lloyd round adds one n_centroids*dims-row
+    aggregate.
     """
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    base = corpus.select(id_col, vec_col)
+    if centroids in ("sample", "kmeans"):
+        base = base.withColumn(
+            "_ck",
+            F.md5(F.concat(F.lit("ivf-cent-"), F.col(id_col).cast("string"))),
+        ).orderBy("_ck", id_col).drop("_ck")
+    else:
+        base = base.orderBy(id_col)
+    cent = base.limit(n_centroids).collect()
     cvecs = [[float(x) for x in r[vec_col]] for r in cent]
 
-    def _cell_expr(vec: Column) -> Column:
-        cos_arr = F.array(
-            *[
-                cosine_col(vec, F.array(*[F.lit(x) for x in cv]))
-                for cv in cvecs
-            ]
-        )
-        # bind once; array_position returns the FIRST maximal index ->
-        # ties break toward the smallest centroid id (centroids are in
-        # id order), matching the oracle's ORDER BY cos DESC, cid ASC
-        return F.element_at(
-            F.transform(
-                F.array(cos_arr),
-                lambda a: F.array_position(a, F.array_max(a)).cast("int"),
-            ),
-            1,
-        )
+    def _cell_expr_for(cv_list):
+        def _cell_expr(vec: Column) -> Column:
+            cos_arr = F.array(
+                *[
+                    cosine_col(vec, F.array(*[F.lit(x) for x in cv]))
+                    for cv in cv_list
+                ]
+            )
+            # bind once; array_position returns the FIRST maximal index ->
+            # ties break toward the smallest centroid id (centroids are in
+            # id order), matching the oracle's ORDER BY cos DESC, cid ASC
+            return F.element_at(
+                F.transform(
+                    F.array(cos_arr),
+                    lambda a: F.array_position(a, F.array_max(a)).cast("int"),
+                ),
+                1,
+            )
 
+        return _cell_expr
+
+    if centroids == "kmeans":
+        for _ in range(3):
+            asg = corpus.select(
+                vec_col, _cell_expr_for(cvecs)(F.col(vec_col)).alias("_cell")
+            )
+            means = (
+                asg.select("_cell", F.posexplode(vec_col).alias("_d", "_v"))
+                .groupBy("_cell", "_d")
+                .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["_cell"], {})[r["_d"]] = r["_m"]
+            dims = len(cvecs[0])
+            cvecs = [
+                [by_cell[c + 1].get(d, cvecs[c][d]) for d in range(dims)]
+                if (c + 1) in by_cell
+                else cvecs[c]  # empty cell: keep the old centroid
+                for c in range(len(cvecs))
+            ]
+
+    _cell_expr = _cell_expr_for(cvecs)
     assign = corpus.select(
         id_col, vec_col, _cell_expr(F.col(vec_col)).alias("_cell")
     )

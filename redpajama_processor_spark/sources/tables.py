@@ -12,8 +12,19 @@ conversation co-locate (conversation-level operators need no extra shuffle
 after a scan), buckets stay balanced under Zipf conversation sizes because
 the bucket key hashes conv_id, not its row count. On Iceberg this is
 ``PARTITIONED BY (bucket(N, conv_id))``; on parquet it is a materialized
-``bucket`` column + partitionBy — same pruning behavior for bucket-keyed
-reads, same layout contract for the checkpoint/resume unit.
+``bucket`` column + partitionBy.
+
+Resume-unit contract (what checkpoint/resume depends on): ``read_bucket``
+partitions conversations into N disjoint, deterministic groups by
+``pmod(xxhash64(conv_id), N)`` in BOTH modes, so a checkpoint written
+against one storage backend resumes correctly against the other. Note the
+deliberate nuance: Iceberg's own bucket(N, ...) transform hashes with
+Murmur3 (a DIFFERENT function), so in Iceberg mode the resume-unit filter
+does not align with physical partitions and reads are not partition-pruned
+— correctness over pruning; a deployment that wants pruned resume reads
+filters on ``local.system.bucket(N, conv_id)`` instead and accepts
+Iceberg-only checkpoints. tests/test_sources.py pins the shared constants
+so the two branches cannot drift silently.
 """
 
 from __future__ import annotations

@@ -336,3 +336,31 @@ def test_embedding_neardup_bucket_width_guard(spark):
     rows = capped.collect()
     assert len(rows) == 45
     assert {r.src for r in rows} | {r.dst for r in rows} == set(range(10))
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """recall@5 vs brute_force_topk with queries DISJOINT from the
+    centroid seed set (fixture queries vec_id<10 coincide with first_ids
+    centroids and inflate its recall to ~0.94 — an artifact). The Lloyd-
+    refined codebook must beat both raw centroid draws and clear an
+    absolute floor at the same 4/16 probe budget."""
+    from redpajama_processor_spark.operators import ann as ANN
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def nset(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    bf = nset(ANN.brute_force_topk(e, q, k=5))
+    rec = {}
+    for strat in ("first_ids", "sample", "kmeans"):
+        iv = nset(
+            ANN.ivf_topk(e, q, k=5, n_centroids=16, n_probe=4, centroids=strat)
+        )
+        rec[strat] = len(bf & iv) / len(bf)
+    assert rec["kmeans"] >= 0.55, rec
+    assert rec["kmeans"] > rec["first_ids"], rec
+    assert rec["kmeans"] > rec["sample"], rec

@@ -157,3 +157,72 @@ def test_gzip_integrity_classification(spark, tmp_path):
         "truncated.json.gz": "truncated_gzip",
         "badjson.json.gz": "bad_json",
     }
+
+
+def test_catalog_branches_share_partition_spec_constants():
+    """The Iceberg branch cannot execute in this sandbox (no
+    iceberg-spark-runtime jar), so pin the contract instead: both branches
+    of write_turns/read_bucket must be driven by the SAME constants —
+    self.n_buckets and conv_id — and the resume-unit hash
+    (pmod(xxhash64(conv_id), N)) must appear in both storage modes'
+    read_bucket paths. A divergence (e.g. someone hardcoding 64 in one
+    branch) fails here before it silently breaks cross-mode resume."""
+    import inspect
+
+    src_write = inspect.getsource(Catalog.write_turns)
+    src_read = inspect.getsource(Catalog.read_bucket)
+    # write: iceberg partitionedBy and parquet bucket column use the same knob
+    assert src_write.count("self.n_buckets") == 2, src_write
+    assert 'F.bucket(self.n_buckets, F.col("conv_id"))' in src_write
+    assert 'F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))' in src_write
+    # read_bucket: the xxhash resume filter is the iceberg-mode filter too
+    assert 'F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))' in src_read
+
+
+def test_catalog_parquet_bucket_equals_resume_hash(spark, tmp_path):
+    """The materialized parquet bucket column must equal the resume-unit
+    hash exactly — this is the value the Iceberg-mode read_bucket filter
+    recomputes, so equality here is what makes checkpoints portable
+    across storage modes."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_turns_pandas
+
+    cat = Catalog(spark, str(tmp_path / "cat2"), n_buckets=8)
+    cat.write_turns(spark.createDataFrame(gen_turns_pandas(10)))
+    raw = spark.read.parquet(str(tmp_path / "cat2" / "turns"))
+    bad = raw.filter(
+        F.col("bucket")
+        != F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0
+
+
+ICEBERG_JAR = os.environ.get("ICEBERG_SPARK_JAR", "")
+
+
+@pytest.mark.skipif(
+    not ICEBERG_JAR,
+    reason="no iceberg-spark-runtime jar in this image; set ICEBERG_SPARK_JAR "
+    "to run the real round-trip",
+)
+def test_catalog_iceberg_roundtrip(tmp_path):
+    """Real use_iceberg=True round-trip (runs only with the jar present):
+    write_turns partitioned by bucket(N, conv_id), read back, and the
+    resume-unit buckets must cover the table disjointly."""
+    from redpajama_processor_spark.datagen import gen_turns_pandas
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="iceberg-it",
+        cores=4,
+        iceberg_warehouse=str(tmp_path / "wh"),
+        extra_conf={"spark.jars": ICEBERG_JAR},
+    )
+    cat = Catalog(spark, str(tmp_path / "cat3"), use_iceberg=True, n_buckets=8)
+    turns = spark.createDataFrame(gen_turns_pandas(10))
+    cat.write_turns(turns)
+    back = cat.read()
+    assert back.count() == turns.count()
+    total = sum(cat.read_bucket("turns", b).count() for b in range(8))
+    assert total == turns.count()
