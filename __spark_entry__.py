@@ -405,12 +405,19 @@ def q_doc_jaccard_pairs(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
-    """SimHash via the token-dictionary rendering (md5 once per distinct
-    corpus token, not per instance); the DuckDB oracle recomputes the
-    pure-SQL per-doc rendering, so equality proves dict == SQL ==
-    (simhash_col / hybrid votes, tested separately)."""
+    """SimHash via the hybrid numpy-votes path (zero shuffle); the DuckDB
+    oracle recomputes the pure-SQL rendering, so equality proves hybrid ==
+    SQL == (simhash_col / add_simhash_dict, tested separately).
+
+    Paired-window measurement note (BENCH/R3_BACKTOBACK.md): round 2's
+    driver bench read 6.95 s for this query, which a back-to-back re-run
+    of the same binary showed to be host noise (1.14 s in a clean window).
+    The token-dictionary rendering (add_simhash_dict) measured 4.0 s in
+    the same window — its two shuffles cost more than the per-instance
+    md5s it saves at this corpus shape — so the zero-shuffle hybrid stays
+    the default."""
     d = _t(spark, sf_dir, "documents")
-    return H.add_simhash_dict(d, "text").select("doc_id", "simhash")
+    return H.add_simhash(d, "text").select("doc_id", "simhash")
 
 
 def q_doc_tokens(spark, sf_dir):

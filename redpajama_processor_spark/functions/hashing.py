@@ -439,11 +439,13 @@ def add_simhash_dict(
     engine-exact), but the base hash is computed ONCE PER DISTINCT TOKEN in
     the corpus instead of once per (doc, token) instance.
 
-    Word-soup corpora have |vocab| orders of magnitude below the token
-    instance count, and the md5 base hash is the measured cost dominator of
-    the votes path (bench r2: doc_simhash 6.95 s, votes themselves < 1 s) —
-    so hashing the vocabulary once and joining the 4-byte hash back is the
-    scale plan:
+    Measured tradeoff (BENCH/R3_BACKTOBACK.md, paired window, sf0.1
+    local[32]): 4.0 s vs the zero-shuffle hybrid's 1.1 s — the two
+    shuffles below cost more than the per-instance md5s they save on this
+    corpus shape, so add_simhash stays the default. This rendering wins
+    when per-instance hashing dominates: long documents over a small
+    vocabulary, or an expensive base hash — then hashing the vocabulary
+    once and joining the 4-byte hash back is the plan:
 
       1. explode per-doc distinct tokens            (narrow)
       2. distinct token vocab                       (map-side-combined

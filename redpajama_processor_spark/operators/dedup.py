@@ -557,9 +557,9 @@ def simhash_dedup(
     bits/band_bits bands of band_bits bits each; docs sharing ANY band are
     candidates (catches Hamming distance < bits/band_bits by pigeonhole).
     """
-    sh = H.add_simhash_dict(
-        df.select(id_col, text_col), text_col, "_simhash", bits, id_col=id_col
-    ).select(id_col, "_simhash")
+    sh = H.add_simhash(df.select(id_col, text_col), text_col, "_simhash", bits).select(
+        id_col, "_simhash"
+    )
     n_bands = bits // band_bits
     bands_arr = F.array(
         *[

@@ -34,6 +34,22 @@ def add_sequential_id(
     # monotonically_increasing_id already encodes (partition << 33) | row;
     # re-derive row-in-partition to apply the reference's 1M range contract.
     row_in_part = mono % F.lit(1 << 33)
+    # the reference's range contract is an ASSUMPTION, not a guarantee: a
+    # partition with >= range_per_partition rows would silently collide
+    # into the next partition's range. Fail loudly instead (raise_error is
+    # a row-level expression — no extra pass, no shuffle).
+    row_in_part = F.when(
+        row_in_part < F.lit(range_per_partition), row_in_part
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "add_sequential_id: partition %s exceeds range_per_partition=%s "
+                "rows; repartition the input or raise range_per_partition",
+                F.spark_partition_id().cast("string"),
+                F.lit(str(range_per_partition)),
+            )
+        ).cast("long")
+    )
     n = F.spark_partition_id().cast("long") * F.lit(range_per_partition) + row_in_part
     return df.withColumn(
         id_col, F.format_string(f"%s-%010d", F.lit(prefix), n)

@@ -226,3 +226,17 @@ def test_catalog_iceberg_roundtrip(tmp_path):
     assert back.count() == turns.count()
     total = sum(cat.read_bucket("turns", b).count() for b in range(8))
     assert total == turns.count()
+
+
+def test_add_sequential_id_overflow_raises(spark):
+    """A partition wider than range_per_partition must fail loudly instead
+    of silently colliding into the next partition's id range (the
+    reference's 1M contract, step2_add_ids.py:74-77, made explicit)."""
+    from redpajama_processor_spark.operators.ids import add_sequential_id
+
+    df = spark.range(0, 10).coalesce(1).withColumn("text", F.lit("x"))
+    ok = add_sequential_id(df, range_per_partition=100)
+    assert ok.count() == 10
+    bad = add_sequential_id(df, range_per_partition=5)
+    with pytest.raises(Exception, match="range_per_partition"):
+        bad.collect()
