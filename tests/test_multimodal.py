@@ -1,15 +1,71 @@
-"""Multimodal plumbing: schema, mapInPandas batch shape, deterministic fake
-feature path; real decode is stubbed (no media libs in the sandbox)."""
+"""Multimodal: real pure-numpy codecs (BMP / PCM WAV / RAWBMPV) + the
+mapInPandas plumbing contract (schema, batch shape, payload-never-shuffled).
+Compressed formats still raise naming the missing lib."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from redpajama_processor_spark.multimodal import (
+    decode_bmp,
+    decode_rawbmpv,
+    decode_wav,
+    encode_bmp,
+    encode_rawbmpv,
+    encode_wav,
     extract_features,
     gen_fake_media,
+    gen_real_media,
     resize_images,
+    resize_nearest,
+    sample_frames,
 )
 
+
+# --- codec round trips (pure python, no Spark) ------------------------------
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(0)
+    for h, w in [(1, 1), (6, 8), (7, 5), (16, 3)]:  # incl. padded row widths
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(1)
+    s = rng.integers(-30000, 30000, size=1234, dtype=np.int16)
+    back, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (back == s).all()
+
+
+def test_rawbmpv_roundtrip():
+    rng = np.random.default_rng(2)
+    frames = [
+        rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    back = decode_rawbmpv(encode_rawbmpv(frames))
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+
+
+def test_resize_nearest_exact_on_integer_scale():
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0, 0] == img[0, 0]).all() and (up[3, 3] == img[1, 1]).all()
+
+
+def test_compressed_formats_raise_with_magic():
+    with pytest.raises(NotImplementedError, match="PNG|magic"):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_wav(b"ID3\x04" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_rawbmpv(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64)
+
+
+# --- Spark plumbing ---------------------------------------------------------
 
 def test_fake_feature_pipeline(spark):
     media = gen_fake_media(spark, n=48).repartition(6)
@@ -24,6 +80,28 @@ def test_fake_feature_pipeline(spark):
     assert again == first
 
 
+def test_real_feature_pipeline(spark):
+    """The REAL codec path: BMP/WAV/RAWBMPV payloads decode and featurize
+    distributed, deterministically."""
+    media = gen_real_media(spark, n=24).repartition(4)
+    rows = extract_features(media, fake=False, dim=16).collect()
+    assert len(rows) == 24
+    assert all(len(r.feature) == 16 for r in rows)
+    # image features are [0,1] gray means; audio features are log-RMS >= 0
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r.feature)
+    assert set(by_kind) == {"image", "audio", "video"}
+    for f in by_kind["image"]:
+        assert all(0.0 <= x <= 1.0 for x in f)
+    for f in by_kind["audio"]:
+        assert all(x >= 0.0 for x in f)
+    again = extract_features(media, fake=False, dim=16).collect()
+    assert {r.media_id: list(r.feature) for r in again} == {
+        r.media_id: list(r.feature) for r in rows
+    }
+
+
 def test_feature_join_with_text_side(spark):
     """Features shuffle/join WITHOUT payload bytes (the scale contract)."""
     media = gen_fake_media(spark, n=24)
@@ -33,7 +111,31 @@ def test_feature_join_with_text_side(spark):
     assert sum(r.n for r in agg) == 24
 
 
-def test_real_decode_is_stubbed(spark):
-    media = gen_fake_media(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+def test_resize_images_real(spark):
+    media = gen_real_media(spark, n=6).filter(F.col("kind") == "image")
+    out = resize_images(media, 4, 4).collect()
+    assert len(out) == media.count()
+    for r in out:
+        img = decode_bmp(bytes(r.payload))
+        assert img.shape == (4, 4, 3)
+        assert r.meta.width == 4 and r.meta.height == 4
+
+
+def test_sample_frames_real(spark):
+    media = gen_real_media(spark, n=9).filter(F.col("kind") == "video")
+    out = sample_frames(media, every_n=2).collect()
+    # each video has 5 frames -> kept frames 0, 2, 4
+    per_vid = {}
+    for r in out:
+        per_vid.setdefault(r.media_id, []).append(r.frame_idx)
+        img = decode_bmp(bytes(r.payload))
+        assert img.shape == (6, 8, 3)
+    assert all(sorted(v) == [0, 2, 4] for v in per_vid.values())
+
+
+def test_undecodable_payload_raises(spark):
+    """Arbitrary bytes through the real path fail loudly (naming the
+    missing lib), never silently."""
+    media = gen_fake_media(spark, n=3)
+    with pytest.raises(Exception, match="magic|BMP|WAV|RAWBMPV"):
         extract_features(media, fake=False).collect()
