@@ -763,6 +763,39 @@ def q_doc_fuzzy_components(spark, sf_dir):
 # doc_fuzzy_components; perplexity's broadcast LM is not SQL-expressible).
 # ---------------------------------------------------------------------------
 
+def q_doc_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary census: top-50 tokens by DOCUMENT frequency
+    (distinct docs containing the token; case-sensitive — lower() is
+    engine-divergent on exotic Unicode, so the spec avoids it). The
+    stopword-derivation / vocab-inspection query every corpus build runs.
+
+    Plan: narrow explode of per-doc distinct tokens -> map-side-combined
+    groupBy -> TakeOrderedAndProject top-50 (total order: doc_freq DESC,
+    token ASC) — no full sort of the vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.array_distinct(S.words_col(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.col("token"))
+        .limit(50)
+    )
+
+
+def q_doc_fuzzy_cluster_census(spark, sf_dir):
+    """Near-dup CLUSTER census over the fuzzy components (cluster id ->
+    member count, clusters only) — the fuzzy twin of doc_dup_census,
+    answering 'how much of the corpus is near-duplicate mass?'."""
+    comp = q_doc_fuzzy_components(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def _doc_turns(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1198,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_full": q_transcript_full,
         "doc_simhash": q_doc_simhash,
         "doc_tokens": q_doc_tokens,
+        "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_fuzzy_cluster_census": q_doc_fuzzy_cluster_census,
         "doc_scrub": q_doc_scrub,
         "doc_quality_score": q_doc_quality_score,
         "doc_repetition": q_doc_repetition,
@@ -1292,6 +1327,29 @@ def oracle_sql() -> dict[str, str]:
     srp8 = ANN.duckdb_srp_bucket_sql("embedding", 8)
     bands_near = _bands_union_sql(_SQL_DOCS_NEAR)
     sh = _shingles_sql("text", MINHASH_NGRAM)
+    fuzzy_comp_sql = f"""
+            {bands_near.replace("WITH ", "WITH RECURSIVE ", 1)},
+            edges AS (
+              SELECT DISTINCT h.hub AS src, b.doc_id AS dst
+              FROM bands b JOIN (
+                SELECT band_id, band_key, MIN(doc_id) AS hub
+                FROM bands GROUP BY 1, 2) h
+                ON b.band_id = h.band_id AND b.band_key = h.band_key
+               AND b.doc_id > h.hub),
+            sym AS (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM sym
+              UNION
+              SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+            SELECT id AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY id"""
+    words_sql = (
+        f"CASE WHEN regexp_replace(text, '{S.TRIM_RE}', '', 'g') = '' "
+        f"THEN []::VARCHAR[] ELSE regexp_split_to_array("
+        f"regexp_replace(text, '{S.TRIM_RE}', '', 'g'), "
+        f"'{S.WORD_SPLIT_RE}') END"
+    )
 
     return {
         "pricing_summary": """
@@ -1412,23 +1470,18 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs JOIN docs a ON pairs.src = a.doc_id
               JOIN docs b ON pairs.dst = b.doc_id)
             WHERE jac >= {JACCARD_T}""",
-        "doc_fuzzy_components": f"""
-            {bands_near.replace("WITH ", "WITH RECURSIVE ", 1)},
-            edges AS (
-              SELECT DISTINCT h.hub AS src, b.doc_id AS dst
-              FROM bands b JOIN (
-                SELECT band_id, band_key, MIN(doc_id) AS hub
-                FROM bands GROUP BY 1, 2) h
-                ON b.band_id = h.band_id AND b.band_key = h.band_key
-               AND b.doc_id > h.hub),
-            sym AS (SELECT src AS a, dst AS b FROM edges
-                    UNION SELECT dst, src FROM edges),
-            reach(id, r) AS (
-              SELECT DISTINCT a, a FROM sym
-              UNION
-              SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
-            SELECT id AS doc_id, MIN(r) AS component
-            FROM reach GROUP BY id""",
+        "doc_fuzzy_components": fuzzy_comp_sql,
+        "doc_fuzzy_cluster_census": (
+            "SELECT component, COUNT(*) AS n_docs FROM ("
+            + fuzzy_comp_sql
+            + ") GROUP BY 1 HAVING COUNT(*) > 1"
+        ),
+        "doc_vocab_topk": (
+            "SELECT token, COUNT(*) AS doc_freq FROM ("
+            f"SELECT unnest(list_distinct({words_sql})) AS token "
+            "FROM documents) GROUP BY token "
+            "ORDER BY doc_freq DESC, token LIMIT 50"
+        ),
         "transcript_core": _transcript_core_sql(),
         "transcript_full": _transcript_full_sql(),
         "transcript_core_census": (
