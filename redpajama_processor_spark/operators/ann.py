@@ -102,7 +102,7 @@ def _topk_reduce(
             if len(pdf):
                 yield (
                     pdf.sort_values([query_id_col, "_negcos", id_col])
-                    .groupby(query_id_col, sort=False)
+                    .groupby(query_id_col, sort=False, dropna=False)
                     .head(k)
                 )
 

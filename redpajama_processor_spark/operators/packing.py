@@ -135,18 +135,53 @@ def stratified_sample(
     group_col: str = "lang",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Deterministic k-per-group sample: rank rows inside each group by
-    md5(group#id) (a stable pseudo-random order, reproducible across runs
-    and engines) and keep the first k. One window shuffle on the group key;
-    for heavy groups the md5 ranking spreads ties uniformly so the window
-    sees no pathological ordering skew."""
+    """Deterministic k-per-group sample: the k rows with the smallest
+    md5(group#id) per group (a stable pseudo-random order, reproducible
+    across runs and engines).
+
+    BOUNDED two-phase selection (same pattern as ann._topk_reduce) instead
+    of a row_number window — the window would shuffle the ENTIRE corpus on
+    the group key and sort each group in one task, a scale-killer when one
+    group is most of the corpus:
+
+    phase 1 (narrow): project to three thin columns (group, id, md5 key)
+      and keep at most k best per group PER ARROW BATCH via mapInPandas;
+    phase 2 (tiny): one groupBy merge of the <= k * groups * n_batches
+      residue;
+    fetch: broadcast semi-join of the k*groups sampled ids back to the
+      corpus — the corpus itself never shuffles.
+
+    The selected set is identical to the window rendering (partial top-k
+    under the total order (md5, id) composes exactly), so the DuckDB
+    oracle (duckdb_stratified_sql, a window) is unchanged.
+    """
     key = F.md5(F.concat_ws("#", F.col(group_col), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
-    return (
-        docs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+    thin = docs.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        key.alias("_sk"),
     )
+    schema = thin.schema
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["_g", "_sk", "_id"])
+                    .groupby("_g", sort=False, dropna=False)
+                    .head(k)
+                )
+
+    part = thin.mapInPandas(_batch_topk, schema)
+    merged = part.groupBy("_g").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("_sk", "_id"))), 1, k
+        ).alias("_top")
+    )
+    ids = merged.select(F.explode("_top").alias("_e")).select(
+        F.col("_e._id").alias(id_col)
+    )
+    return docs.join(F.broadcast(ids), id_col, "left_semi")
 
 
 def duckdb_stratified_sql(

@@ -67,6 +67,27 @@ def test_ann_ivf_topk_reduction_is_bounded(spark, sf_dir):
     assert a["n_exchanges"] <= 2, a["n_exchanges"]
 
 
+def test_vocab_topk_uses_bounded_sort(spark, sf_dir):
+    """The vocabulary census must TakeOrderedAndProject the top-50 (per-
+    partition k-heaps), never globally sort the vocabulary."""
+    df = entry.q_doc_vocab_topk(spark, sf_dir)
+    a = audit_plan(df)
+    assert "TakeOrderedAndProject" in a["plan"], "top-k degraded to a full sort"
+    assert a["n_exchanges"] <= 1, a["n_exchanges"]
+
+
+def test_stratified_sample_no_corpus_window(spark, sf_dir):
+    """k-per-group sampling must not shuffle the corpus through a window:
+    bounded per-batch partial (MapInPandas), tiny merge Exchange, then a
+    broadcast semi-join back — no Window, no corpus Exchange."""
+    df = entry.q_doc_stratified_sample(spark, sf_dir)
+    a = audit_plan(df)
+    assert "Window" not in a["plan"], "corpus-shuffling window rank regressed"
+    assert "MapInPandas" in a["plan"]
+    assert a["n_broadcast"] >= 1, "sampled-id fetch should broadcast"
+    assert a["n_exchanges"] <= 1, a["n_exchanges"]
+
+
 def test_signal_pass_is_narrow(spark, sf_dir):
     df = entry.q_doc_signals(spark, sf_dir)
     a = audit_plan(df)
