@@ -829,10 +829,7 @@ def q_transcript_core(spark, sf_dir):
     en = df.filter(F.col("language") == "EN").select(
         "_key", F.md5("clean_text").alias("_hash")
     )
-    w = Window.partitionBy("_hash").orderBy("_key")
-    exact = en.withColumn("is_exact_dup", F.row_number().over(w) > 1).select(
-        "_key", "is_exact_dup"
-    )
+    exact = D.keep_first_flags(en, "_key", out_col="is_exact_dup")
     df = df.join(exact, "_key", "left").withColumn(
         "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
     )
@@ -975,10 +972,7 @@ def q_transcript_full(spark, sf_dir):
     en = df.filter(F.col("language") == "EN").select(
         "_key", F.md5("clean_text").alias("_hash")
     )
-    w = Window.partitionBy("_hash").orderBy("_key")
-    exact = en.withColumn("is_exact_dup", F.row_number().over(w) > 1).select(
-        "_key", "is_exact_dup"
-    )
+    exact = D.keep_first_flags(en, "_key", out_col="is_exact_dup")
     df = df.join(exact, "_key", "left").withColumn(
         "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
     )

@@ -59,17 +59,55 @@ def exact_dedup(
 ) -> DataFrame:
     """Annotate with content hash + is_dup (keep-first by id order).
 
-    Window keep-first (row_number over hash, ordered by id) replaces the
-    reference's driver-side isin() (step5_exact_deduplication.py:131-133):
-    one shuffle by hash, deterministic survivor = min id.
+    Distributed form of the reference's driver-side isin()
+    (step5_exact_deduplication.py:131-133). Rendering: a map-side-combined
+    ``groupBy(_hash).agg(min(id), count)`` filtered to CLUSTERS ONLY, then
+    a join back; is_dup = (hash has >1 member) AND (id != cluster min) —
+    identical output to keep-first row_number (ids are unique).
+
+    Why not a window: ``row_number().over(partitionBy(_hash))`` lands each
+    duplicate cluster in ONE task — a boilerplate/empty-string cluster of
+    10^8 identical docs serializes. Here the giant cluster collapses to
+    one row per map partition before the (tiny, clusters-only) shuffle,
+    and the join-back side is small enough for AQE to broadcast — the
+    corpus itself never shuffles `[plan-audited: no Window]`.
     """
     h = F.md5(F.col(text_col)) if method == "md5" else F.sha2(F.col(text_col), 256)
-    w = Window.partitionBy("_hash").orderBy(F.col(id_col))
-    return (
-        df.withColumn("_hash", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("is_dup", F.col("_rn") > 1)
-        .drop("_rn")
+    hashed = df.withColumn("_hash", h)
+    dup_clusters = (
+        hashed.groupBy("_hash")
+        .agg(F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_hash", "_min_id")
+    )
+    return hashed.join(dup_clusters, "_hash", "left").withColumn(
+        "is_dup",
+        F.col("_min_id").isNotNull() & (F.col(id_col) != F.col("_min_id")),
+    ).drop("_min_id")
+
+
+def keep_first_flags(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "_hash",
+    out_col: str = "is_dup",
+) -> DataFrame:
+    """(id, is_dup) from a pre-hashed (id, hash) frame — the clusters-only
+    min-join rendering (see exact_dedup's docstring for why this beats the
+    keep-first window: a giant duplicate cluster map-side-combines instead
+    of serializing into one window task). Shared by the pipeline's exact
+    stage and the transcript entry queries."""
+    dup_clusters = (
+        hashed.groupBy(hash_col)
+        .agg(F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select(hash_col, "_min_id")
+    )
+    return hashed.join(dup_clusters, hash_col, "left").select(
+        id_col,
+        (
+            F.col("_min_id").isNotNull() & (F.col(id_col) != F.col("_min_id"))
+        ).alias(out_col),
     )
 
 

@@ -167,14 +167,13 @@ def curate(
         )
         return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets)
 
-    # --- exact dedup among langid survivors ------------------------------
+    # --- exact dedup among langid survivors (clusters-only min-join: a
+    # boilerplate cluster map-side-combines instead of serializing into one
+    # keep-first-window task; see operators/dedup.exact_dedup) ------------
     en = df.filter(F.col("language") == "EN").select(
         "_key", F.md5("clean_text").alias("_hash")
     )
-    w = Window.partitionBy("_hash").orderBy("_key")
-    exact = en.withColumn(
-        "is_exact_dup", F.row_number().over(w) > 1
-    ).select("_key", "is_exact_dup")
+    exact = D.keep_first_flags(en, "_key", out_col="is_exact_dup")
     df = df.join(exact, "_key", "left").withColumn(
         "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
     )
@@ -325,10 +324,7 @@ def dedup_labels_for(
     en = df.filter(F.col("language") == "EN").select(
         "_key", F.md5("clean_text").alias("_hash")
     )
-    w = Window.partitionBy("_hash").orderBy("_key")
-    exact = en.withColumn("is_exact_dup", F.row_number().over(w) > 1).select(
-        "_key", "is_exact_dup"
-    )
+    exact = D.keep_first_flags(en, "_key", out_col="is_exact_dup")
     base = df.join(exact, "_key", "left").withColumn(
         "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
     )

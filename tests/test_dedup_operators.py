@@ -364,3 +364,24 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert rec["kmeans"] >= 0.55, rec
     assert rec["kmeans"] > rec["first_ids"], rec
     assert rec["kmeans"] > rec["sample"], rec
+
+
+def test_exact_dedup_giant_cluster(spark):
+    """Adversarial boilerplate cluster: 20k identical docs + uniques. The
+    clusters-only rendering must keep exactly the min id and flag the rest
+    (the window rendering this replaced would sort the whole cluster in
+    one task)."""
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text")
+    ).union(
+        spark.range(20000, 20005).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique-"), F.col("id")).alias("text"),
+        )
+    ).repartition(16)
+    out = D.exact_dedup(df, "text", "doc_id")
+    agg = out.groupBy("is_dup").count().collect()
+    counts = {r["is_dup"]: r["count"] for r in agg}
+    assert counts == {True: 19999, False: 6}
+    keeper = out.filter((F.col("text") == "") & (~F.col("is_dup"))).collect()
+    assert [r.doc_id for r in keeper] == [0]

@@ -67,6 +67,15 @@ def test_ann_ivf_topk_reduction_is_bounded(spark, sf_dir):
     assert a["n_exchanges"] <= 2, a["n_exchanges"]
 
 
+def test_exact_dedup_no_cluster_window(spark, sf_dir):
+    """Exact dedup must not rank clusters with a window (a 10^8-row
+    boilerplate cluster would serialize into one task): clusters-only
+    min-join rendering, no Window node anywhere."""
+    df = entry.q_doc_exact_dedup(spark, sf_dir)
+    a = audit_plan(df)
+    assert "Window" not in a["plan"], "keep-first window regressed"
+
+
 def test_vocab_topk_uses_bounded_sort(spark, sf_dir):
     """The vocabulary census must TakeOrderedAndProject the top-50 (per-
     partition k-heaps), never globally sort the vocabulary."""
