@@ -33,7 +33,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TIMING = os.environ.get("RP_TIMING", "") == "1"
@@ -638,7 +638,11 @@ def embedding_neardup_pairs(
     bucket width). When set, each bucket is truncated to its max_bucket
     smallest ids (deterministic), bounding pairs at m*(m-1)/2 per bucket —
     the degenerate case (a corpus of near-identical vectors collapsing into
-    one bucket) otherwise self-joins the whole corpus.
+    one bucket) otherwise self-joins the whole corpus. The truncation is a
+    BOUNDED two-phase selection over (bucket, id) thin columns (the
+    ann._topk_reduce pattern), NOT a row_number window — the window would
+    itself serialize the degenerate bucket it guards against into one
+    sort task.
     """
     from .ann import srp_bucket_col, cosine_col
 
@@ -646,12 +650,28 @@ def embedding_neardup_pairs(
         id_col, vec_col, srp_bucket_col(F.col(vec_col), n_planes).alias("bucket")
     )
     if max_bucket is not None:
-        w = Window.partitionBy("bucket").orderBy(F.col(id_col))
-        b = (
-            b.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bucket)
-            .drop("_rn")
+        thin = b.select("bucket", F.col(id_col).alias("_id"))
+
+        def _batch_keep(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values(["bucket", "_id"])
+                        .groupby("bucket", sort=False, dropna=False)
+                        .head(max_bucket)
+                    )
+
+        part = thin.mapInPandas(_batch_keep, thin.schema)
+        keep = (
+            part.groupBy("bucket")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("_id")), 1, max_bucket
+                ).alias("_keep")
+            )
+            .select("bucket", F.explode("_keep").alias(id_col))
         )
+        b = b.join(keep, ["bucket", id_col], "left_semi")
     l = b.alias("l")
     r = b.alias("r")
     pairs = (
