@@ -85,6 +85,36 @@ class Catalog:
             F.col("bucket") == bucket
         ).drop("bucket")
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        key: str = "conv_id",
+        n_buckets: int | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Spark-native BUCKETED table (bucketBy + sortBy + saveAsTable):
+        the co-located-join layout. Two tables bucketed on the same key
+        with the same bucket count join with ZERO Exchange — the scan
+        already satisfies the join's required distribution — and sortBy
+        on the join key removes the Sort too, so the join is a pure
+        streaming zip of pre-sorted buckets (plan-audited in
+        tests/test_sources.py::test_bucketed_tables_join_without_exchange).
+
+        This is the scale path for the pipeline's repeated label
+        join-backs (turns <-> dedup labels <-> curation annotations, all
+        keyed on the same id): bucket once at ingest, join for free in
+        every later stage. Iceberg mode gets the same property from the
+        bucket(N, conv_id) partition transform + storage-partitioned
+        joins."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets or self.n_buckets, key)
+            .sortBy(*(sort_cols or [key]))
+            .option("path", self._path(name))
+            .saveAsTable(name)
+        )
+
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
         if self.use_iceberg:

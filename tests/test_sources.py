@@ -240,3 +240,35 @@ def test_add_sequential_id_overflow_raises(spark):
     bad = add_sequential_id(df, range_per_partition=5)
     with pytest.raises(Exception, match="range_per_partition"):
         bad.collect()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketBy'd on the same key and count
+    must join with ZERO shuffle Exchange (and, thanks to sortBy, no Sort)
+    — the layout the pipeline's repeated label join-backs rely on at
+    scale."""
+    from redpajama_processor_spark.plans.audit import audit_plan
+
+    cat = Catalog(spark, str(tmp_path / "bk"), n_buckets=4)
+    left = spark.range(0, 1000).select(
+        F.concat(F.lit("c-"), (F.col("id") % 97).cast("string")).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+    )
+    right = left.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    spark.sql("DROP TABLE IF EXISTS bk_turns")
+    spark.sql("DROP TABLE IF EXISTS bk_labels")
+    cat.write_bucketed(left, "bk_turns", key="conv_id")
+    cat.write_bucketed(right, "bk_labels", key="conv_id")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # disable broadcast so the co-location (not a broadcast) is what
+        # removes the Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk_turns").join(spark.table("bk_labels"), "conv_id")
+        a = audit_plan(j)
+        assert a["n_exchanges"] == 0, f"bucketed join shuffled: {a['n_exchanges']}"
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_turns")
+        spark.sql("DROP TABLE IF EXISTS bk_labels")
