@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "doc_lsh_pairs",
     "doc_fuzzy_components",
     "doc_simhash",
+    "doc_vocab_topk",
     "doc_repetition",
     "doc_dup_spans",
     "doc_prepare_training",
