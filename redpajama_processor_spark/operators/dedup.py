@@ -33,7 +33,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _TIMING = os.environ.get("RP_TIMING", "") == "1"
@@ -328,6 +328,7 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     ngram: int = H.DEFAULT_NGRAM,
     threshold: float = 0.8,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs.
 
@@ -339,6 +340,16 @@ def verify_pairs_jaccard(
     scale the candidate set is orders of magnitude smaller than the corpus,
     and computing shingles for every row just to join them away dominated
     the stage otherwise.
+
+    hash_shingles=True computes the Jaccard over the DISTINCT 30-bit
+    xxhash64 set of the shingles instead of the 24-char strings — 8-byte
+    long comparisons instead of 48-byte strings in the intersect/union
+    (measured ~2x on the verify stage). A 30-bit collision between two
+    distinct shingles of one pair's union (~400 entries) perturbs the
+    ratio by ~1/|union| with probability ~|union|^2/2^31 ≈ 7e-5 — and the
+    pure-Python oracle applies the SAME hash (oracle.py fuzzy_components),
+    so the keep/drop decision parity is exact, not approximate. The
+    SQL-oracled entry queries keep the string rendering (default False).
     """
     ids = (
         pairs.select(F.col("src").alias(id_col))
@@ -346,13 +357,20 @@ def verify_pairs_jaccard(
         .distinct()
     )
     docs = docs.join(ids, id_col, "left_semi")
+
+    def _sh(text: Column) -> Column:
+        sh = H.shingles_col(text, ngram)
+        if hash_shingles:
+            sh = F.array_distinct(F.transform(sh, H.xxhash_base_col))
+        return sh
+
     l = docs.select(
         F.col(id_col).alias("src"),
-        H.shingles_col(F.col(text_col), ngram).alias("_sh_l"),
+        _sh(F.col(text_col)).alias("_sh_l"),
     )
     r = docs.select(
         F.col(id_col).alias("dst"),
-        H.shingles_col(F.col(text_col), ngram).alias("_sh_r"),
+        _sh(F.col(text_col)).alias("_sh_r"),
     )
     j = (
         pairs.join(l, "src").join(r, "dst")
@@ -551,8 +569,11 @@ def fuzzy_dedup(
                 pairs = pairs.union(p)
             pairs = pairs.distinct()
         if verify:
+            # scale path (base='xxhash') verifies over hashed shingle sets;
+            # the md5/oracle path keeps string shingles (SQL-renderable)
             pairs = verify_pairs_jaccard(
-                pairs, df, text_col, id_col, ngram, jaccard_threshold
+                pairs, df, text_col, id_col, ngram, jaccard_threshold,
+                hash_shingles=(base == "xxhash"),
             ).select("src", "dst")
         # cut lineage before the iterative CC loop (it re-references pairs
         # every round; without this the whole minhash+LSH+verify DAG

@@ -153,11 +153,17 @@ def fuzzy_components(docs: list[tuple[str, str]]) -> dict[str, str]:
 
     uf = _UnionFind()
     if FUZZY_VERIFY:
-        sh_cache: dict[str, set[str]] = {}
+        from .functions.hashing import py_xxhash_base
 
-        def _sh(k: str) -> set[str]:
+        # mirror verify_pairs_jaccard(hash_shingles=True), the base='xxhash'
+        # scale path the pipeline runs: Jaccard over the distinct 30-bit
+        # xxhash set of the shingles — SAME hash both sides, so keep/drop
+        # parity is exact
+        sh_cache: dict[str, set[int]] = {}
+
+        def _sh(k: str) -> set[int]:
             if k not in sh_cache:
-                sh_cache[k] = _shingles(text_of[k])
+                sh_cache[k] = {py_xxhash_base(s) for s in _shingles(text_of[k])}
             return sh_cache[k]
 
         for hub, m in edges:
