@@ -471,7 +471,11 @@ def add_simhash_dict(
         .distinct()
         .withColumn("_h", base_fn(F.col("_tok")).cast("long"))
     )
-    hashed = doc_toks.join(F.broadcast(vocab), "_tok")
+    # plain equi-join on purpose: AQE broadcasts the vocab when it fits
+    # and falls back to a shuffle join when it doesn't — an explicit
+    # F.broadcast hint would override the threshold and OOM on a
+    # web-scale vocabulary instead of degrading
+    hashed = doc_toks.join(vocab, "_tok")
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(

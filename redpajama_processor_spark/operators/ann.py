@@ -33,7 +33,9 @@ def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side.
 
     Sequential left-to-right aggregation in both engines -> identical
-    float64 results (operand order fixed).
+    float64 results (operand order fixed). A zero-norm side yields NULL
+    (not an ANSI divide-by-zero error — Spark 4 runs ANSI by default);
+    consumers treat null cosine as "no score" (_topk_reduce filters it).
     """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -50,18 +52,23 @@ def cosine_col(a: Column, b: Column) -> Column:
             b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
         )
     )
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != 0, dot / denom)
 
 
 def duckdb_cosine_sql(a: str, b: str) -> str:
-    """DuckDB rendering with the same operand order."""
+    """DuckDB rendering with the same operand order (and the same
+    zero-norm -> NULL guard as cosine_col)."""
     dot = (
         f"list_sum(list_transform(list_zip({a}, {b}), "
         f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
     )
     na = f"sqrt(list_sum(list_transform({a}, v -> v::DOUBLE * v::DOUBLE)))"
     nb = f"sqrt(list_sum(list_transform({b}, v -> v::DOUBLE * v::DOUBLE)))"
-    return f"({dot}) / (({na}) * ({nb}))"
+    return (
+        f"CASE WHEN (({na}) * ({nb})) <> 0 "
+        f"THEN ({dot}) / (({na}) * ({nb})) END"
+    )
 
 
 def _topk_reduce(
@@ -85,44 +92,28 @@ def _topk_reduce(
       <= k * |Q| * n_batches rows.
 
     Ordering is identical in both phases and engines: cosine DESC, id ASC
-    (rendered as the ascending sort of (-cosine, id); NaN cosines sort
-    last on both sides — pandas na_position='last' == Spark's NaN-greatest
-    ordering). Partial top-k under a total order composes exactly, so the
-    result equals the full sort's top k.
+    (rendered as the ascending sort of (-cosine, id)). Null/NaN cosines —
+    null or length-mismatched embeddings, zero-norm vectors — are FILTERED
+    before ranking: a non-score is not a neighbor (and Arrow converts NaN
+    to null between the phases, where pandas sorts it last but Spark's
+    struct sort would place it first — excluding them is both the right
+    semantics and the only phase-consistent one). Partial top-k under a
+    total order composes exactly, so the result equals the full sort's
+    top k.
     """
-    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+    from .topk import bounded_group_topk
 
-    sel = scored.select(
+    sel = scored.filter(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")
+    ).select(
         F.col(query_id_col), F.col(id_col), (-F.col("cosine")).alias("_negcos")
     )
-    schema = sel.schema
-
-    def _batch_topk(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values([query_id_col, "_negcos", id_col])
-                    .groupby(query_id_col, sort=False, dropna=False)
-                    .head(k)
-                )
-
-    partial = sel.mapInPandas(_batch_topk, schema)
-    merged = partial.groupBy(query_id_col).agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_negcos"), F.col(id_col)))
-            ),
-            1,
-            k,
-        ).alias("_top")
-    )
-    return merged.select(
-        query_id_col, F.posexplode("_top").alias("_pos", "_e")
-    ).select(
+    top = bounded_group_topk(sel, [query_id_col], ["_negcos", id_col], k)
+    return top.select(
         query_id_col,
-        F.col(f"_e.{id_col}").alias(id_col),
-        (F.col("_pos") + 1).alias("rank"),
-        F.round(-F.col("_e._negcos"), 6).alias("cosine"),
+        F.col(id_col),
+        F.col("_rank").alias("rank"),
+        F.round(-F.col("_negcos"), 6).alias("cosine"),
     )
 
 
@@ -249,6 +240,12 @@ def ivf_topk(
     (broadcast) probe list; each Lloyd round adds one n_centroids*dims-row
     aggregate.
     """
+    if centroids not in ("first_ids", "sample", "kmeans"):
+        raise ValueError(
+            f"centroids={centroids!r}: expected 'first_ids', 'sample' or "
+            "'kmeans' (a typo here would silently fall back to the "
+            "lowest-recall draw)"
+        )
     base = corpus.select(id_col, vec_col)
     if centroids in ("sample", "kmeans"):
         base = base.withColumn(

@@ -73,16 +73,33 @@ def exact_dedup(
     corpus itself never shuffles `[plan-audited: no Window]`.
     """
     h = F.md5(F.col(text_col)) if method == "md5" else F.sha2(F.col(text_col), 256)
-    hashed = df.withColumn("_hash", h)
+    return _dup_flag_join(df.withColumn("_hash", h), id_col, "_hash", "is_dup")
+
+
+def _dup_flag_join(
+    hashed: DataFrame, id_col: str, hash_col: str, out_col: str
+) -> DataFrame:
+    """Shared clusters-only min-join body: hashed + out_col boolean.
+
+    out_col = hash-has-duplicates AND id != cluster-min, coalesced to
+    False so the flag is ALWAYS a boolean — without the coalesce a
+    null-id member of a duplicate cluster would get is_dup = NULL
+    (null != x is NULL), and a downstream filter(~is_dup) would silently
+    drop the row from BOTH the kept and the dup sets. A null id is kept
+    (never flagged), matching the window rendering's nulls-first keeper.
+    """
     dup_clusters = (
-        hashed.groupBy("_hash")
+        hashed.groupBy(hash_col)
         .agg(F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
-        .select("_hash", "_min_id")
+        .select(hash_col, "_min_id")
     )
-    return hashed.join(dup_clusters, "_hash", "left").withColumn(
-        "is_dup",
-        F.col("_min_id").isNotNull() & (F.col(id_col) != F.col("_min_id")),
+    return hashed.join(dup_clusters, hash_col, "left").withColumn(
+        out_col,
+        F.coalesce(
+            F.col("_min_id").isNotNull() & (F.col(id_col) != F.col("_min_id")),
+            F.lit(False),
+        ),
     ).drop("_min_id")
 
 
@@ -95,19 +112,10 @@ def keep_first_flags(
     """(id, is_dup) from a pre-hashed (id, hash) frame — the clusters-only
     min-join rendering (see exact_dedup's docstring for why this beats the
     keep-first window: a giant duplicate cluster map-side-combines instead
-    of serializing into one window task). Shared by the pipeline's exact
-    stage and the transcript entry queries."""
-    dup_clusters = (
-        hashed.groupBy(hash_col)
-        .agg(F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select(hash_col, "_min_id")
-    )
-    return hashed.join(dup_clusters, hash_col, "left").select(
-        id_col,
-        (
-            F.col("_min_id").isNotNull() & (F.col(id_col) != F.col("_min_id"))
-        ).alias(out_col),
+    of serializing into one window task). Shared by exact_dedup, the
+    pipeline's exact stage and the transcript entry queries."""
+    return _dup_flag_join(hashed, id_col, hash_col, out_col).select(
+        id_col, out_col
     )
 
 
@@ -671,26 +679,11 @@ def embedding_neardup_pairs(
         id_col, vec_col, srp_bucket_col(F.col(vec_col), n_planes).alias("bucket")
     )
     if max_bucket is not None:
+        from .topk import bounded_group_topk
+
         thin = b.select("bucket", F.col(id_col).alias("_id"))
-
-        def _batch_keep(batches):
-            for pdf in batches:
-                if len(pdf):
-                    yield (
-                        pdf.sort_values(["bucket", "_id"])
-                        .groupby("bucket", sort=False, dropna=False)
-                        .head(max_bucket)
-                    )
-
-        part = thin.mapInPandas(_batch_keep, thin.schema)
-        keep = (
-            part.groupBy("bucket")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list("_id")), 1, max_bucket
-                ).alias("_keep")
-            )
-            .select("bucket", F.explode("_keep").alias(id_col))
+        keep = bounded_group_topk(thin, ["bucket"], ["_id"], max_bucket).select(
+            "bucket", F.col("_id").alias(id_col)
         )
         b = b.join(keep, ["bucket", id_col], "left_semi")
     l = b.alias("l")

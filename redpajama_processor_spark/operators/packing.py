@@ -153,35 +153,26 @@ def stratified_sample(
 
     The selected set is identical to the window rendering (partial top-k
     under the total order (md5, id) composes exactly), so the DuckDB
-    oracle (duckdb_stratified_sql, a window) is unchanged.
+    oracle (duckdb_stratified_sql, a window) is unchanged. The fetch
+    semi-joins on the (group, id) pair; (group, id) must be unique —
+    exact duplicate rows would all return where the window rendering
+    capped at k.
     """
+    from .topk import bounded_group_topk
+
     key = F.md5(F.concat_ws("#", F.col(group_col), F.col(id_col).cast("string")))
     thin = docs.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         key.alias("_sk"),
     )
-    schema = thin.schema
-
-    def _batch_topk(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values(["_g", "_sk", "_id"])
-                    .groupby("_g", sort=False, dropna=False)
-                    .head(k)
-                )
-
-    part = thin.mapInPandas(_batch_topk, schema)
-    merged = part.groupBy("_g").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("_sk", "_id"))), 1, k
-        ).alias("_top")
+    top = bounded_group_topk(thin, ["_g"], ["_sk", "_id"], k)
+    keep = top.select(
+        F.col("_g").alias(group_col), F.col("_id").alias(id_col)
     )
-    ids = merged.select(F.explode("_top").alias("_e")).select(
-        F.col("_e._id").alias(id_col)
-    )
-    return docs.join(F.broadcast(ids), id_col, "left_semi")
+    # fetch on the (group, id) PAIR so an id reused across groups cannot
+    # pull the other group's rows
+    return docs.join(F.broadcast(keep), [group_col, id_col], "left_semi")
 
 
 def duckdb_stratified_sql(

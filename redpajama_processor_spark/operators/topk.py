@@ -1,0 +1,78 @@
+"""Bounded two-phase per-group top-k selection over a THIN relation.
+
+The shared rendering behind ANN top-k ranking, stratified sampling and the
+embedding-bucket width guard. The naive per-group rank —
+``row_number().over(Window.partitionBy(group))`` — hash-shuffles the entire
+relation and sorts each group in a single task: a scale-killer whenever one
+group is large (a hot query, a corpus-sized sample group, the degenerate
+near-dup bucket). This rendering never shuffles the input:
+
+  phase 1 (narrow): mapInPandas keeps at most k best rows per group PER
+    ARROW BATCH (vectorized sort_values + groupby(dropna=False).head(k)) —
+    output <= k * |groups| per batch, pipelined into the scan, no shuffle;
+  phase 2 (tiny, wide): one groupBy merge of the bounded residue —
+    sort_array over order-column structs, slice to k, posexplode back to
+    rows (+ 1-based ``_rank``). The ONLY Exchange carries
+    <= k * |groups| * n_batches rows.
+
+Contract:
+- ``df`` must be THIN: exactly group_cols + order_cols (project before
+  calling — vectors/payloads must not cross the Arrow boundary);
+- selection is the k smallest rows per group under the ASCENDING
+  lexicographic order of order_cols (encode descending orders by negating
+  the column first, as ann.py does with -cosine);
+- order-column values should be non-null: pandas sorts NaN/None last while
+  Spark's struct sort places a null field first, so the two phases would
+  disagree — callers filter nulls out first (ann.py drops null/NaN cosines,
+  which is also the right semantics: a null score is not a result);
+- partial top-k under a total order composes exactly, so the output equals
+  the full sort's top k per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bounded_group_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """group_cols + order_cols + ``_rank`` (1-based within group), restricted
+    to each group's k smallest rows under ascending order_cols."""
+    assert set(df.columns) == set(group_cols) | set(order_cols), (
+        f"thin-relation contract: got {df.columns}, "
+        f"expected exactly {group_cols + order_cols}"
+    )
+    schema = df.schema
+    sort_cols = group_cols + order_cols
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(sort_cols)
+                    .groupby(group_cols, sort=False, dropna=False)
+                    .head(k)
+                )
+
+    part = df.mapInPandas(_batch_topk, schema)
+    merged = part.groupBy(*group_cols).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(*[F.col(c) for c in order_cols]))
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return merged.select(
+        *group_cols, F.posexplode("_top").alias("_rank0", "_e")
+    ).select(
+        *group_cols,
+        *[F.col(f"_e.{c}").alias(c) for c in order_cols],
+        (F.col("_rank0") + 1).alias("_rank"),
+    )

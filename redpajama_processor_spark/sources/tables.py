@@ -104,9 +104,20 @@ class Catalog:
         This is the scale path for the pipeline's repeated label
         join-backs (turns <-> dedup labels <-> curation annotations, all
         keyed on the same id): bucket once at ingest, join for free in
-        every later stage. Iceberg mode gets the same property from the
-        bucket(N, conv_id) partition transform + storage-partitioned
-        joins."""
+        every later stage.
+
+        Parquet/session-catalog rendering ONLY: an Iceberg catalog gets
+        the same property from the bucket(N, conv_id) partition transform
+        (write_turns) + storage-partitioned joins, and mixing a bucketBy
+        session table into an Iceberg warehouse would silently break the
+        storage-mode abstraction — so use_iceberg=True raises here."""
+        if self.use_iceberg:
+            raise NotImplementedError(
+                "write_bucketed is the parquet/session-catalog rendering; "
+                "Iceberg tables get co-located joins from the "
+                "bucket(N, conv_id) partition transform (write_turns) "
+                "plus spark.sql.sources.v2.bucketing.enabled"
+            )
         (
             df.write.mode("overwrite")
             .bucketBy(n_buckets or self.n_buckets, key)

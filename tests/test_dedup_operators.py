@@ -385,3 +385,49 @@ def test_exact_dedup_giant_cluster(spark):
     assert counts == {True: 19999, False: 6}
     keeper = out.filter((F.col("text") == "") & (~F.col("is_dup"))).collect()
     assert [r.doc_id for r in keeper] == [0]
+
+
+def test_ann_topk_ignores_null_and_nan_cosines(spark):
+    """A null/length-mismatched embedding must never appear in top-k (it
+    previously surfaced at rank 1: Arrow turns NaN into null between the
+    bounded phases and Spark's struct sort puts a null field first)."""
+    from redpajama_processor_spark.operators import ann as ANN
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, None),            # null embedding -> null cosine
+        (5, [0.0, 0.0]),      # zero norm -> NaN cosine
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, embedding array<float>")
+    out = ANN.brute_force_topk(corpus, q, k=3).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ids == [2, 3], ids
+    assert all(r.cosine is not None for r in out)
+
+
+def test_exact_dedup_null_id_flag_is_boolean(spark):
+    """A null-id member of a duplicate cluster gets is_dup=False (a real
+    boolean, never NULL) so filter(~is_dup) cannot silently drop it."""
+    df = spark.createDataFrame(
+        [(1, "same"), (None, "same"), (2, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.is_dup for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert rows == {1: False, None: False, 2: False}
+    kept = D.exact_dedup(df, "text", "doc_id").filter(~F.col("is_dup")).count()
+    assert kept == 3
+
+
+def test_stratified_sample_id_reuse_across_groups(spark):
+    """The sampled-id fetch joins on the (group, id) PAIR: an id reused in
+    two groups must not pull the other group's row."""
+    from redpajama_processor_spark.operators.packing import stratified_sample
+
+    rows = [(i, "en") for i in range(10)] + [(i, "de") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, k=3, group_col="lang")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 3, "de": 3}, counts

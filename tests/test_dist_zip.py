@@ -1,0 +1,41 @@
+"""The spark-submit --py-files artifact must match the source tree.
+
+A stale dist/redpajama_processor_spark.zip ships OLD code to the cluster
+while the repo's tests validate the new code — the worst kind of silent
+divergence (found once in round 3 by review). This test makes it a CI
+failure instead: every .py in the zip must be byte-identical to the repo
+file, and every repo module must be present in the zip.
+"""
+
+import glob
+import os
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZIP = os.path.join(REPO, "dist", "redpajama_processor_spark.zip")
+
+
+def test_dist_zip_matches_source():
+    if not os.path.exists(ZIP):
+        pytest.skip("dist zip not built (run `make package`)")
+    with zipfile.ZipFile(ZIP) as z:
+        zip_py = {n for n in z.namelist() if n.endswith(".py")}
+        for name in sorted(zip_py):
+            src = os.path.join(REPO, name)
+            assert os.path.exists(src), f"{name} in zip but deleted from repo"
+            with open(src, "rb") as f:
+                assert z.read(name) == f.read(), (
+                    f"stale zip member {name} — run `make package`"
+                )
+    repo_py = {
+        os.path.relpath(p, REPO)
+        for p in glob.glob(
+            os.path.join(REPO, "redpajama_processor_spark", "**", "*.py"),
+            recursive=True,
+        )
+        if "__pycache__" not in p
+    }
+    missing = repo_py - zip_py
+    assert not missing, f"modules missing from zip: {sorted(missing)}"
