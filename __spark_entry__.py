@@ -420,6 +420,20 @@ def q_doc_simhash(spark, sf_dir):
     return H.add_simhash(d, "text").select("doc_id", "simhash")
 
 
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_doc_simhash_pairs(spark, sf_dir):
+    """Hamming-VERIFIED SimHash near-dup pairs: banded candidates (3 bands
+    of 10 bits over the 30-bit simhash) re-checked with
+    bit_count(a XOR b) <= 6 — banding alone admits any pair sharing one
+    band; the popcount verify is the SimHash twin of the Jaccard verify."""
+    dd = _docs_near(spark, sf_dir)
+    return D.simhash_dedup(
+        dd, "text", "doc_id", band_bits=10, max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
 def q_doc_tokens(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1224,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_core_census": q_transcript_core_census,
         "transcript_full": q_transcript_full,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_tokens": q_doc_tokens,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_fuzzy_cluster_census": q_doc_fuzzy_cluster_census,
@@ -1485,6 +1500,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": (
             f"SELECT doc_id, {H.duckdb_simhash_sql('text')} AS simhash FROM documents"
         ),
+        "doc_simhash_pairs": f"""
+            WITH shs AS MATERIALIZED (
+              SELECT doc_id, {H.duckdb_simhash_sql('text')} AS sh
+              FROM {_SQL_DOCS_NEAR}),
+            sbands AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, {b} AS band_id, (sh // {1 << (b * 10)}) % {1 << 10} AS band_val FROM shs"
+                  for b in range(3)
+              )}),
+            cand AS (
+              SELECT DISTINCT h.hub AS src, b.doc_id AS dst
+              FROM sbands b JOIN (
+                SELECT band_id, band_val, MIN(doc_id) AS hub
+                FROM sbands GROUP BY 1, 2) h
+                ON b.band_id = h.band_id AND b.band_val = h.band_val
+               AND b.doc_id > h.hub)
+            SELECT src, dst, hamming FROM (
+              SELECT src, dst,
+                     CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+              FROM cand JOIN shs a ON cand.src = a.doc_id
+              JOIN shs b2 ON cand.dst = b2.doc_id)
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}""",
         "doc_tokens": (
             f"SELECT doc_id, CAST({T.duckdb_ws_token_count_sql('text')} AS BIGINT) AS ws_tokens, "
             f"CAST({T.duckdb_bpeish_token_count_sql('text')} AS BIGINT) AS bpe_tokens, "

@@ -618,11 +618,19 @@ def simhash_dedup(
     id_col: str = "doc_id",
     bits: int = H.HASH_BITS,
     band_bits: int = 10,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """SimHash + banded candidate pairs (Hamming-adjacent docs share a band).
 
     bits/band_bits bands of band_bits bits each; docs sharing ANY band are
     candidates (catches Hamming distance < bits/band_bits by pigeonhole).
+
+    max_hamming: when set, candidate star edges are VERIFIED — both ends'
+    simhashes are joined back and pairs are kept only when
+    bit_count(a XOR b) <= max_hamming (pure JVM popcount; the SimHash twin
+    of verify_pairs_jaccard — banding alone admits pairs that merely share
+    one band). Output gains a ``hamming`` column. Default None keeps the
+    raw candidate-edge behavior.
     """
     sh = H.add_simhash(df.select(id_col, text_col), text_col, "_simhash", bits).select(
         id_col, "_simhash"
@@ -645,7 +653,21 @@ def simhash_dedup(
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_val").cast("string").alias("band_key"),
     )
-    return buckets_to_edges(buckets, id_col)
+    edges = buckets_to_edges(buckets, id_col)
+    if max_hamming is None:
+        return edges
+    l = sh.select(F.col(id_col).alias("src"), F.col("_simhash").alias("_sh_a"))
+    r = sh.select(F.col(id_col).alias("dst"), F.col("_simhash").alias("_sh_b"))
+    return (
+        edges.join(l, "src")
+        .join(r, "dst")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("src", "dst", "hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
