@@ -431,3 +431,49 @@ def test_stratified_sample_id_reuse_across_groups(spark):
     out = stratified_sample(df, k=3, group_col="lang")
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"en": 3, "de": 3}, counts
+
+
+def test_bounded_group_topk_equals_window_rendering(spark):
+    """The shared bounded selector must equal the row_number window it
+    replaces on randomized grouped data WITH ties (small value domain
+    forces them; unique row index breaks them deterministically)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from redpajama_processor_spark.operators.topk import bounded_group_topk
+
+    rng = random.Random(17)
+    rows = [(rng.randint(0, 6), i, float(rng.randint(0, 9))) for i in range(800)]
+    df = spark.createDataFrame(rows, "g int, i long, v double").repartition(7)
+    got = {
+        (r.g, r.i, r.v, r._rank)
+        for r in bounded_group_topk(df.select("g", "v", "i"), ["g"], ["v", "i"], 5).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("i").asc())
+    exp = {
+        (r.g, r.i, r.v, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == exp
+
+
+def test_keep_first_flags_equals_window_rendering(spark):
+    """Clusters-only min-join flags == keep-first row_number flags on
+    randomized data (many collisions, several partitions)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(23)
+    rows = [(i, f"t{rng.randint(0, 40)}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(9)
+    got = {(r.doc_id, r.is_dup) for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exp = {
+        (r.doc_id, r.rn > 1)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == exp
