@@ -255,6 +255,11 @@ def ivf_topk(
     else:
         base = base.orderBy(id_col)
     cent = base.limit(n_centroids).collect()
+    # sort the selected seeds by id regardless of how they were drawn, so
+    # the first-maximal tie-break below favours the smallest centroid ID
+    # in ALL three modes (sample/kmeans draw in md5 order; without this
+    # re-sort their tie-break would favour the smallest md5 draw instead)
+    cent = sorted(cent, key=lambda r: r[id_col])
     cvecs = [[float(x) for x in r[vec_col]] for r in cent]
 
     def _cell_expr_for(cv_list):
@@ -266,8 +271,11 @@ def ivf_topk(
                 ]
             )
             # bind once; array_position returns the FIRST maximal index ->
-            # ties break toward the smallest centroid id (centroids are in
-            # id order), matching the oracle's ORDER BY cos DESC, cid ASC
+            # ties break toward the smallest centroid SEED id (seeds are
+            # re-sorted by id above in every mode; kmeans-refined centroids
+            # keep their seed's slot), matching the oracle's ORDER BY
+            # cos DESC, cid ASC for first_ids and staying deterministic
+            # for sample/kmeans
             return F.element_at(
                 F.transform(
                     F.array(cos_arr),

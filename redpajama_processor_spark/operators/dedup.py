@@ -87,20 +87,30 @@ def _dup_flag_join(
     (null != x is NULL), and a downstream filter(~is_dup) would silently
     drop the row from BOTH the kept and the dup sets. A null id is kept
     (never flagged), matching the window rendering's nulls-first keeper.
+
+    NULL hashes (md5(NULL text) is NULL) are grouped and joined through a
+    sentinel key: a plain equi-join never matches NULL, so a cluster of
+    null-text rows would otherwise silently never flag — whereas the
+    window rendering this replaces (PARTITION BY hash) treats NULLs as
+    one partition and flags all but the first. The sentinel restores
+    that semantics; it cannot collide with a real value (md5/sha2 output
+    is hex, xxhash keys are longs rendered non-null).
     """
+    hkey = F.coalesce(F.col(hash_col).cast("string"), F.lit("\x00_null_hash"))
+    hashed = hashed.withColumn("_hkey", hkey)
     dup_clusters = (
-        hashed.groupBy(hash_col)
+        hashed.groupBy("_hkey")
         .agg(F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
-        .select(hash_col, "_min_id")
+        .select("_hkey", "_min_id")
     )
-    return hashed.join(dup_clusters, hash_col, "left").withColumn(
+    return hashed.join(dup_clusters, "_hkey", "left").withColumn(
         out_col,
         F.coalesce(
             F.col("_min_id").isNotNull() & (F.col(id_col) != F.col("_min_id")),
             F.lit(False),
         ),
-    ).drop("_min_id")
+    ).drop("_min_id", "_hkey")
 
 
 def keep_first_flags(
@@ -127,15 +137,19 @@ def exact_dedup_incremental(
     method: str = "md5",
 ) -> DataFrame:
     """Snapshot-incremental exact dedup: annotate against BOTH the current
-    batch (keep-first window) and a prior corpus's hash table.
+    batch (clusters-only min-join, see exact_dedup) and a prior corpus's
+    hash table.
 
     The Common-Crawl-snapshot pattern: each new crawl dedups within itself
     AND against every previously released snapshot's content hashes — the
     prior corpus never rescans, only its (small) ``_hash`` column table is
     read. is_dup = duplicate within this batch; is_prior_dup = content
-    already present in the prior snapshot(s). One shuffle on _hash for the
-    window plus one hash join against the prior table (broadcast when it
-    fits, AQE decides); the prior table at 100 TB is ~32 bytes/doc.
+    already present in the prior snapshot(s). One tiny clusters-only
+    exchange for the within-batch flag plus one hash join against the
+    prior table (broadcast when it fits, AQE decides); the prior table at
+    100 TB is ~32 bytes/doc. The prior join is a plain equi-join (NULL
+    hashes never match prior NULLs) — same semantics as the SQL oracle's
+    LEFT JOIN.
     """
     cur = exact_dedup(df, text_col, id_col, method)
     prior = prior_hashes.select(F.col("_hash")).distinct()

@@ -171,8 +171,11 @@ def stratified_sample(
         F.col("_g").alias(group_col), F.col("_id").alias(id_col)
     )
     # fetch on the (group, id) PAIR so an id reused across groups cannot
-    # pull the other group's rows
-    return docs.join(F.broadcast(keep), [group_col, id_col], "left_semi")
+    # pull the other group's rows. No explicit broadcast hint: keep has
+    # k*|groups| rows, so a large k or high-cardinality group column can
+    # exceed the broadcast limit — let AQE pick broadcast vs shuffle from
+    # the actual size (a forced hint would OOM instead of degrading).
+    return docs.join(keep, [group_col, id_col], "left_semi")
 
 
 def duckdb_stratified_sql(

@@ -10,8 +10,9 @@ DISTRIBUTED rendering:
                  rendering exists behind use_native_langid=True —
                  reference step3
   clean       -> native replace/translate chain — reference step4
-  exact_dup   -> md5 + window keep-first (one hash shuffle) — reference
-                 step5, minus its driver-side .isin() bug
+  exact_dup   -> md5 + clusters-only min-join keep-first (tiny exchange;
+                 no window) — reference step5, minus its driver-side
+                 .isin() bug
   fuzzy_dup   -> MinHash/LSH/verify/CC from operators/dedup.py — reference
                  step6
   heuristics  -> native column signals (whole-stage codegen) — reference

@@ -477,3 +477,16 @@ def test_keep_first_flags_equals_window_rendering(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == exp
+
+
+def test_exact_dedup_null_text_cluster(spark):
+    """md5(NULL) is NULL; the min-join must still flag a null-text cluster
+    (all but the smallest id), matching the window rendering's NULL
+    partition — a plain equi-join would silently never flag them."""
+    rows = [(1, None), (2, None), (3, None), (4, "a"), (5, "a"), (6, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = {(r.doc_id, r.is_dup) for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert got == {
+        (1, False), (2, True), (3, True),
+        (4, False), (5, True), (6, False),
+    }
