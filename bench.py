@@ -32,9 +32,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_customers",
     "revenue_per_nation",
-    "first_order_per_customer",
-    "orders_to_remove",
-    "custkeys_1994_not_1995",
+    "order_dedup_per_customer",
+    "custkey_set_ops",
     "doc_quality_filter",
     "doc_exact_dedup",
     "doc_lsh_pairs",
