@@ -7,17 +7,20 @@ payload-never-shuffled rule) is the same for any codec; this module ships
 working decoders for the formats that need no external library:
 
   image  BMP, 24-bit uncompressed BI_RGB (the format's spec is a fixed
-         54-byte header + bottom-up rows padded to 4 bytes)
+         54-byte header + bottom-up rows padded to 4 bytes); PNG, 8-bit
+         gray/RGB/RGBA non-interlaced — stdlib zlib inflate + the five
+         scanline filters (None/Sub/Up/Average/Paeth) reconstructed in
+         numpy, no external lib
   audio  WAV, PCM 16-bit (RIFF/fmt/data chunk walk)
   video  RAWBMPV: a minimal public container = the ASCII magic ``RBMV`` +
          uint32 frame count + concatenated BMP frames. Stands in for a real
          container the way the bigram LM stands in for KenLM — the Spark
          plumbing (frame explode, per-frame rows, sampling) is identical.
 
-Compressed formats (JPEG/PNG/MP3/MP4...) still raise NotImplementedError
-with the payload magic in the message — decoding those genuinely requires
-PIL/ffmpeg, which this environment does not ship; the lazy-init pattern to
-plug them in is the fastText pattern in functions/langid.py.
+Genuinely-external compressed formats (JPEG/MP3/MP4...) still raise
+NotImplementedError with the payload magic in the message — decoding those
+requires PIL/ffmpeg, which this environment does not ship; the lazy-init
+pattern to plug them in is the fastText pattern in functions/langid.py.
 
 Schema convention:
   media(media_id string, kind string, payload binary,
@@ -34,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -93,6 +97,125 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     ).reshape(h, row_size)
     img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     return (img[::-1] if flip else img).copy()
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
+    non-interlaced). Pure stdlib zlib — no PIL."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    # one filter byte (0 = None) per scanline, then raw RGB
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit grayscale / RGB /
+    RGBA, non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Palette, 16-bit and Adam7 interlace raise NotImplementedError.
+
+    Filters Sub/Average/Paeth have a per-pixel left-dependency, so those
+    rows reconstruct in a Python loop over pixels; the encoder above
+    always emits filter 0, so round-trips stay vectorized. Up rows and
+    filter-0 rows are pure numpy."""
+    if payload[:8] != PNG_MAGIC:
+        raise NotImplementedError(
+            f"not a PNG (magic {payload[:8]!r}); JPEG and friends need "
+            "PIL — plug in via the lazy-init pattern in langid.py"
+        )
+    pos, idat = 8, []
+    w = h = bd = ct = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            w, h, bd, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if bd != 8 or ct not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(bit_depth={bd}, color_type={ct}, interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT size does not match IHDR dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        ft = raw[rpos]
+        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
+        rpos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c0 = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c0
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    img = out.reshape(h, w, nch)
+    if ct == 0:
+        img = np.repeat(img, 3, axis=2)
+    elif ct == 6:
+        img = img[:, :, :3]
+    return img.copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: BMP or PNG -> (h, w, 3) uint8 RGB.
+    Anything else raises NotImplementedError naming the missing lib."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"unsupported image format (magic {payload[:8]!r}); JPEG etc. "
+        "need PIL — plug in via the lazy-init pattern in langid.py"
+    )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -210,12 +333,13 @@ def _audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
 def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: batch-in, batch-out, payload dropped.
 
-    fake=False (default) runs the REAL codecs: BMP images -> 4x4 gray
+    fake=False (default) runs the REAL codecs: BMP/PNG images -> 4x4 gray
     mean-pool patch; WAV audio -> per-segment log-RMS; RAWBMPV video ->
-    image feature of the first frame. Compressed payloads raise
-    NotImplementedError naming the missing lib (PIL/ffmpeg — plug in via
-    the lazy-init pattern in functions/langid.py). fake=True keeps the
-    md5-seeded deterministic vectors for plumbing tests on arbitrary bytes.
+    image feature of the first frame. Genuinely-external payloads (JPEG,
+    MP3, MP4...) raise NotImplementedError naming the missing lib
+    (PIL/ffmpeg — plug in via the lazy-init pattern in functions/
+    langid.py). fake=True keeps the md5-seeded deterministic vectors for
+    plumbing tests on arbitrary bytes.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -226,7 +350,7 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
                 if fake:
                     feats.append(_fake_feature(p, dim))
                 elif kind == "image":
-                    feats.append(_image_feature(decode_bmp(p), dim))
+                    feats.append(_image_feature(decode_image(p), dim))
                 elif kind == "audio":
                     feats.append(_audio_feature(decode_wav(p)[0], dim))
                 elif kind == "video":
@@ -253,17 +377,20 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for BMP payloads (nearest-neighbor, deterministic):
-    decode -> index-resize -> re-encode; meta.width/height updated. Same
-    mapInPandas shape as extract_features; non-BMP payloads raise with the
-    payload magic (PIL needed)."""
+    """REAL image resize for BMP/PNG payloads (nearest-neighbor,
+    deterministic): decode -> index-resize -> re-encode in the SAME format
+    the payload arrived in; meta.width/height updated. Same mapInPandas
+    shape as extract_features; other formats raise with the payload magic
+    (PIL needed)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                img = resize_nearest(decode_bmp(bytes(p)), width, height)
-                payloads.append(bytearray(encode_bmp(img)))
+                p = bytes(p)
+                img = resize_nearest(decode_image(p), width, height)
+                enc = encode_png if p[:8] == PNG_MAGIC else encode_bmp
+                payloads.append(bytearray(enc(img)))
                 m = dict(m) if m is not None else {}
                 m["width"], m["height"] = width, height
                 m.setdefault("sample_rate", None)
@@ -338,8 +465,9 @@ def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Deterministic DECODABLE media table: BMP images, PCM WAV clips and
-    RAWBMPV mini-videos — exercises the real codec paths end to end."""
+    """Deterministic DECODABLE media table: BMP and PNG images (alternating,
+    so both codec paths run), PCM WAV clips and RAWBMPV mini-videos —
+    exercises the real codec paths end to end."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
@@ -347,7 +475,8 @@ def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 4
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload, meta = encode_bmp(img), (w, h, None, None)
+            enc = encode_png if (i // 3) % 2 else encode_bmp
+            payload, meta = enc(img), (w, h, None, None)
         elif kind == "audio":
             sr = 8000
             samples = (

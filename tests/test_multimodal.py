@@ -7,10 +7,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from redpajama_processor_spark.multimodal import (
+    PNG_MAGIC,
+    _png_chunk,
     decode_bmp,
+    decode_image,
+    decode_png,
     decode_rawbmpv,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_rawbmpv,
     encode_wav,
     extract_features,
@@ -29,6 +34,97 @@ def test_bmp_roundtrip():
     for h, w in [(1, 1), (6, 8), (7, 5), (16, 3)]:  # incl. padded row widths
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (6, 8), (7, 5), (16, 3)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all(), (h, w)
+
+
+def _make_png(img: np.ndarray, filters: list[int], color_type: int = 2) -> bytes:
+    """Hand-filtered PNG: apply the given per-row filter types to img's
+    scanlines exactly per the PNG spec, so decode must invert them."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    nch = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h, w * nch).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(line)
+        filt = np.zeros_like(line)
+        for x in range(line.size):
+            a = int(line[x - nch]) if x >= nch else 0
+            b = int(prev[x])
+            c = int(prev[x - nch]) if x >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_and_color_types():
+    """Decode inverts every scanline filter (None/Sub/Up/Average/Paeth)
+    and handles grayscale + RGBA color types."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+        assert (decode_png(_make_png(img, filters)) == img).all(), filters
+    gray = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    out = decode_png(_make_png(gray, [0, 2], color_type=0))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    out = decode_png(_make_png(rgba, [4, 1], color_type=6))
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(img)
+    # patch IHDR to interlaced / 16-bit / palette — each must raise
+    for off, val, what in [(28, 1, "interlace"), (24, 16, "bit_depth"), (25, 3, "color_type")]:
+        bad = bytearray(good)
+        bad[off] = val
+        # fix the IHDR CRC so we exercise the capability check, not CRC
+        ihdr = bytes(bad[16:29])
+        bad[29:33] = struct.pack(">I", __import__("zlib").crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_png(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+
+
+def test_decode_image_dispatch():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    assert (decode_image(encode_bmp(img)) == img).all()
+    assert (decode_image(encode_png(img)) == img).all()
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 32)
 
 
 def test_wav_roundtrip():
@@ -112,13 +208,19 @@ def test_feature_join_with_text_side(spark):
 
 
 def test_resize_images_real(spark):
-    media = gen_real_media(spark, n=6).filter(F.col("kind") == "image")
+    media = gen_real_media(spark, n=12).filter(F.col("kind") == "image")
     out = resize_images(media, 4, 4).collect()
     assert len(out) == media.count()
+    magics = set()
     for r in out:
-        img = decode_bmp(bytes(r.payload))
+        p = bytes(r.payload)
+        magics.add("png" if p[:8] == PNG_MAGIC else "bmp")
+        img = decode_image(p)
         assert img.shape == (4, 4, 3)
         assert r.meta.width == 4 and r.meta.height == 4
+    # the fixture alternates BMP/PNG images and resize re-encodes in the
+    # arriving format, so both codecs must appear in the output
+    assert magics == {"bmp", "png"}
 
 
 def test_sample_frames_real(spark):
