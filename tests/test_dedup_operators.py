@@ -364,6 +364,18 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert rec["kmeans"] >= 0.55, rec
     assert rec["kmeans"] > rec["first_ids"], rec
     assert rec["kmeans"] > rec["sample"], rec
+    # the recommended budget (kmeans codebook, 2-cell multi-assignment,
+    # 6 probes of 16 cells) must clear the 0.8 recall floor (measured
+    # 0.90 — deterministic, so this is a real margin, not flake room)
+    iv2 = nset(
+        ANN.ivf_topk(
+            e, q, k=5, n_centroids=16, n_probe=6, centroids="kmeans",
+            n_assign=2,
+        )
+    )
+    rec["kmeans_2assign_6probe"] = len(bf & iv2) / len(bf)
+    assert rec["kmeans_2assign_6probe"] >= 0.8, rec
+    assert rec["kmeans_2assign_6probe"] > rec["kmeans"], rec
 
 
 def test_exact_dedup_giant_cluster(spark):
