@@ -15,7 +15,10 @@ state, checkpointLocation giving exactly-once sinks.
 - stream_conv_dup_ratio: CUSTOM STATEFUL operator via applyInPandasWithState
   — per-conversation first-seen-line state carried across micro-batches
   (and across restarts via the state store), emitting the same
-  conv_dup_ratio as the batch operator for in-order arrival.
+  conv_dup_ratio as the batch operator for in-order arrival. State can be
+  bounded by a processing-time idle timeout (continuous triggers) or a
+  watermark-driven event-time timeout (works under availableNow drains
+  too — see the operator docstring).
 """
 
 from __future__ import annotations
@@ -78,6 +81,9 @@ def stream_conv_dup_ratio(
     stream: DataFrame,
     text_col: str = "text",
     idle_timeout_ms: int | None = None,
+    event_time_col: str | None = None,
+    event_idle_timeout_ms: int = 7_200_000,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming cross-turn repeated-line ratio (the batch operator
     operators/convdup.conv_dup_ratio, re-expressed as a custom stateful
@@ -88,30 +94,51 @@ def stream_conv_dup_ratio(
     already said). For in-order arrival the emitted ratios equal the batch
     operator bit-for-bit (same 0x20-trim line spec, same int/int division).
 
-    idle_timeout_ms: when set, state is BOUNDED — each batch re-arms a
-    ProcessingTimeTimeout per conversation; a conversation idle past the
-    horizon has its first-seen-line map dropped at a subsequent micro-batch
-    (state would otherwise accumulate forever in a continuous deployment —
-    one map per conversation ever seen). A conversation resuming after
-    expiry re-baselines: its first post-expiry turn counts no repeats.
-    Timeout deadlines live in the state store, so expiry also works across
-    query restarts. Default None keeps NoTimeout: Spark treats
-    ProcessingTimeTimeout queries as always needing another batch
-    (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so a
-    trigger(availableNow) drain would never terminate — the continuous
-    deployment sets the horizon, drain-and-stop batch jobs keep None.
+    State expiry — two bounded modes, one per deployment shape:
+
+    idle_timeout_ms (ProcessingTimeTimeout, continuous deployments): each
+    batch re-arms a wall-clock timeout per conversation; one idle past the
+    horizon has its first-seen-line map dropped at a subsequent
+    micro-batch. Spark treats ProcessingTimeTimeout queries as always
+    needing another batch (FlatMapGroupsWithStateExec.
+    shouldRunAnotherBatch), so a trigger(availableNow) drain would never
+    terminate — continuous triggers only.
+
+    event_time_col (EventTimeTimeout, works under BOTH continuous
+    triggers and availableNow drains — this makes bounded state the
+    recommendable default for every deployment shape): the stream gets
+    ``withWatermark(event_time_col, watermark)`` and each conversation's
+    timeout is armed at ``max(event_ts in batch) + event_idle_timeout_ms``;
+    the state drops once the WATERMARK (not the wall clock) passes that
+    deadline, so a drain that terminates between file arrivals still
+    expires idle conversations on its next run. A conversation resuming
+    after expiry re-baselines: its first post-expiry turn counts no
+    repeats. Timeout deadlines live in the state store, so expiry also
+    works across query restarts.
+
+    Default (both None) keeps NoTimeout — state grows with the number of
+    conversations ever seen; fine for bounded drains over a fixed corpus,
+    wrong for continuous ingest. The two modes are mutually exclusive.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if idle_timeout_ms is not None and event_time_col is not None:
+        raise ValueError(
+            "idle_timeout_ms (processing-time) and event_time_col "
+            "(event-time) expiry are mutually exclusive"
+        )
+
     out_schema = "conv_id string, turn_idx int, conv_dup_ratio double"
     state_schema = "lines map<string,int>"
     cols = ["conv_id", "turn_idx", "conv_dup_ratio"]
-    timeout_conf = (
-        GroupStateTimeout.NoTimeout
-        if idle_timeout_ms is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
+    if event_time_col is not None:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+        stream = stream.withWatermark(event_time_col, watermark)
+    elif idle_timeout_ms is not None:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
 
     def fn(key, pdfs, state):
         (conv_id,) = key
@@ -124,8 +151,12 @@ def stream_conv_dup_ratio(
         # GroupState.get is a property returning the state tuple
         first: dict[str, int] = dict(state.get[0]) if state.exists else {}
         rows = []
+        max_ts_ms = None
         for pdf in pdfs:
             pdf = pdf.sort_values("turn_idx")
+            if event_time_col is not None and len(pdf):
+                ts = int(pdf[event_time_col].max().timestamp() * 1000)
+                max_ts_ms = ts if max_ts_ms is None else max(max_ts_ms, ts)
             for t, text in zip(pdf["turn_idx"], pdf[text_col]):
                 lines = [ln.strip(" ") for ln in (text or "").split("\n")]
                 lines = [ln for ln in lines if ln]
@@ -141,6 +172,15 @@ def stream_conv_dup_ratio(
         state.update((first,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
+        elif event_time_col is not None and max_ts_ms is not None:
+            # deadline must sit strictly past the current watermark (Spark
+            # rejects an already-expired timestamp); late-arriving batches
+            # get the minimum legal extension instead of an error
+            deadline = max(
+                max_ts_ms + event_idle_timeout_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(deadline)
         yield pd.DataFrame(rows, columns=cols)
 
     return stream.groupBy("conv_id").applyInPandasWithState(

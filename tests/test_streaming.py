@@ -137,6 +137,98 @@ def test_stateful_conv_dup_state_survives_restart(spark, tmp_path):
             assert got[(conv, t)] == v, (conv, t, got[(conv, t)], v)
 
 
+def test_stateful_conv_dup_event_time_expiry_available_now(spark, tmp_path):
+    """EventTimeTimeout expiry under pure trigger(availableNow) drains —
+    the mode ProcessingTimeTimeout cannot serve (it never terminates a
+    drain). Drain 1 seeds c1 state; drain 2 carries only another
+    conversation far in event time, advancing the watermark past c1's
+    deadline (the engine runs the extra timeout batch before the drain
+    terminates, dropping c1's line map); drain 3 resumes c1, which must
+    re-baseline: its repeated line counts as fresh."""
+    import datetime
+    import os
+
+    from redpajama_processor_spark.streaming.events import (
+        read_turns_stream,
+        run_available_now,
+        stream_conv_dup_ratio,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(seconds):
+        return t0 + datetime.timedelta(seconds=seconds)
+
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        run_available_now(
+            stream_conv_dup_ratio(
+                read_turns_stream(spark, src, schema),
+                event_time_col="ts",
+                event_idle_timeout_ms=2_000,
+                watermark="1 second",
+            ),
+            out,
+            ckpt,
+        )
+
+    # drain 1: c1 repeats its line -> state holds {alpha line: 0}
+    append([("c1", 0, "alpha line", ts(0)), ("c1", 1, "alpha line", ts(1))])
+    drain()
+    # drain 2: only c9, one hour later in EVENT time -> watermark jumps
+    # past c1's deadline (ts(1)+2s); the drain's trailing timeout batch
+    # expires c1 before terminating
+    append([("c9", 0, "other conv", ts(3600))])
+    drain()
+    # drain 3: c1 resumes with its old line -> must count as fresh
+    append([("c1", 2, "alpha line", ts(7200))])
+    drain()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.conv_dup_ratio
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("c1", 0)] == 0.0
+    assert got[("c1", 1)] == 1.0, "pre-expiry state must still dedup"
+    assert got[("c9", 0)] == 0.0
+    assert got[("c1", 2)] == 0.0, (
+        "watermark-expired conversation must re-baseline under "
+        "availableNow drains"
+    )
+
+
+def test_stateful_conv_dup_expiry_modes_mutually_exclusive(spark):
+    import pytest
+
+    from redpajama_processor_spark.streaming.events import (
+        stream_conv_dup_ratio,
+    )
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "CAST(value AS STRING) AS conv_id",
+            "CAST(value AS INT) AS turn_idx",
+            "'x' AS text",
+            "timestamp AS ts",
+        )
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stream_conv_dup_ratio(
+            stream, idle_timeout_ms=1000, event_time_col="ts"
+        )
+
+
 def test_stateful_conv_dup_idle_state_expires(spark, tmp_path):
     """ProcessingTimeTimeout bounds the state: a conversation idle past
     idle_timeout_ms is dropped by a timeout batch, and a resumed
