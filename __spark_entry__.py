@@ -598,8 +598,11 @@ def q_doc_boilerplate(spark, sf_dir):
     TakeOrdered — the cross-document complement of the per-doc
     dup_line_ratio signal)."""
     d = _docs_dup(spark, sf_dir)
+    # lambda wrapper required: bare F.trim would be called 2-ary as
+    # F.trim(element, index) — index digits as trim chars (see convdup)
     lines = F.filter(
-        F.transform(F.split(F.col("text"), r"\n"), F.trim), lambda x: x != ""
+        F.transform(F.split(F.col("text"), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     return (
         d.select(F.explode(lines).alias("line"))

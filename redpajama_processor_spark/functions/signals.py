@@ -197,7 +197,11 @@ def spark_signal_cols(
     )
     ellipsis_ratio = n_ell_lines.cast("double") / n_lines.cast("double")
 
-    ne_lines = F.filter(F.transform(lines, F.trim), lambda ln: ln != "")
+    # lambda wrapper required: bare F.trim would be called 2-ary as
+    # F.trim(element, index) — index digits as trim chars (see convdup)
+    ne_lines = F.filter(
+        F.transform(lines, lambda ln: F.trim(ln)), lambda ln: ln != ""
+    )
     n_ne = F.size(ne_lines)
     n_dup = n_ne - F.size(F.array_distinct(ne_lines))
     dup_line_ratio = F.when(n_ne == 0, F.lit(0.0)).otherwise(

@@ -38,8 +38,15 @@ UNIT_SPLIT = {"line": r"\n", "paragraph": r"\n\n+"}
 
 
 def _exploded_lines(df: DataFrame, text_col: str, unit: str = "line") -> DataFrame:
+    # the lambda wrapper is load-bearing: F.trim's signature is
+    # (col, trim=None), so passing it bare makes pyspark treat it as a
+    # 2-arity higher-order function and call F.trim(element, INDEX) —
+    # trimming each line's array-index digits off its ends ("uniq-11" at
+    # index 1 became "uniq-"). Caught by the RP_SLOW adversarial corpus.
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), UNIT_SPLIT[unit]), F.trim),
+        F.transform(
+            F.split(F.col(text_col), UNIT_SPLIT[unit]), lambda ln: F.trim(ln)
+        ),
         lambda ln: ln != "",
     )
     return df.select(

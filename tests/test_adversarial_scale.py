@@ -1,0 +1,121 @@
+"""Adversarial-SCALE property runs (RP_SLOW=1 gate, ~minutes).
+
+The width guards and min-join/star-edge/salted-agg claims exist for
+shapes like a 10^6-member boilerplate cluster, a single LSH bucket
+holding the whole corpus, and a 10^5-turn conversation. The fast suite
+exercises them at toy sizes; these runs exercise them at the sizes the
+claims are about, with generous wall-clock bounds that still catch a
+quadratic or single-task-serialization regression (the replaced window
+renderings would blow the bounds by orders of magnitude or OOM).
+
+Inputs are generated JVM-side (spark.range + concat) so generation cost
+never muddies the operator measurement.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators import dedup as D
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RP_SLOW") != "1",
+    reason="adversarial-scale shapes (10^5..10^6 rows); run with RP_SLOW=1",
+)
+
+
+def test_exact_dedup_million_member_cluster(spark):
+    """10^6 identical docs + 10 uniques: the clusters-only min-join must
+    flag all but the min-id member. The giant cluster map-side-combines
+    (one row per map partition before the tiny exchange); the keep-first
+    window this replaced would sort the full 10^6-row cluster in ONE task."""
+    n = 1_000_000
+    df = (
+        spark.range(0, n)
+        .select(F.col("id").alias("doc_id"), F.lit("boilerplate").alias("text"))
+        .union(
+            spark.range(n, n + 10).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("unique-"), F.col("id")).alias("text"),
+            )
+        )
+        .repartition(32)
+    )
+    t0 = time.time()
+    out = D.exact_dedup(df, "text", "doc_id")
+    counts = {r["is_dup"]: r["count"] for r in out.groupBy("is_dup").count().collect()}
+    keeper = out.filter(
+        (F.col("text") == "boilerplate") & (~F.col("is_dup"))
+    ).collect()
+    wall = time.time() - t0
+    assert counts == {True: n - 1, False: 11}
+    assert [r.doc_id for r in keeper] == [0]
+    assert wall < 180, f"million-member cluster took {wall:.0f}s"
+
+
+def test_lsh_single_bucket_flood(spark):
+    """10^5 docs with IDENTICAL text: every band hashes the whole corpus
+    into ONE bucket. Star edges stay linear (99,999 edges, deduped across
+    bands), and the max_bucket width guard truncates the flood to its
+    smallest members. All-pairs here would be ~5*10^9 edges."""
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "every document in this corpus carries exactly this boilerplate "
+            "text so each LSH band collapses to a single bucket"
+        ).alias("text"),
+    ).repartition(32)
+    sigs = D.add_minhash(df, "text", 16, 24)
+    buckets = D.lsh_buckets(sigs, 16, 4, "doc_id")
+
+    t0 = time.time()
+    star = D.buckets_to_edges(buckets, "doc_id")
+    n_star = star.count()
+    wall_star = time.time() - t0
+    assert n_star == n - 1, n_star  # hub = min doc_id, one edge per other
+    assert wall_star < 240, f"uncapped star flood took {wall_star:.0f}s"
+
+    t0 = time.time()
+    capped = D.buckets_to_edges(buckets, "doc_id", max_bucket=20)
+    rows = capped.collect()
+    wall_cap = time.time() - t0
+    # truncated to the 20 smallest members -> hub 0 + 19 spokes
+    assert len(rows) == 19, len(rows)
+    assert {r.src for r in rows} == {0}
+    assert {r.dst for r in rows} == set(range(1, 20))
+    assert wall_cap < 240, f"capped flood took {wall_cap:.0f}s"
+
+
+def test_conv_dup_100k_turn_conversation(spark):
+    """ONE conversation with 10^5 turns, every turn repeating a heartbeat
+    line plus one unique line. The (conv, line) aggregation must not
+    serialize the hot heartbeat key into one reduce row stream (map-side
+    combine collapses it per task; the salted path bounds the reduce key
+    too), and both renderings must agree: ratio 0.0 at turn 0, 0.5 after."""
+    from redpajama_processor_spark.operators.convdup import conv_dup_ratio
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.lit("conv-big").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("heartbeat ping\nuniq-"), F.col("id")
+        ).alias("text"),
+    ).repartition(32)
+
+    for salt in (None, 32):
+        t0 = time.time()
+        out = conv_dup_ratio(df, salt_partitions=salt)
+        agg = (
+            out.groupBy("conv_dup_ratio")
+            .count()
+            .orderBy("conv_dup_ratio")
+            .collect()
+        )
+        wall = time.time() - t0
+        got = {r.conv_dup_ratio: r["count"] for r in agg}
+        assert got == {0.0: 1, 0.5: n - 1}, (salt, got)
+        assert wall < 240, f"salt={salt} took {wall:.0f}s"

@@ -115,17 +115,28 @@ def test_conv_dup_operator_matches_oracle(spark):
         ("c1", 2, "hello world\nsecond line\nthird"),
         ("c2", 0, "unique a"),
         ("c2", 1, "unique b"),
+        # index-digit adversaries: line edges carrying the digits of their
+        # own array index ("uniq-11" at index 1). A bare F.trim handed to
+        # F.transform is invoked 2-ary as trim(element, index) and strips
+        # those digits, making every such line collide — the lambda
+        # wrapper in _exploded_lines pins the 1-ary 0x20-only trim
+        ("c3", 0, "head zero\nuniq-11"),
+        ("c3", 1, "head zero\nuniq-11"),
+        ("c3", 2, "0 zeros 0\n1 ones 1\n2 twos 2"),
+        ("c3", 3, "1 ones 1\n22\n22"),
     ]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     got = {
         (r["conv_id"], r["turn_idx"]): r["conv_dup_ratio"]
         for r in conv_dup_ratio(df).collect()
     }
-    for conv in ("c1", "c2"):
+    for conv in ("c1", "c2", "c3"):
         turns = [(t, x) for c, t, x in rows if c == conv]
         exp = py_conv_dup_ratios(turns)
         for t, v in exp.items():
             assert got[(conv, t)] == pytest.approx(v), (conv, t)
+    # the adversarial conversation must actually detect its repeats
+    assert got[("c3", 1)] == 1.0
 
 
 def test_conv_dup_salted_variant_matches(spark):

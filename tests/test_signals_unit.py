@@ -60,6 +60,14 @@ ADVERSARIAL = [
     "dup \ndup \ndup\nother",
     "pad \npad\t\npad \npad \n",
     "...\t\n... \n... \n…\t",
+    # index-digit adversaries: a line whose edge characters are the digits
+    # of its own ARRAY INDEX. A bare F.trim passed to F.transform is called
+    # 2-ary as trim(element, index) and strips those digits ("uniq-11" at
+    # index 1 -> "uniq-"), silently changing dup_line_ratio — the lambda
+    # wrapper in the Spark rendering pins the 1-ary call
+    "line zero\nuniq-11\nuniq-11\nother",
+    "0 zeros 0\n1 ones 1\n2 twos 2\n3 threes 3",
+    "head\n1\n1\n22\n22\n",
 ]
 
 

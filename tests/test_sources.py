@@ -204,7 +204,11 @@ ICEBERG_JAR = os.environ.get("ICEBERG_SPARK_JAR", "")
 @pytest.mark.skipif(
     not ICEBERG_JAR,
     reason="no iceberg-spark-runtime jar in this image; set ICEBERG_SPARK_JAR "
-    "to run the real round-trip",
+    "to run the real round-trip. Verified round 4: no *iceberg* jar "
+    "anywhere on the filesystem (find /), /opt/spark/jars and the pip "
+    "pyspark jar dir lack it, and the sandbox has no network (maven "
+    "central unreachable), so the jar cannot be fetched or vendored — "
+    "this test is executable only on an image that ships the jar",
 )
 def test_catalog_iceberg_roundtrip(tmp_path):
     """Real use_iceberg=True round-trip (runs only with the jar present):
