@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""sf1 scale-proof bench: demonstrate the audited plans beyond sf0.1.
+
+Three phases, results written to BENCH/sf1_results.json + BENCH/SF1.md:
+
+1. Transcript pipeline at sf0.1 (591,591 turns) and sf1 (~5.9M turns),
+   paired back-to-back in fresh JVMs (the host-variance protocol), plus a
+   second sf1 run for kept-count determinism. Flags super-linear growth
+   in cost-per-turn.
+2. Dedup operator family at 50k vs 500k docs of the SAME deterministic
+   mixture (datagen.gen_documents_spark): exact dedup, full fuzzy chain
+   (MinHash/LSH/verify/CC), duplicated spans, SimHash pairs. Cost ratio
+   per 10x input is flagged when > 1.35 (allowance for log factors and
+   host noise on top of linear).
+3. ANN at 20k vs 200k clustered embeddings: brute-force top-k and IVF at
+   the recommended budget (kmeans, 2-assign, 6-probe).
+
+Usage: python BENCH/run_sf1.py [--phase 1|2|3|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(REPO, "BENCH", "sf1_results.json")
+SUPERLINEAR_TOL = 1.35
+
+
+def _load() -> dict:
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            return json.load(f)
+    return {}
+
+
+def _save(res: dict) -> None:
+    with open(RESULTS, "w") as f:
+        json.dump(res, f, indent=2, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# phase 1: transcript pipeline sf0.1 vs sf1 (fresh JVM per run, paired)
+# ---------------------------------------------------------------------------
+
+def _pipeline_subprocess(n_convs: int, cores: int = 32) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
+    env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env.setdefault("SPARK_GRAFT_WORKDIR", "/tmp/rp_bench")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only",
+         str(n_convs)],
+        capture_output=True, text=True, env=env, cwd=REPO, check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def phase1() -> dict:
+    runs = {}
+    # paired same-window: small first, then big, then big again (kept
+    # determinism across fresh JVMs at sf1)
+    runs["sf0.1"] = _pipeline_subprocess(55_000)
+    runs["sf1_a"] = _pipeline_subprocess(550_000)
+    runs["sf1_b"] = _pipeline_subprocess(550_000)
+    small, big = runs["sf0.1"], runs["sf1_a"]
+    cost_small = small["value"] / small["turns"]
+    cost_big = big["value"] / big["turns"]
+    return {
+        "runs": runs,
+        "turns_ratio": round(big["turns"] / small["turns"], 3),
+        "cost_per_turn_ratio": round(cost_big / cost_small, 3),
+        "superlinear": cost_big / cost_small > SUPERLINEAR_TOL,
+        "kept_deterministic": runs["sf1_a"]["kept"] == runs["sf1_b"]["kept"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase 2/3 helpers
+# ---------------------------------------------------------------------------
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn, reps: int = 2) -> float:
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        dt = min(dt, time.time() - t0)
+    return round(dt, 2)
+
+
+def _docs_path(n: int) -> str:
+    return f"/tmp/rp_bench/scale_docs_{n}"
+
+
+def _emb_path(n: int) -> str:
+    return f"/tmp/rp_bench/scale_emb_{n}"
+
+
+def phase2() -> dict:
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_documents_spark
+    from redpajama_processor_spark.operators import dedup as D
+    from redpajama_processor_spark.operators.dupspans import dup_span_stats
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-docs", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = (50_000, 500_000)
+    for n in sizes:
+        p = _docs_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_documents_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    def ops(docs):
+        return {
+            "exact_dedup": lambda: _noop(D.exact_dedup(docs, "text", "doc_id")),
+            "fuzzy_chain": lambda: _noop(
+                D.fuzzy_dedup(
+                    docs, num_perm=64, bands=16, ngram=24,
+                    jaccard_threshold=0.8, verify=True, max_bucket=5000,
+                )
+            ),
+            "dup_spans": lambda: _noop(
+                dup_span_stats(docs, n=10, hash_grams=True)
+            ),
+            "simhash_pairs": lambda: _noop(
+                D.simhash_dedup(docs, "text", "doc_id", band_bits=10,
+                                max_hamming=6)
+            ),
+        }
+
+    out: dict = {"sizes": list(sizes), "ops": {}}
+    timings: dict[str, dict[int, float]] = {}
+    for n in sizes:
+        docs = spark.read.parquet(_docs_path(n))
+        # warm: scan + codegen once per size
+        _noop(docs.select("doc_id"))
+        for name, fn in ops(docs).items():
+            timings.setdefault(name, {})[n] = _timed(fn)
+    for name, t in timings.items():
+        ratio = t[sizes[1]] / t[sizes[0]]
+        per_unit = ratio / (sizes[1] / sizes[0])
+        out["ops"][name] = {
+            "t_small": t[sizes[0]],
+            "t_big": t[sizes[1]],
+            "ratio": round(ratio, 2),
+            "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+        }
+    spark.stop()
+    return out
+
+
+def phase3() -> dict:
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_embeddings_spark
+    from redpajama_processor_spark.operators import ann as ANN
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-ann", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = (20_000, 200_000)
+    for n in sizes:
+        p = _emb_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_embeddings_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    out: dict = {"sizes": list(sizes), "ops": {}}
+    timings: dict[str, dict[int, float]] = {}
+    for n in sizes:
+        e = spark.read.parquet(_emb_path(n))
+        q = e.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        _noop(e.select("vec_id"))
+        ops = {
+            "brute_topk": lambda: _noop(ANN.brute_force_topk(e, q, k=5)),
+            "ivf_topk_2a6p": lambda: _noop(
+                ANN.ivf_topk(
+                    e, q, k=5, n_centroids=16, n_probe=6,
+                    centroids="kmeans", n_assign=2,
+                )
+            ),
+        }
+        for name, fn in ops.items():
+            timings.setdefault(name, {})[n] = _timed(fn)
+    for name, t in timings.items():
+        ratio = t[sizes[1]] / t[sizes[0]]
+        per_unit = ratio / (sizes[1] / sizes[0])
+        out["ops"][name] = {
+            "t_small": t[sizes[0]],
+            "t_big": t[sizes[1]],
+            "ratio": round(ratio, 2),
+            "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+        }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
+    os.makedirs("/tmp/rp_bench", exist_ok=True)
+    res = _load()
+    if phase in ("1", "all"):
+        res["phase1_pipeline"] = phase1()
+        _save(res)
+    if phase in ("2", "all"):
+        res["phase2_docs"] = phase2()
+        _save(res)
+    if phase in ("3", "all"):
+        res["phase3_ann"] = phase3()
+        _save(res)
+    print(json.dumps(res, indent=2, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

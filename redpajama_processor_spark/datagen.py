@@ -293,3 +293,88 @@ def gen_turns_spark(spark, n_convs: int, seed: int = SEED, partitions: int = 32)
 def lm_corpus(n_docs: int = 400, seed: int = SEED) -> list[str]:
     rng = np.random.default_rng(seed + 77)
     return [_prose(rng, 60) for _ in range(n_docs)]
+
+
+# ---------------------------------------------------------------------------
+# Scale-experiment corpora (BENCH/run_sf1.py). These do NOT replace the
+# driver-generated /root/testdata tables (the correctness inputs); they exist
+# so the dedup/ANN operators can be measured at two sizes of the SAME
+# distribution and checked for super-linear cost growth.
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def gen_documents_spark(spark, n_docs: int, seed: int = SEED, partitions: int = 64):
+    """Deterministic documents corpus, scale-invariant mixture by doc_id:
+
+      id % 10 <= 6  unique prose (80-200 words, seeded per id)
+      id % 10 == 7  exact-duplicate cluster member: canonical prose of
+                    group id//100 -> constant cluster size 10 at any scale
+      id % 10 == 8  near-duplicate: base prose of group (id//20)*20 plus a
+                    per-id suffix -> constant group size 2 (pairs scale
+                    linearly with the corpus)
+      id % 10 == 9  boilerplate template (20 fixed texts) -> cluster size
+                    GROWS with the corpus (n/200 members) — the deliberate
+                    giant-cluster stress for the min-join / star-edge /
+                    width-guard claims
+
+    Generation is executor-side (mapInPandas over spark.range), same
+    pattern as gen_turns_spark."""
+
+    def _doc_text(i: int) -> str:
+        r = i % 10
+        if r == 7:
+            g = i // 100
+            rng = np.random.default_rng(seed * 7919 + 500_000 + g)
+            return _prose(rng, 120)
+        if r == 8:
+            base = (i // 20) * 20
+            rng = np.random.default_rng(seed * 7919 + 700_000 + base)
+            return _prose(rng, 140) + f" variant-{i}"
+        if r == 9:
+            t = (i // 10) % 20
+            rng = np.random.default_rng(seed * 7919 + 900_000 + t)
+            return "boilerplate notice " + _prose(rng, 90)
+        rng = np.random.default_rng(seed * 7919 + i)
+        return _prose(rng, int(rng.integers(80, 200)))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": [_doc_text(i) for i in ids]}
+            )
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(
+        gen, DOCS_SCHEMA
+    )
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def gen_embeddings_spark(
+    spark, n_vecs: int, dim: int = 64, n_clusters: int = 32,
+    seed: int = SEED, partitions: int = 32,
+):
+    """Deterministic clustered embeddings: vector i = cluster center
+    (i % n_clusters) * 2 + unit noise — enough neighborhood structure for
+    IVF/SRP pruning to be meaningful, generated executor-side."""
+
+    def gen(batches):
+        centers = np.random.default_rng(seed * 31 + 11).standard_normal(
+            (n_clusters, dim)
+        )
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            vecs = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 31 + 100_000 + i)
+                v = centers[i % n_clusters] * 2.0 + rng.standard_normal(dim)
+                vecs.append(v.astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return spark.range(0, n_vecs, numPartitions=partitions).mapInPandas(
+        gen, EMB_SCHEMA
+    )

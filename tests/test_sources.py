@@ -276,3 +276,40 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_turns")
         spark.sql("DROP TABLE IF EXISTS bk_labels")
+
+
+def test_scale_generators_deterministic(spark):
+    """BENCH scale-corpus generators: seed-stable across invocations,
+    mixture strata present, embeddings well-formed."""
+    from redpajama_processor_spark.datagen import (
+        gen_documents_spark,
+        gen_embeddings_spark,
+    )
+
+    a = {r.doc_id: r.text for r in gen_documents_spark(spark, 200).collect()}
+    b = {r.doc_id: r.text for r in gen_documents_spark(spark, 200).collect()}
+    assert a == b and len(a) == 200
+    # exact-dup cluster members (id%10==7, same id//100 group) identical
+    assert a[7] == a[17] == a[97]
+    # near-dup pair shares its base but differs by the variant suffix
+    assert a[8] != a[18]
+    assert a[8].rsplit(" ", 1)[0] == a[18].rsplit(" ", 1)[0]
+    # boilerplate stratum present (templates repeat every 200 ids:
+    # (i//10)%20 cycles, so within n=200 each template appears once)
+    assert a[9].startswith("boilerplate notice")
+    assert a[9] != a[19]
+
+    e1 = {r.vec_id: list(r.embedding) for r in gen_embeddings_spark(spark, 64).collect()}
+    e2 = {r.vec_id: list(r.embedding) for r in gen_embeddings_spark(spark, 64).collect()}
+    assert e1 == e2 and len(e1) == 64
+    assert all(len(v) == 64 for v in e1.values())
+    # same-cluster vectors are closer than cross-cluster ones on average
+    import numpy as np
+
+    v0, v32 = np.array(e1[0]), np.array(e1[32])  # cluster 0
+    v1 = np.array(e1[1])                          # cluster 1
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    assert cos(v0, v32) > cos(v0, v1)
