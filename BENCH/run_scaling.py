@@ -35,9 +35,19 @@ def main() -> None:
     n_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 55000
+    outer_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
-    lo = run_at(n_lo, n_convs)
-    hi = run_at(n_hi, n_convs)
+    # outer min-of-reps, ALTERNATING levels so each pair shares a host
+    # window — this host swings 2-5x between identical runs, and a single
+    # lo/hi pair can land a fast lo against a slow hi (or vice versa) and
+    # report an efficiency artifact in either direction
+    lo_runs, hi_runs = [], []
+    for _ in range(outer_reps):
+        lo_runs.append(run_at(n_lo, n_convs))
+        hi_runs.append(run_at(n_hi, n_convs))
+    assert len({r["kept"] for r in lo_runs + hi_runs}) == 1, "kept drifted"
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
     eff = ratio / (n_hi / n_lo)
 
@@ -63,6 +73,29 @@ Environment note: this sandbox exposes 32 vCPUs but raw-CPU probes show only
 at 32 procs — SMT siblings + noisy host). The {n_lo}->{n_hi} pair therefore
 measures the engine inside the hardware's linear region; on a real cluster
 the N->4N executor criterion maps to executor counts, not SMT threads.
+
+Measurement protocol: {outer_reps} outer rep(s) per level, ALTERNATING
+levels so each lo/hi pair shares a host window, per-level min reported
+(this host swings 2-5x between identical runs; a single pair can land a
+fast lo against a slow hi and report an efficiency artifact in either
+direction — that is exactly what a one-rep refresh read this round: 0.70
+from a 171.5 s local[2] against a 61.1 s local[8]).
+
+## Correctness at the 60k-turn gate (BASELINE.json scale)
+
+Spark pipeline vs the single-process oracle on the 57,557-turn corpus
+(5,500 conversations, seed 42), re-verified every round by the RP_SLOW=1
+gate in tests/test_pipeline.py and at small n by the verify recipe:
+
+| metric | value |
+|---|---|
+| keep/drop F1 | **1.000000** (target >= 0.99; exact agreement) |
+| drop_rule match | 1.000000 |
+| scrubbed_text per-turn equality | 1.000000 |
+| language match | 1.000000 |
+
+Scale evidence beyond sf0.1 (10x corpus, per-operator isolation,
+kept-count determinism at sf1): see BENCH/SF1.md.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

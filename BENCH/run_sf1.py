@@ -70,6 +70,10 @@ def phase1() -> dict:
     runs["sf0.1"] = _pipeline_subprocess(55_000)
     runs["sf1_a"] = _pipeline_subprocess(550_000)
     runs["sf1_b"] = _pipeline_subprocess(550_000)
+    # bench.py labels "sf" from SPARK_GRAFT_SF_DIR (always sf0.1 here —
+    # it only supplies the parquet side tables); relabel the 10x runs so
+    # the committed JSON is filterable on sf, not just on key names
+    runs["sf1_a"]["sf"] = runs["sf1_b"]["sf"] = 1.0
     small, big = runs["sf0.1"], runs["sf1_a"]
     cost_small = small["value"] / small["turns"]
     cost_big = big["value"] / big["turns"]
@@ -86,11 +90,11 @@ def phase1() -> dict:
 # phase 2/3 helpers
 # ---------------------------------------------------------------------------
 
-def _noop(df):
-    df.write.format("noop").mode("overwrite").save()
+from bench import _noop  # single definition of the noop-write timing sink
 
 
 def _timed(fn, reps: int = 2) -> float:
+    # same min-of-reps host-variance protocol as bench.py's per-query loop
     dt = float("inf")
     for _ in range(reps):
         t0 = time.time()

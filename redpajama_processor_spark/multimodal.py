@@ -112,13 +112,17 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
-    non-interlaced). Pure stdlib zlib — no PIL."""
+    """(h, w, {1|3|4}) uint8 -> PNG bytes (8-bit gray/RGB/RGBA per the
+    channel count, filter 0 rows, non-interlaced). Pure stdlib zlib — no
+    PIL. A 2-D array is treated as grayscale."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
-    # one filter byte (0 = None) per scanline, then raw RGB
+    assert c in (1, 3, 4) and arr.dtype == np.uint8
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    # one filter byte (0 = None) per scanline, then raw samples
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -127,10 +131,11 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit grayscale / RGB /
-    RGBA, non-interlaced, all five scanline filters (None/Sub/Up/Average/
-    Paeth). Palette, 16-bit and Adam7 interlace raise NotImplementedError.
+def decode_png_raw(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, {1|3|4}) uint8 with the ORIGINAL channel count
+    (gray / RGB / RGBA). Supports 8-bit, non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth). Palette, 16-bit and Adam7
+    interlace raise NotImplementedError.
 
     Filters Sub/Average/Paeth have a per-pixel left-dependency, so those
     rows reconstruct in a Python loop over pixels; the encoder above
@@ -197,12 +202,20 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)
-    img = out.reshape(h, w, nch)
-    if ct == 0:
-        img = np.repeat(img, 3, axis=2)
-    elif ct == 6:
-        img = img[:, :, :3]
-    return img.copy()
+    return out.reshape(h, w, nch).copy()
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB (the featurize contract):
+    grayscale is expanded to 3 channels, RGBA drops alpha. Use
+    decode_png_raw when the original channel count must survive (the
+    resize path does, so an RGBA payload keeps its alpha)."""
+    img = decode_png_raw(payload)
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3].copy()
+    return img
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -379,18 +392,22 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image resize for BMP/PNG payloads (nearest-neighbor,
     deterministic): decode -> index-resize -> re-encode in the SAME format
-    the payload arrived in; meta.width/height updated. Same mapInPandas
-    shape as extract_features; other formats raise with the payload magic
-    (PIL needed)."""
+    AND channel layout the payload arrived in (a grayscale PNG stays
+    1-channel, an RGBA PNG keeps its alpha); meta.width/height updated.
+    Same mapInPandas shape as extract_features; other formats raise with
+    the payload magic (PIL needed)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
                 p = bytes(p)
-                img = resize_nearest(decode_image(p), width, height)
-                enc = encode_png if p[:8] == PNG_MAGIC else encode_bmp
-                payloads.append(bytearray(enc(img)))
+                if p[:8] == PNG_MAGIC:
+                    img = resize_nearest(decode_png_raw(p), width, height)
+                    payloads.append(bytearray(encode_png(img)))
+                else:
+                    img = resize_nearest(decode_image(p), width, height)
+                    payloads.append(bytearray(encode_bmp(img)))
                 m = dict(m) if m is not None else {}
                 m["width"], m["height"] = width, height
                 m.setdefault("sample_rate", None)

@@ -278,20 +278,49 @@ def ivf_topk(
     cent = sorted(cent, key=lambda r: r[id_col])
     cvecs = [[float(x) for x in r[vec_col]] for r in cent]
 
+    def _cos_arr(vec: Column, cv_list) -> Column:
+        return F.array(
+            *[
+                cosine_col(vec, F.array(*[F.lit(x) for x in cv]))
+                for cv in cv_list
+            ]
+        )
+
     def _cells_expr_for(cv_list, n_cells=1):
         def _cells_expr(vec: Column) -> Column:
-            # (cos, cell_id) structs sorted cos DESC, cell ASC — the same
-            # tie-break as array_position's first-maximal (seeds are
-            # re-sorted by id above in every mode; kmeans-refined centroids
-            # keep their seed's slot), matching the oracle's ORDER BY
-            # cos DESC, cid ASC for first_ids and staying deterministic
-            # for sample/kmeans. Returns the n_cells nearest cell ids.
+            if n_cells == 1:
+                # single-assignment fast path: the O(C) argmax (bind the
+                # array once; array_position returns the FIRST maximal
+                # index -> ties break toward the smallest centroid SEED id;
+                # seeds are re-sorted by id above in every mode, and
+                # kmeans-refined centroids keep their seed's slot),
+                # matching the oracle's ORDER BY cos DESC, cid ASC.
+                # array_max skips NULL cosines (zero-norm centroid), so a
+                # dead cell can never win.
+                return F.array(
+                    F.element_at(
+                        F.transform(
+                            F.array(_cos_arr(vec, cv_list)),
+                            lambda a: F.array_position(
+                                a, F.array_max(a)
+                            ).cast("int"),
+                        ),
+                        1,
+                    )
+                )
+            # multi-assignment: (cos, cell_id) structs sorted cos DESC,
+            # cell ASC — same tie-break as the argmax above. NULL cosines
+            # coalesce to -inf so a dead (zero-norm) cell sorts LAST; a
+            # raw NULL in the comparator would make both F.when branches
+            # NULL and fall through to the index tie-break, ranking the
+            # dead cell ABOVE genuinely nearer ones.
             pairs = F.array(
                 *[
                     F.struct(
-                        cosine_col(vec, F.array(*[F.lit(x) for x in cv])).alias(
-                            "c"
-                        ),
+                        F.coalesce(
+                            cosine_col(vec, F.array(*[F.lit(x) for x in cv])),
+                            F.lit(float("-inf")),
+                        ).alias("c"),
                         F.lit(i + 1).alias("i"),
                     )
                     for i, cv in enumerate(cv_list)
@@ -342,15 +371,20 @@ def ivf_topk(
     # a cell boundary is findable from both sides). The explode multiplies
     # the index n_assign-fold but stays narrow; candidate pairs are deduped
     # after scoring (one tiny extra agg) so top-k never counts a neighbor
-    # twice. n_assign=1 keeps the exact single-argmax plan and is what the
-    # SQL oracle renders.
-    assign = corpus.select(
-        id_col,
-        vec_col,
-        F.explode(
-            _cells_expr_for(cvecs, max(1, n_assign))(F.col(vec_col))
-        ).alias("_cell"),
-    )
+    # twice. n_assign=1 keeps the exact single-argmax plan (no sort
+    # comparator, no Generate node) and is what the SQL oracle renders.
+    if n_assign > 1:
+        assign = corpus.select(
+            id_col,
+            vec_col,
+            F.explode(
+                _cells_expr_for(cvecs, n_assign)(F.col(vec_col))
+            ).alias("_cell"),
+        )
+    else:
+        assign = corpus.select(
+            id_col, vec_col, _cell_expr_for(cvecs)(F.col(vec_col)).alias("_cell")
+        )
 
     # probe list: per query, the n_probe nearest centroids. A window rank is
     # fine HERE — the ranked relation is |Q| x n_centroids (both small), not

@@ -132,9 +132,21 @@ def stream_conv_dup_ratio(
     out_schema = "conv_id string, turn_idx int, conv_dup_ratio double"
     state_schema = "lines map<string,int>"
     cols = ["conv_id", "turn_idx", "conv_dup_ratio"]
+    session_tz = None
     if event_time_col is not None:
         timeout_conf = GroupStateTimeout.EventTimeTimeout
         stream = stream.withWatermark(event_time_col, watermark)
+        # applyInPandasWithState hands the worker tz-NAIVE pandas
+        # timestamps rendered in the SESSION time zone, while
+        # setTimeoutTimestamp/getCurrentWatermarkMs speak true epoch-UTC
+        # ms. Naive Timestamp.timestamp() assumes UTC, so on a non-UTC
+        # session the deadline would be off by the zone offset (west of
+        # UTC: state drops at the next watermark advance while the
+        # conversation is still active). Capture the session zone here
+        # and localize before converting.
+        session_tz = stream.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
     elif idle_timeout_ms is not None:
         timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
     else:
@@ -155,8 +167,16 @@ def stream_conv_dup_ratio(
         for pdf in pdfs:
             pdf = pdf.sort_values("turn_idx")
             if event_time_col is not None and len(pdf):
-                ts = int(pdf[event_time_col].max().timestamp() * 1000)
-                max_ts_ms = ts if max_ts_ms is None else max(max_ts_ms, ts)
+                m = pdf[event_time_col].max()
+                # all-NULL event times in this batch: NaT has no epoch —
+                # skip; the previously-armed deadline stays in force
+                if pd.notna(m):
+                    if m.tzinfo is None:
+                        m = m.tz_localize(session_tz)
+                    ts = int(m.timestamp() * 1000)
+                    max_ts_ms = (
+                        ts if max_ts_ms is None else max(max_ts_ms, ts)
+                    )
             for t, text in zip(pdf["turn_idx"], pdf[text_col]):
                 lines = [ln.strip(" ") for ln in (text or "").split("\n")]
                 lines = [ln for ln in lines if ln]
@@ -172,15 +192,19 @@ def stream_conv_dup_ratio(
         state.update((first,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        elif event_time_col is not None and max_ts_ms is not None:
-            # deadline must sit strictly past the current watermark (Spark
-            # rejects an already-expired timestamp); late-arriving batches
-            # get the minimum legal extension instead of an error
-            deadline = max(
-                max_ts_ms + event_idle_timeout_ms,
-                state.getCurrentWatermarkMs() + 1,
+        elif event_time_col is not None:
+            # Spark clears a group's timeout on every invocation, so the
+            # deadline must be re-armed each batch. Base it on the batch's
+            # max event time; an all-NULL-ts batch (NaT has no epoch)
+            # falls back to the current watermark + idle horizon. Either
+            # way the deadline sits strictly past the watermark (Spark
+            # rejects an already-expired timestamp), so late-arriving
+            # batches get the minimum legal extension instead of an error.
+            wm = state.getCurrentWatermarkMs()
+            base = max_ts_ms if max_ts_ms is not None else wm
+            state.setTimeoutTimestamp(
+                max(base + event_idle_timeout_ms, wm + 1)
             )
-            state.setTimeoutTimestamp(deadline)
         yield pd.DataFrame(rows, columns=cols)
 
     return stream.groupBy("conv_id").applyInPandasWithState(

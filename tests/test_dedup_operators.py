@@ -378,6 +378,37 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert rec["kmeans_2assign_6probe"] > rec["kmeans"], rec
 
 
+def test_ivf_multi_assign_survives_dead_centroid(spark):
+    """A zero-norm centroid (NULL cosine against everything) must never
+    capture assignments: the multi-assign sort comparator coalesces NULL
+    to -inf (a raw NULL makes both comparator branches NULL and falls
+    through to the index tie-break, ranking the dead cell above genuinely
+    nearer ones) and the single-assign argmax skips NULLs natively."""
+    from redpajama_processor_spark.operators import ann as ANN
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0])]
+    rows += [(10 + i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(10)]
+    rows += [(20 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(10)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(100, [0.0, 0.0, 1.0, 0.005])], "query_id long, embedding array<float>"
+    )
+    for n_assign in (1, 2):
+        got = {
+            r.vec_id
+            for r in ANN.ivf_topk(
+                e, q, k=5, n_centroids=3, n_probe=1, n_assign=n_assign,
+                centroids="first_ids",
+            ).collect()
+        }
+        # the probed cell is the one around [0,0,1,*]; its members must be
+        # found — if the dead centroid (vec 1) had swallowed assignments,
+        # the probe would come back (near) empty
+        assert got and got <= ({2} | set(range(20, 30))), (n_assign, got)
+        assert len(got) == 5, (n_assign, got)
+
+
 def test_exact_dedup_giant_cluster(spark):
     """Adversarial boilerplate cluster: 20k identical docs + uniques. The
     clusters-only rendering must keep exactly the min id and flag the rest

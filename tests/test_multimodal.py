@@ -12,6 +12,7 @@ from redpajama_processor_spark.multimodal import (
     decode_bmp,
     decode_image,
     decode_png,
+    decode_png_raw,
     decode_rawbmpv,
     decode_wav,
     encode_bmp,
@@ -41,6 +42,20 @@ def test_png_roundtrip():
     for h, w in [(1, 1), (6, 8), (7, 5), (16, 3)]:
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert (decode_png(encode_png(img)) == img).all(), (h, w)
+
+
+def test_png_gray_and_rgba_channel_preserving_roundtrip():
+    """encode_png emits the color type matching the channel count and
+    decode_png_raw returns the ORIGINAL channels (alpha survives, gray
+    stays 1-channel); decode_png applies the 3-channel featurize
+    contract on top."""
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    assert (decode_png_raw(encode_png(gray)) == gray).all()
+    assert (decode_png(encode_png(gray)) == np.repeat(gray, 3, axis=2)).all()
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    assert (decode_png_raw(encode_png(rgba)) == rgba).all()
+    assert (decode_png(encode_png(rgba)) == rgba[:, :, :3]).all()
 
 
 def _make_png(img: np.ndarray, filters: list[int], color_type: int = 2) -> bytes:
@@ -221,6 +236,31 @@ def test_resize_images_real(spark):
     # the fixture alternates BMP/PNG images and resize re-encodes in the
     # arriving format, so both codecs must appear in the output
     assert magics == {"bmp", "png"}
+
+
+def test_resize_preserves_png_channel_layout(spark):
+    """An RGBA PNG keeps its alpha through resize and a grayscale PNG
+    stays 1-channel — resize must not silently collapse channels."""
+    rng = np.random.default_rng(17)
+    rgba = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            ("rgba", "image", bytearray(encode_png(rgba)), (8, 8, None, None)),
+            ("gray", "image", bytearray(encode_png(gray)), (8, 8, None, None)),
+        ],
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = {r.media_id: bytes(r.payload) for r in resize_images(media, 4, 4).collect()}
+    r_img = decode_png_raw(out["rgba"])
+    assert r_img.shape == (4, 4, 4)
+    # nearest-neighbor at integer 2x downscale picks exact source pixels,
+    # alpha included
+    assert (r_img == rgba[::2, ::2]).all()
+    g_img = decode_png_raw(out["gray"])
+    assert g_img.shape == (4, 4, 1)
+    assert (g_img == gray[::2, ::2]).all()
 
 
 def test_sample_frames_real(spark):

@@ -207,6 +207,120 @@ def test_stateful_conv_dup_event_time_expiry_available_now(spark, tmp_path):
     )
 
 
+def test_stateful_conv_dup_event_time_expiry_non_utc_session(spark, tmp_path):
+    """State RETENTION must honor the event-time horizon on a non-UTC
+    session. applyInPandasWithState hands the worker tz-naive timestamps
+    in the SESSION zone while setTimeoutTimestamp speaks epoch-UTC; the
+    operator localizes before converting. Pre-fix, a west-of-UTC session
+    computed deadlines hours too low, so a conversation inside its idle
+    horizon (2h here, 1h gap) was dropped at the next watermark advance
+    and its repeat counted as fresh (0.0 instead of 1.0)."""
+    import datetime
+    import os
+
+    from redpajama_processor_spark.streaming.events import (
+        read_turns_stream,
+        run_available_now,
+        stream_conv_dup_ratio,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+        def ts(seconds):
+            return t0 + datetime.timedelta(seconds=seconds)
+
+        schema = "conv_id string, turn_idx int, text string, ts timestamp"
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def append(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def drain():
+            run_available_now(
+                stream_conv_dup_ratio(
+                    read_turns_stream(spark, src, schema),
+                    event_time_col="ts",
+                    event_idle_timeout_ms=7_200_000,  # 2h horizon
+                    watermark="1 second",
+                ),
+                out,
+                ckpt,
+            )
+
+        append([("c1", 0, "alpha line", ts(0)), ("c1", 1, "alpha line", ts(1))])
+        drain()
+        # another conversation 1h later: advances the watermark but stays
+        # INSIDE c1's 2h idle horizon — state must survive
+        append([("c9", 0, "other conv", ts(3600))])
+        drain()
+        append([("c1", 2, "alpha line", ts(3700))])
+        drain()
+
+        got = {
+            (r.conv_id, r.turn_idx): r.conv_dup_ratio
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got[("c1", 1)] == 1.0
+        assert got[("c1", 2)] == 1.0, (
+            "conversation inside its idle horizon must RETAIN state on a "
+            "non-UTC session (premature expiry = the tz-offset bug)"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stateful_conv_dup_event_time_null_ts_rows(spark, tmp_path):
+    """NULL event-time rows must not crash the worker (NaT has no epoch):
+    a batch whose max ts is NaT re-arms from the watermark instead."""
+    import datetime
+    import os
+
+    from redpajama_processor_spark.streaming.events import (
+        read_turns_stream,
+        run_available_now,
+        stream_conv_dup_ratio,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows = [
+        ("c1", 0, "alpha line", t0),
+        ("c1", 1, "alpha line", None),   # null ts inside a mixed batch
+        ("c2", 0, "solo", None),          # ALL-null conversation -> NaT max
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available_now(
+        stream_conv_dup_ratio(
+            read_turns_stream(spark, src, schema),
+            event_time_col="ts",
+            event_idle_timeout_ms=2_000,
+            watermark="1 second",
+        ),
+        out,
+        ckpt,
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r.conv_dup_ratio
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("c1", 1)] == 1.0  # null-ts row still processed + deduped
+    assert got[("c2", 0)] == 0.0
+
+
 def test_stateful_conv_dup_expiry_modes_mutually_exclusive(spark):
     import pytest
 
