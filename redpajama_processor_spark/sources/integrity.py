@@ -10,8 +10,10 @@ instead of a driver loop.
 Plan shape: `spark.read.format("binaryFile")` is a regular file-source scan
 (one partition per file up to maxPartitionBytes); classification is a
 mapInPandas over (path, content) — narrow, zero shuffle. The result is a
-tiny (file, status) table; the re-fetch side of fix_damaged_files is out of
-engine scope (sandbox has no network — see SURVEY §2.1 S12).
+tiny (file, status) table that feeds `refetch_damaged` (S12): the
+distributed fetch-with-retry/verify/atomic-replace repair loop, with the
+transport pluggable — filesystem mirror in this sandbox, HTTP as the
+real-world plug-in point (raises here: no network).
 
 Statuses: ok | bad_magic | truncated_gzip | bad_json (first decoded line
 fails json.loads) | empty.
@@ -84,3 +86,120 @@ def verify_gzip_dir(
     return files.select("path", "length", "content").mapInPandas(
         _classify, "path string, length long, status string"
     )
+
+
+# ---------------------------------------------------------------------------
+# S12 — re-fetch damaged shards with retry/backoff (distributed repair loop)
+# ---------------------------------------------------------------------------
+#
+# Reference parity: scripts/fix_damaged_files.py:73-130 re-downloads each
+# damaged shard and re-verifies it; scripts/smart_resume.sh:24-75 drives the
+# transfer with parallel workers and retries. The ENGINE part of that is the
+# distributed repair loop: fan the damaged-file list out to executors, fetch
+# with exponential backoff, re-verify with the same classifier, and replace
+# atomically (tmp + rename) so a killed run never leaves a half-written
+# shard. The TRANSPORT is a pluggable callable: `local_copy_transport` reads
+# from a mirror directory (the sandbox rendering — this container has no
+# network); `http_transport` is the real-world plug-in point and raises
+# naming the missing capability until one is provided.
+
+
+def local_copy_transport(src_root: str):
+    """Transport fetching file NAME from a mirror directory. Picklable
+    (module-level function via partial), runs on executors."""
+    import functools
+
+    return functools.partial(_local_copy_fetch, src_root)
+
+
+def _local_copy_fetch(src_root: str, name: str) -> bytes:
+    import os
+
+    with open(os.path.join(src_root, name), "rb") as f:
+        return f.read()
+
+
+def http_transport(base_url: str):
+    """Plug-in point for the reference's real re-download path. This
+    sandbox has no network, so constructing one raises immediately rather
+    than failing per-file inside executors."""
+    raise NotImplementedError(
+        "http_transport requires network access (urllib/requests against "
+        f"{base_url!r}); this environment has none — supply any callable "
+        "name -> bytes to refetch_damaged instead"
+    )
+
+
+def refetch_damaged(
+    report: DataFrame,
+    transport,
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+    check_json: bool = True,
+    status_col: str = "status",
+) -> DataFrame:
+    """Repair damaged shards: (path, status) report -> fetch + verify +
+    atomic replace on executors; returns (path, old_status, attempts,
+    refetch_status).
+
+    refetch_status: 'refetched' (fetched bytes classify ok and replaced
+    the shard), 'still_<status>' (every attempt fetched bytes that
+    re-classify damaged — the mirror itself is bad), or
+    'fetch_error:<ExcType>' (transport raised on the final attempt).
+    Attempts are per-file with exponential backoff (backoff_s * 2^i),
+    the smart_resume.sh retry shape. Only rows with status != 'ok' are
+    processed; the healthy rows pass through with attempts=0 and
+    refetch_status='ok'.
+
+    Scale shape: the damaged list is tiny relative to the corpus (it is
+    the OUTPUT of verify_gzip_dir's narrow scan); the repair loop is a
+    mapInPandas over that list — per-file work happens executor-side,
+    never a driver loop. Transport must be picklable (a partial over a
+    module function, not a lambda over open handles).
+    """
+    from collections.abc import Iterator as _It
+
+    out_schema = (
+        "path string, old_status string, attempts int, refetch_status string"
+    )
+
+    def _repair(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import os
+        import time
+
+        for b in batches:
+            rows = []
+            for path, old in zip(b["path"], b[status_col]):
+                if old == "ok":
+                    rows.append((path, old, 0, "ok"))
+                    continue
+                local = path[5:] if path.startswith("file:") else path
+                name = os.path.basename(local)
+                attempts, last = 0, None
+                for i in range(max_retries + 1):
+                    attempts = i + 1
+                    try:
+                        content = transport(name)
+                    except Exception as exc:  # transport decides retryable
+                        last = f"fetch_error:{type(exc).__name__}"
+                        if i < max_retries:
+                            time.sleep(backoff_s * (2 ** i))
+                        continue
+                    st = classify_gzip_file(content, check_json)
+                    if st == "ok":
+                        tmp = local + ".rp_refetch_tmp"
+                        with open(tmp, "wb") as f:
+                            f.write(content)
+                        os.replace(tmp, local)  # atomic: no half-written shard
+                        last = "refetched"
+                        break
+                    last = f"still_{st}"
+                    if i < max_retries:
+                        time.sleep(backoff_s * (2 ** i))
+                rows.append((path, old, attempts, last))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "old_status", "attempts", "refetch_status"],
+            )
+
+    return report.select("path", status_col).mapInPandas(_repair, out_schema)

@@ -313,3 +313,134 @@ def test_scale_generators_deterministic(spark):
         return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
 
     assert cos(v0, v32) > cos(v0, v1)
+
+
+class _FlakyTransport:
+    """Picklable transport failing the first `fail_times` calls per name
+    (per-task instance state — each file's retry loop runs inside one
+    task, which is exactly where the counter must live)."""
+
+    def __init__(self, src_root, fail_times):
+        self.src_root = src_root
+        self.fail_times = fail_times
+        self.calls = {}
+
+    def __call__(self, name):
+        import os
+
+        n = self.calls.get(name, 0)
+        self.calls[name] = n + 1
+        if n < self.fail_times:
+            raise IOError(f"transient fetch failure #{n} for {name}")
+        with open(os.path.join(self.src_root, name), "rb") as f:
+            return f.read()
+
+
+def test_refetch_damaged_repairs_and_reverifies(spark, tmp_path):
+    """S12 distributed repair loop: damaged shards are re-fetched from the
+    mirror, re-verified with the same classifier, and replaced atomically;
+    healthy shards pass through untouched."""
+    import gzip as gz
+
+    from redpajama_processor_spark.sources.integrity import (
+        local_copy_transport,
+        refetch_damaged,
+        verify_gzip_dir,
+    )
+
+    dest = tmp_path / "dest"
+    mirror = tmp_path / "mirror"
+    dest.mkdir(), mirror.mkdir()
+    payload = {}
+    for i in range(4):
+        payload[f"s{i}.json.gz"] = gz.compress(
+            (f'{{"id": {i}, "text": "shard {i}"}}\n' * 50).encode()
+        )
+    for name, data in payload.items():
+        (mirror / name).write_bytes(data)
+        (dest / name).write_bytes(data)
+    # damage two dest shards
+    (dest / "s1.json.gz").write_bytes(payload["s1.json.gz"][:40])  # truncated
+    (dest / "s2.json.gz").write_bytes(b"PKnot-gzip-at-all")        # bad magic
+
+    report = verify_gzip_dir(spark, str(dest / "*.json.gz"))
+    out = {
+        r.path.split("/")[-1]: r
+        for r in refetch_damaged(
+            report, local_copy_transport(str(mirror)), backoff_s=0.0
+        ).collect()
+    }
+    assert out["s0.json.gz"].refetch_status == "ok"
+    assert out["s0.json.gz"].attempts == 0
+    assert out["s1.json.gz"].refetch_status == "refetched"
+    assert out["s1.json.gz"].attempts == 1
+    assert out["s2.json.gz"].refetch_status == "refetched"
+    # repaired shards re-verify clean and carry the mirror bytes
+    again = {
+        r.path.split("/")[-1]: r.status
+        for r in verify_gzip_dir(spark, str(dest / "*.json.gz")).collect()
+    }
+    assert set(again.values()) == {"ok"}
+    assert (dest / "s1.json.gz").read_bytes() == payload["s1.json.gz"]
+
+
+def test_refetch_damaged_retries_with_backoff_then_succeeds(spark, tmp_path):
+    import gzip as gz
+
+    from redpajama_processor_spark.sources.integrity import (
+        refetch_damaged,
+        verify_gzip_dir,
+    )
+
+    dest = tmp_path / "dest"
+    mirror = tmp_path / "mirror"
+    dest.mkdir(), mirror.mkdir()
+    good = gz.compress(b'{"id": 1}\n' * 20)
+    (mirror / "x.json.gz").write_bytes(good)
+    (dest / "x.json.gz").write_bytes(good[:30])
+    report = verify_gzip_dir(spark, str(dest / "*.json.gz"))
+    rows = refetch_damaged(
+        report, _FlakyTransport(str(mirror), fail_times=2), backoff_s=0.0
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].refetch_status == "refetched"
+    assert rows[0].attempts == 3  # 2 transient failures + the success
+
+
+def test_refetch_damaged_bad_mirror_and_exhausted_transport(spark, tmp_path):
+    import gzip as gz
+
+    from redpajama_processor_spark.sources.integrity import (
+        http_transport,
+        local_copy_transport,
+        refetch_damaged,
+        verify_gzip_dir,
+    )
+    import pytest as _pytest
+
+    dest = tmp_path / "dest"
+    mirror = tmp_path / "mirror"
+    dest.mkdir(), mirror.mkdir()
+    good = gz.compress(b'{"id": 1}\n' * 20)
+    # mirror itself is damaged: refetch must report still_truncated_gzip
+    (mirror / "y.json.gz").write_bytes(good[:25])
+    (dest / "y.json.gz").write_bytes(good[:30])
+    report = verify_gzip_dir(spark, str(dest / "*.json.gz"))
+    rows = refetch_damaged(
+        report, local_copy_transport(str(mirror)),
+        max_retries=2, backoff_s=0.0,
+    ).collect()
+    assert rows[0].refetch_status == "still_truncated_gzip"
+    assert rows[0].attempts == 3  # max_retries + 1, then gave up
+    # the damaged dest shard was NOT replaced with damaged mirror bytes
+    assert (dest / "y.json.gz").read_bytes() == good[:30]
+
+    # exhausted transport errors surface as fetch_error:<ExcType>
+    rows = refetch_damaged(
+        report, _FlakyTransport(str(mirror), fail_times=99),
+        max_retries=1, backoff_s=0.0,
+    ).collect()
+    assert rows[0].refetch_status == "fetch_error:OSError"
+
+    with _pytest.raises(NotImplementedError, match="network"):
+        http_transport("https://example.com/shards/")
