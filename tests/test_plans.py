@@ -67,6 +67,37 @@ def test_ann_ivf_topk_reduction_is_bounded(spark, sf_dir):
     assert a["n_exchanges"] <= 2, a["n_exchanges"]
 
 
+def test_ann_ivf_single_assign_has_no_generate(spark, sf_dir):
+    """The n_assign=1 corpus assignment must stay the O(C) argmax: no
+    Generate (explode) node and no array_sort comparator in the plan —
+    review round 4 found the default path had silently started paying
+    a struct sort + explode-of-one-element-array. n_assign=2 is ALLOWED
+    a Generate (the multi-assign explode is its mechanism)."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.operators import ann as ANN
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    import re
+
+    def n_generate(plan):
+        ids = set(re.findall(r"\((\d+)\) Generate\b", plan))
+        return len(ids) if ids else plan.count("Generate")
+
+    # the bounded top-k's residue merge legitimately posexplodes (1
+    # Generate); the ASSIGNMENT must not add one at n_assign=1
+    one = audit_plan(ANN.ivf_topk(e, q, k=3, n_centroids=4, n_probe=2))
+    assert n_generate(one["plan"]) == 1, "n_assign=1 gained an explode"
+    assert "array_sort" not in one["plan"], "n_assign=1 pays the struct sort"
+    two = audit_plan(
+        ANN.ivf_topk(e, q, k=3, n_centroids=4, n_probe=2, n_assign=2)
+    )
+    assert n_generate(two["plan"]) == 2  # + the multi-assign explode
+
+
 def test_exact_dedup_no_cluster_window(spark, sf_dir):
     """Exact dedup must not rank clusters with a window (a 10^8-row
     boilerplate cluster would serialize into one task): clusters-only

@@ -179,3 +179,49 @@ def test_clean_duckdb_matches_python_on_mojibake(duck):
     got = dict(duck.execute(f"SELECT i, {duckdb_clean_sql('text')} FROM _moji").fetchall())
     for i, t in enumerate(corpus):
         assert got[i] == py_clean_text(t), repr(t)
+
+
+# ---------------------------------------------------------------------------
+# media codec round-trips (pure python, arbitrary shapes/contents)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+_img_shapes = st.tuples(
+    st.integers(min_value=1, max_value=24),  # h
+    st.integers(min_value=1, max_value=24),  # w
+    st.sampled_from([1, 3, 4]),              # channels (PNG)
+)
+
+
+@given(_img_shapes, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_any_shape(shape, seed):
+    """encode_png/decode_png_raw is lossless for every 8-bit shape and
+    channel count it claims to support (incl. 1-pixel rows, odd widths)."""
+    from redpajama_processor_spark.multimodal import decode_png_raw, encode_png
+
+    h, w, c = shape
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8
+    )
+    back = decode_png_raw(encode_png(img))
+    assert back.shape == (h, w, c)
+    assert (back == img).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """encode_bmp/decode_bmp is lossless for every (h, w) incl. widths
+    whose rows need 4-byte padding."""
+    from redpajama_processor_spark.multimodal import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert (decode_bmp(encode_bmp(img)) == img).all()
