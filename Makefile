@@ -1,10 +1,14 @@
-.PHONY: test test-fast bench package scaling clean
+.PHONY: test test-fast test-slow bench package scaling sf1 clean
 
 test:
 	python -m pytest tests/ -x -q
 
 test-fast:
 	python -m pytest tests/ -x -q -k "not contract and not pipeline"
+
+# adversarial-scale shapes (10^5..10^6 rows) + the 60k-turn F1 gate
+test-slow:
+	RP_SLOW=1 python -m pytest tests/test_adversarial_scale.py tests/test_pipeline.py -q
 
 bench:
 	python bench.py
@@ -16,6 +20,10 @@ package:
 
 scaling:
 	python BENCH/run_scaling.py
+
+# 10x scale-proof: pipeline at sf1, dedup family 50k->500k, ANN 20k->200k
+sf1:
+	python BENCH/run_sf1.py
 
 clean:
 	rm -rf dist .pytest_cache $(find . -name __pycache__)
