@@ -184,14 +184,17 @@ def decode_png_raw(payload: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+        elif ft == 1:  # Sub: a per-channel prefix sum mod 256 — vectorized
+            # (cumsum of int64 cannot overflow at 255 * stride)
+            cur = np.empty(stride, dtype=np.int32)
+            for c in range(nch):
+                cur[c::nch] = np.cumsum(line[c::nch], dtype=np.int64) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: true left-dependency, loop
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - nch] if x >= nch else 0
                 b = prev[x]
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) >> 1
                 else:
                     c0 = int(prev[x - nch]) if x >= nch else 0
