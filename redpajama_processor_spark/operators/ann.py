@@ -199,13 +199,13 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    centroids: str = "first_ids",
+    centroids: str = "kmeans",
     lloyd_rounds: int = 3,
-    n_assign: int = 1,
+    n_assign: int = 2,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every corpus vector to its nearest centroid
     (cosine, ties -> smallest centroid id), probe the n_probe nearest cells
@@ -244,7 +244,12 @@ def ivf_topk(
     sides) is the big lever, at the documented cost of an n_assign-times
     larger index and one extra candidate-dedup aggregation. The
     recommended budget (kmeans, n_assign=2, n_probe=6) clears the 0.8
-    recall floor with margin and is floor-asserted in the test.
+    recall floor with margin, is floor-asserted in the test, and IS THE
+    DEFAULT: calling ``ivf_topk(corpus, queries)`` with no kwargs gives
+    the 0.90-recall configuration. The 'first_ids' 1-assign/4-probe
+    budget remains available for the SQL-oracle rendering, which pins it
+    with explicit arguments at its call site (``__spark_entry__.py``
+    q_ann_ivf_topk) — the default is no longer coupled to the oracle.
     (Benchmarking note: with the fixture's default vec_id<10 queries,
     'first_ids' reads 0.94 — an artifact, those queries ARE its
     centroids, so each query's own cell contains its neighborhood;

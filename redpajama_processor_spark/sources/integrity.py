@@ -105,8 +105,10 @@ def verify_gzip_dir(
 
 
 def local_copy_transport(src_root: str):
-    """Transport fetching file NAME from a mirror directory. Picklable
-    (module-level function via partial), runs on executors."""
+    """Transport fetching a root-RELATIVE file path from a mirror directory
+    (nested subpaths resolve under src_root, mirroring the damaged tree's
+    layout). Picklable (module-level function via partial), runs on
+    executors."""
     import functools
 
     return functools.partial(_local_copy_fetch, src_root)
@@ -137,6 +139,7 @@ def refetch_damaged(
     backoff_s: float = 0.05,
     check_json: bool = True,
     status_col: str = "status",
+    root: str | None = None,
 ) -> DataFrame:
     """Repair damaged shards: (path, status) report -> fetch + verify +
     atomic replace on executors; returns (path, old_status, attempts,
@@ -150,6 +153,14 @@ def refetch_damaged(
     the smart_resume.sh retry shape. Only rows with status != 'ok' are
     processed; the healthy rows pass through with attempts=0 and
     refetch_status='ok'.
+
+    Transport keying: when ``root`` is given (the directory you scanned
+    with verify_gzip_dir), the transport is called with each shard's
+    ROOT-RELATIVE path — nested directories with colliding basenames
+    fetch the right mirror object, matching the reference's
+    relative-to-base-URL resolution (scripts/fix_damaged_files.py).
+    Without ``root`` the bare basename is used, which is only safe for
+    flat layouts (documented fallback, kept for single-directory scans).
 
     Scale shape: the damaged list is tiny relative to the corpus (it is
     the OUTPUT of verify_gzip_dir's narrow scan); the repair loop is a
@@ -174,7 +185,10 @@ def refetch_damaged(
                     rows.append((path, old, 0, "ok"))
                     continue
                 local = path[5:] if path.startswith("file:") else path
-                name = os.path.basename(local)
+                if root is not None:
+                    name = os.path.relpath(local, root)
+                else:
+                    name = os.path.basename(local)
                 attempts, last = 0, None
                 for i in range(max_retries + 1):
                     attempts = i + 1

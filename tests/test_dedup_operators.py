@@ -358,7 +358,10 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     rec = {}
     for strat in ("first_ids", "sample", "kmeans"):
         iv = nset(
-            ANN.ivf_topk(e, q, k=5, n_centroids=16, n_probe=4, centroids=strat)
+            ANN.ivf_topk(
+                e, q, k=5, n_centroids=16, n_probe=4, centroids=strat,
+                n_assign=1,
+            )
         )
         rec[strat] = len(bf & iv) / len(bf)
     assert rec["kmeans"] >= 0.55, rec
@@ -376,6 +379,13 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     rec["kmeans_2assign_6probe"] = len(bf & iv2) / len(bf)
     assert rec["kmeans_2assign_6probe"] >= 0.8, rec
     assert rec["kmeans_2assign_6probe"] > rec["kmeans"], rec
+    # the recommended budget IS the default: a bare ivf_topk(corpus,
+    # queries, k) call must be the exact same configuration (a user with
+    # no kwargs gets the 0.90-recall budget, not the oracle rendering)
+    default = nset(ANN.ivf_topk(e, q, k=5))
+    rec["default"] = len(bf & default) / len(bf)
+    assert default == iv2, "default budget drifted from the recommended one"
+    assert rec["default"] >= 0.8, rec
 
 
 def test_ivf_multi_assign_survives_dead_centroid(spark):

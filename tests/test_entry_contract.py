@@ -17,6 +17,24 @@ def test_every_oracle_has_query():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
 
 
+def test_every_oracle_inside_driver_window():
+    """Registry-order guard: the driver's correctness gate checks only the
+    FIRST 50 queries() entries, so every SQL-oracled entry must sit inside
+    that window. Round 3 silently lost 4 driver rows to an insertion above
+    position 50; this pins the invariant (VERDICT r4, 'What's wrong' #3).
+    If you add a 51st oracled query, you must merge or demote something."""
+    window = list(QUERIES)[:50]
+    outside = set(ORACLES) - set(window)
+    assert not outside, (
+        f"oracled queries pushed out of the driver's first-50 window: "
+        f"{sorted(outside)} — reorder queries() so every oracle_sql key "
+        f"is in the first 50 entries"
+    )
+    # the one rows-only entry stays last, after the 50 oracled ones
+    assert list(QUERIES)[-1] == "transcript_pipeline"
+    assert len(window) == 50 and set(window) == set(ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     spdf = QUERIES[name](spark, sf_dir).toPandas()

@@ -89,7 +89,9 @@ def test_ann_ivf_single_assign_has_no_generate(spark, sf_dir):
 
     # the bounded top-k's residue merge legitimately posexplodes (1
     # Generate); the ASSIGNMENT must not add one at n_assign=1
-    one = audit_plan(ANN.ivf_topk(e, q, k=3, n_centroids=4, n_probe=2))
+    one = audit_plan(
+        ANN.ivf_topk(e, q, k=3, n_centroids=4, n_probe=2, n_assign=1)
+    )
     assert n_generate(one["plan"]) == 1, "n_assign=1 gained an explode"
     assert "array_sort" not in one["plan"], "n_assign=1 pays the struct sort"
     two = audit_plan(

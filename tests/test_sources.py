@@ -384,6 +384,43 @@ def test_refetch_damaged_repairs_and_reverifies(spark, tmp_path):
     assert (dest / "s1.json.gz").read_bytes() == payload["s1.json.gz"]
 
 
+def test_refetch_damaged_nested_colliding_basenames(spark, tmp_path):
+    """Transport keying (ADVICE r4): two damaged shards in different
+    subdirectories share a basename; with root= given, each must fetch its
+    OWN mirror object via the root-relative path — basename keying would
+    repair both from whichever single mirror file matched the name."""
+    import gzip as gz
+
+    from redpajama_processor_spark.sources.integrity import (
+        local_copy_transport,
+        refetch_damaged,
+        verify_gzip_dir,
+    )
+
+    dest = tmp_path / "dest"
+    mirror = tmp_path / "mirror"
+    payload = {}
+    for sub in ("2023-06", "2023-14"):
+        (dest / sub).mkdir(parents=True)
+        (mirror / sub).mkdir(parents=True)
+        payload[sub] = gz.compress(
+            (f'{{"snapshot": "{sub}", "text": "shard"}}\n' * 40).encode()
+        )
+        (mirror / sub / "part0.json.gz").write_bytes(payload[sub])
+        # both dest copies damaged (truncated)
+        (dest / sub / "part0.json.gz").write_bytes(payload[sub][:35])
+
+    report = verify_gzip_dir(spark, str(dest / "*" / "*.json.gz"))
+    rows = refetch_damaged(
+        report, local_copy_transport(str(mirror)),
+        backoff_s=0.0, root=str(dest),
+    ).collect()
+    assert {r.refetch_status for r in rows} == {"refetched"}
+    # each subdir got ITS snapshot's bytes, not the other's
+    for sub in ("2023-06", "2023-14"):
+        assert (dest / sub / "part0.json.gz").read_bytes() == payload[sub]
+
+
 def test_refetch_damaged_retries_with_backoff_then_succeeds(spark, tmp_path):
     import gzip as gz
 
