@@ -160,11 +160,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan -> filter -> hash agg (map-side partial).
+    """TPC-H Q1 shape: scan -> filter -> grouped aggregation.
 
     Also carries the A3/A4 scalar-stats surface (min/max/median price
     per group — the former standalone lineitem_stats entry, merged here
-    so the driver's 50-query correctness budget covers every family)."""
+    so the driver's 50-query correctness budget covers every family).
+    Plan note: the folded-in F.percentile buffers per-group values, so
+    the aggregate executes as ObjectHashAggregate/sort-based rather than
+    the pure map-side-partial HashAggregate the sum/count-only Q1 shape
+    would get — the price of the median in one pass."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )

@@ -118,7 +118,11 @@ def encode_png(arr: np.ndarray) -> bytes:
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, c = arr.shape
-    assert c in (1, 3, 4) and arr.dtype == np.uint8
+    if c not in (1, 3, 4) or arr.dtype != np.uint8:
+        raise ValueError(
+            f"encode_png needs (h, w, {{1|3|4}}) uint8, got shape "
+            f"{arr.shape} dtype {arr.dtype}"
+        )
     color_type = {1: 0, 3: 2, 4: 6}[c]
     # one filter byte (0 = None) per scanline, then raw samples
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
@@ -131,16 +135,68 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _png_unfilter_wavefront(
+    line: np.ndarray, ft: np.ndarray, h: int, w: int, nch: int
+) -> np.ndarray:
+    """Invert per-row scanline filters when some rows use Average/Paeth.
+
+    Cell (y, p) — pixel-column p, all nch channels at once — depends only
+    on (y, p-1) [left], (y-1, p) [up] and (y-1, p-1) [up-left], all of
+    which sit on anti-diagonal t-1 where t = y + p. Every cell on an
+    anti-diagonal is therefore independent, so the image reconstructs in
+    h + w - 1 vectorized steps (each a min(h, w)-pixel gather/compute/
+    scatter) instead of a Python loop over every pixel — the round-4
+    per-pixel shape this replaces. Handles ALL five filter types, so
+    mixed adaptive-filtered rows (the libpng default) need no special
+    casing."""
+    stride = w * nch
+    # one zero row on top and one zero pixel on the left stand in for the
+    # spec's out-of-image-is-zero boundary, so no edge masking per step
+    out = np.zeros((h + 1, stride + nch), dtype=np.int32)
+    ch = np.arange(nch)
+    ps_all = np.arange(w)
+    all4 = bool((ft == 4).all())
+    all3 = bool((ft == 3).all())
+    for t in range(h + w - 1):
+        ps = ps_all[max(0, t - h + 1) : min(w - 1, t) + 1]
+        ys = t - ps
+        cols0 = ps[:, None] * nch + ch     # (m, nch) into `line`
+        rows0 = ys[:, None]                # (m, 1)
+        cols = cols0 + nch                 # margin-shifted into `out`
+        rows = rows0 + 1
+        a = out[rows, cols - nch]
+        b = out[rows - 1, cols]
+        c0 = out[rows - 1, cols - nch]
+        if all3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c0
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c0)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c0)
+            )
+            if not all4:  # mixed filter types along this anti-diagonal
+                f = ft[ys][:, None]
+                pred = np.select(
+                    [f == 0, f == 1, f == 2, f == 3],
+                    [0, a, b, (a + b) >> 1],
+                    pred,
+                )
+        out[rows, cols] = (line[rows0, cols0] + pred) & 0xFF
+    return out[1:, nch:].astype(np.uint8)
+
+
 def decode_png_raw(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, {1|3|4}) uint8 with the ORIGINAL channel count
     (gray / RGB / RGBA). Supports 8-bit, non-interlaced, all five scanline
     filters (None/Sub/Up/Average/Paeth). Palette, 16-bit and Adam7
     interlace raise NotImplementedError.
 
-    Filters Sub/Average/Paeth have a per-pixel left-dependency, so those
-    rows reconstruct in a Python loop over pixels; the encoder above
-    always emits filter 0, so round-trips stay vectorized. Up rows and
-    filter-0 rows are pure numpy."""
+    Fully vectorized for every filter mix: None/Sub/Up rows reconstruct
+    row-wise (Sub as a per-channel prefix sum); images containing
+    Average/Paeth rows — the libpng adaptive-filter common case — go
+    through the anti-diagonal wavefront (_png_unfilter_wavefront), h+w-1
+    numpy steps, no per-pixel Python."""
     if payload[:8] != PNG_MAGIC:
         raise NotImplementedError(
             f"not a PNG (magic {payload[:8]!r}); JPEG and friends need "
@@ -151,6 +207,11 @@ def decode_png_raw(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
+        if pos + 8 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk: {typ!r} declares {length} bytes but "
+                f"only {len(payload) - pos - 8} remain"
+            )
         data = payload[pos + 8 : pos + 8 + length]
         if typ == b"IHDR":
             w, h, bd, ct, _comp, _filt, interlace = struct.unpack(
@@ -173,38 +234,29 @@ def decode_png_raw(payload: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG IDAT size does not match IHDR dimensions")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    rpos = 0
-    for y in range(h):
-        ft = raw[rpos]
-        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
-        rpos += 1 + stride
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        if ft == 0:
-            cur = line
-        elif ft == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ft == 1:  # Sub: a per-channel prefix sum mod 256 — vectorized
-            # (cumsum of int64 cannot overflow at 255 * stride)
-            cur = np.empty(stride, dtype=np.int32)
-            for c in range(nch):
-                cur[c::nch] = np.cumsum(line[c::nch], dtype=np.int64) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: true left-dependency, loop
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                b = prev[x]
-                if ft == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c0 = int(prev[x - nch]) if x >= nch else 0
-                    p = a + b - c0
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
-                cur[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = cur.astype(np.uint8)
+    mat = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ft = mat[:, 0].astype(np.int32)
+    if ft.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter type {int(ft.max(initial=0))}")
+    if (ft >= 3).any():  # Average/Paeth present: anti-diagonal wavefront
+        out = _png_unfilter_wavefront(
+            mat[:, 1:].astype(np.int32), ft, h, w, nch
+        )
+    else:  # None/Sub/Up only: row-wise vectorized reconstruction
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            line = mat[y, 1:].astype(np.int32)
+            if ft[y] == 0:
+                cur = line
+            elif ft[y] == 1:  # Sub: per-channel prefix sum mod 256
+                # (cumsum in int64 cannot overflow at 255 * stride)
+                cur = np.empty(stride, dtype=np.int32)
+                for c in range(nch):
+                    cur[c::nch] = np.cumsum(line[c::nch], dtype=np.int64) & 0xFF
+            else:  # Up
+                prev = out[y - 1].astype(np.int32) if y else 0
+                cur = (line + prev) & 0xFF
+            out[y] = cur.astype(np.uint8)
     return out.reshape(h, w, nch).copy()
 
 
