@@ -217,6 +217,119 @@ def phase3() -> dict:
     return out
 
 
+def _events_path(n: int) -> str:
+    return f"/tmp/rp_bench/scale_events_{n}"
+
+
+def phase4() -> dict:
+    """Remaining headline operators at 10x (VERDICT r4 'Next round' #6):
+    pack_sequences / chunks / prepare_training / decontaminate on the
+    phase-2 docs corpora (50k -> 500k), asof join / sessionize on a
+    deterministic event stream (100k -> 1M events, constant ~70
+    events/user so user-count growth carries the scale)."""
+    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import (
+        gen_documents_spark,
+        gen_events_spark,
+    )
+    from redpajama_processor_spark.functions.tokens import ws_token_count_col
+    from redpajama_processor_spark.operators.asof import asof_join
+    from redpajama_processor_spark.operators.chunking import chunk_documents
+    from redpajama_processor_spark.operators.decontaminate import decontaminate
+    from redpajama_processor_spark.operators.packing import pack_sequences
+    from redpajama_processor_spark.prepare import prepare_training_data
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-ops", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    doc_sizes = (50_000, 500_000)
+    ev_sizes = (100_000, 1_000_000)
+    for n in doc_sizes:
+        p = _docs_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_documents_spark(spark, n).write.mode("overwrite").parquet(p)
+    for n in ev_sizes:
+        p = _events_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_events_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    # fixed-size benchmark set for decontamination (disjoint seed so the
+    # gram overlap is the organic kind, not identical texts)
+    bench = gen_documents_spark(spark, 500, seed=99).cache()
+    bench.count()
+
+    def sessionize(ev: DataFrame) -> DataFrame:
+        # same 30-min-gap lag + running-sum shape as q_events_sessionize
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        sec = F.col("ts").cast("timestamp_ltz").cast("long")
+        prev = F.lag(sec).over(w)
+        new_s = F.when(
+            prev.isNull() | ((sec - prev) > 1800), F.lit(1)
+        ).otherwise(F.lit(0))
+        return (
+            ev.withColumn("_new", new_s)
+            .withColumn(
+                "session_id",
+                F.sum("_new")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("long"),
+            )
+            .select("user_id", "event_id", "session_id")
+        )
+
+    out: dict = {"doc_sizes": list(doc_sizes), "ev_sizes": list(ev_sizes),
+                 "ops": {}}
+    timings: dict[str, dict[int, float]] = {}
+    for i, (nd, ne) in enumerate(zip(doc_sizes, ev_sizes)):
+        docs = spark.read.parquet(_docs_path(nd)).withColumns(
+            {
+                "n_tokens": ws_token_count_col(F.col("text")).cast("long"),
+                "source": (F.col("doc_id") % 4).cast("string"),
+            }
+        )
+        ev = spark.read.parquet(_events_path(ne))
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        _noop(docs.select("doc_id"))
+        _noop(ev.select("event_id"))
+        ops = {
+            "pack_sequences": lambda: _noop(
+                pack_sequences(docs, "n_tokens", 2048)
+            ),
+            "chunks": lambda: _noop(chunk_documents(docs, 256)),
+            "prepare_training": lambda: _noop(
+                prepare_training_data(docs, chunk_tokens=256)
+            ),
+            "decontaminate": lambda: _noop(decontaminate(docs, bench)),
+            "asof_join": lambda: _noop(
+                asof_join(clicks, purchases, key="user_id", ts="ts",
+                          right_payload=["value"])
+            ),
+            "sessionize": lambda: _noop(sessionize(ev)),
+        }
+        for name, fn in ops.items():
+            timings.setdefault(name, {})[i] = _timed(fn)
+    for name, t in timings.items():
+        ratio = t[1] / t[0]
+        per_unit = ratio / 10.0
+        out["ops"][name] = {
+            "t_small": t[0],
+            "t_big": t[1],
+            "ratio": round(ratio, 2),
+            "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -229,6 +342,9 @@ def main() -> None:
         _save(res)
     if phase in ("3", "all"):
         res["phase3_ann"] = phase3()
+        _save(res)
+    if phase in ("4", "all"):
+        res["phase4_ops"] = phase4()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

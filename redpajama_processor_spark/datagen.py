@@ -351,6 +351,45 @@ def gen_documents_spark(spark, n_docs: int, seed: int = SEED, partitions: int = 
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
+
+def gen_events_spark(
+    spark, n_events: int, n_users: int | None = None, seed: int = SEED,
+    partitions: int = 32,
+):
+    """Deterministic event stream mirroring the testdata events table
+    shape (5 event types, timestamps over 30 days, ~70 events/user at any
+    scale so the per-user window partitions stay constant-size while the
+    user count grows — the healthy 100TB shape). Pure vectorized hash
+    arithmetic per id: partition-invariant, no per-row rng."""
+    n_users = n_users or max(50, n_events // 70)
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+
+    def gen(batches):
+        base = pd.Timestamp("2024-01-01")
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mixed = (ids * 2654435761 + seed) & 0x7FFFFFFFFFFFFFFF
+            secs = (ids * 40503 + (seed % 97)) % (30 * 86400)
+            yield pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "ts": base + pd.to_timedelta(secs, unit="s"),
+                    "user_id": mixed % n_users,
+                    "event_type": types[ids % 5],
+                    "value": ((mixed // 7) % 10000) / 100.0,
+                }
+            )
+
+    return spark.range(0, n_events, numPartitions=partitions).mapInPandas(
+        gen, EVENTS_SCHEMA
+    )
+
+
 EMB_SCHEMA = "vec_id long, embedding array<float>"
 
 

@@ -137,6 +137,68 @@ def test_stateful_conv_dup_state_survives_restart(spark, tmp_path):
             assert got[(conv, t)] == v, (conv, t, got[(conv, t)], v)
 
 
+def test_stateful_conv_dup_out_of_order_arrival(spark, tmp_path):
+    """Late-turn semantics (VERDICT r4 'Next round' #5), pinning the
+    documented guarantee: a turn's row equals the batch operator iff every
+    occurrence of its lines in LOWER-indexed turns was processed before
+    it. Turn 4 arrives FIRST (its lines' earlier occurrences in flight)
+    -> its one row under-counts and is never retro-corrected; the late
+    turns 0 and 2 then arrive and must STILL be batch-equal (turn 2's
+    repeat judges against turn 0, processed earlier in the same sorted
+    batch, and the late arrival lowers first-seen indices so turn 5
+    afterwards is batch-equal too)."""
+    import os
+
+    from redpajama_processor_spark.operators.convdup import py_conv_dup_ratios
+    from redpajama_processor_spark.streaming.events import (
+        read_turns_stream,
+        run_available_now,
+        stream_conv_dup_ratio,
+    )
+
+    turns = [
+        (0, "shared line"),
+        (2, "shared line\nmid line"),
+        (4, "shared line\nmid line"),
+        (5, "shared line\nmid line"),
+    ]
+    batch_expected = py_conv_dup_ratios(turns)
+    assert batch_expected == {0: 0.0, 2: 0.5, 4: 1.0, 5: 1.0}
+
+    schema = "conv_id string, turn_idx int, text string"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain(rows):
+        spark.createDataFrame(
+            [("c1", t, x) for t, x in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_available_now(
+            stream_conv_dup_ratio(read_turns_stream(spark, src, schema)),
+            out,
+            ckpt,
+        )
+
+    drain([turns[2]])            # turn 4 first (out of order)
+    drain([turns[0], turns[1]])  # turns 0 and 2 arrive late
+    drain([turns[3]])            # turn 5 after state has re-converged
+
+    got = {
+        r.turn_idx: r.conv_dup_ratio
+        for r in spark.read.parquet(out).collect()
+    }
+    # premise violated only for turn 4: its row under-counts, stays emitted
+    assert got[4] == 0.0 and batch_expected[4] == 1.0
+    # every row whose lower-indexed line occurrences arrived first is
+    # batch-equal — including turn 2 (needs turn 0 from the SAME late
+    # batch) and turn 5 (needs the late arrivals to have lowered the
+    # first-seen indices to the true minimum)
+    for t in (0, 2, 5):
+        assert got[t] == batch_expected[t], (t, got[t], batch_expected[t])
+
+
 def test_stateful_conv_dup_event_time_expiry_available_now(spark, tmp_path):
     """EventTimeTimeout expiry under pure trigger(availableNow) drains —
     the mode ProcessingTimeTimeout cannot serve (it never terminates a
@@ -341,6 +403,35 @@ def test_stateful_conv_dup_expiry_modes_mutually_exclusive(spark):
         stream_conv_dup_ratio(
             stream, idle_timeout_ms=1000, event_time_col="ts"
         )
+
+
+def test_stateful_conv_dup_unbounded_state_warns(spark):
+    """The NoTimeout default stays opt-in (a ts-column default would break
+    every ts-less stream — see the operator docstring), so the bare call
+    must WARN that state is unbounded; either expiry mode silences it."""
+    import warnings
+
+    import pytest
+
+    from redpajama_processor_spark.streaming.events import (
+        stream_conv_dup_ratio,
+    )
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "CAST(value AS STRING) AS conv_id",
+            "CAST(value AS INT) AS turn_idx",
+            "'x' AS text",
+            "timestamp AS ts",
+        )
+    )
+    with pytest.warns(UserWarning, match="without state expiry"):
+        stream_conv_dup_ratio(stream)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        stream_conv_dup_ratio(stream, event_time_col="ts")
+        stream_conv_dup_ratio(stream, idle_timeout_ms=60_000)
 
 
 def test_stateful_conv_dup_idle_state_expires(spark, tmp_path):
