@@ -1,0 +1,662 @@
+"""Pure-numpy/stdlib baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Closes the largest NotImplementedError surface in multimodal.py: real-world
+image corpora are overwhelmingly baseline JPEG, and this container has no
+PIL/libjpeg. Everything here is derived from the public JPEG spec (ITU-T
+T.81 / ISO 10918-1) — segment grammar (B.2), Huffman entropy coding (F.2),
+the EXTEND procedure (F.2.2.1), restart markers (F.2.2.5) — plus the
+well-known Annex K example quantization/Huffman tables for the encoder.
+The reference repo has no codec code at all (it delegates to PIL); this is
+new surface, not a port.
+
+Decoder scope: baseline (SOF0) and extended-sequential (SOF1) Huffman
+scans, grayscale or YCbCr, any integer sampling factors (4:4:4 / 4:2:2 /
+4:2:0 ...), 8- and 16-bit quantization tables, restart intervals.
+Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
+NotImplementedError naming what is missing. Decoder correctness does NOT
+depend on the Annex K constants — quant and Huffman tables are always read
+from the file's own DQT/DHT segments.
+
+Throughput shape: Huffman entropy decode is inherently sequential (each
+code's length is unknown until decoded), so that stage is a tight Python
+loop per 8x8 block — same serialization libjpeg has, minus the C. The
+numeric stages that dominate for large images (dequantize, IDCT over all
+blocks at once, chroma upsample, YCbCr->RGB) are fully vectorized numpy
+(batched matmul IDCT). In the Spark pipeline this sits inside mapInPandas
+exactly like the PNG/BMP codecs — narrow, zero-shuffle, payloads never
+shuffled.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SOI = 0xD8
+EOI = 0xD9
+SOS = 0xDA
+DQT = 0xDB
+DRI = 0xDD
+DHT = 0xC4
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+def _zigzag() -> np.ndarray:
+    """Natural index of each zigzag position (T.81 Figure 5)."""
+    out = []
+    for s in range(15):
+        rows = range(s, -1, -1) if s % 2 == 0 else range(0, s + 1)
+        for r in rows:
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return np.array(out, dtype=np.int64)
+
+
+ZZ = _zigzag()          # zigzag position -> natural index
+INV_ZZ = np.argsort(ZZ)  # natural index -> zigzag position
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis A with A @ f @ A.T = forward, A.T @ F @ A = inverse."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    A = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    return A
+
+
+_A = _dct_matrix()
+
+# Annex K.1/K.2 example quantization tables (natural order, row-major)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 example Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbols in canonical order)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical code assignment."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the bit-at-a-time decoder."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (F.2.2: MSB-first, 0xFF byte-stuffed with 0x00)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (F.1.2.3)."""
+        if self.nbits:
+            self.write(0xFF, 8 - self.nbits)
+
+
+class _BitReader:
+    """Reads entropy-coded bits; stops at any non-RST marker; RST markers
+    (FFD0-FFD7) are surfaced via restart() so the caller can resync."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.at_marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else EOI
+            if nxt == 0x00:  # stuffed 0xFF data byte
+                self.pos += 2
+            else:            # a real marker terminates the bit supply
+                self.at_marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("truncated JPEG entropy segment")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Consume a RSTn marker at a restart-interval boundary (F.2.2.5):
+        discard the pad bits to the byte boundary, then require FFD0-FFD7."""
+        self.acc = 0
+        self.nbits = 0
+        self.at_marker = None
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                self.pos += 2
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError(
+                        f"expected JPEG restart marker, got FF{m:02X}"
+                    )
+                return
+            self.pos += 1
+        raise ValueError("truncated JPEG: missing restart marker")
+
+
+def _extend(value: int, nbits: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the nbits received value to its signed
+    coefficient."""
+    if nbits == 0:
+        return 0
+    if value < (1 << (nbits - 1)):
+        return value - (1 << nbits) + 1
+    return value
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed coefficient -> (category nbits, nbits-wide code)."""
+    nbits = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << nbits) - 1
+    return nbits, code
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline/extended-sequential JPEG bytes -> (h, w, 3) uint8 RGB or
+    (h, w, 1) uint8 grayscale (original component count preserved, like
+    decode_png_raw). Tables are read from the file's own DQT/DHT segments."""
+    if payload[:2] != bytes([0xFF, SOI]):
+        raise NotImplementedError(
+            f"not a JPEG (magic {payload[:2]!r})"
+        )
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == EOI:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > n:
+            raise ValueError(
+                f"truncated JPEG segment FF{marker:02X}: declares {seglen} "
+                f"bytes but only {n - pos - 2} remain"
+            )
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == DQT:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq:  # 16-bit precision
+                    vals = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
+                    off += 128
+                else:
+                    vals = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
+                    off += 64
+                q = np.empty(64, dtype=np.int64)
+                q[ZZ] = vals  # stored zigzagged; keep natural order
+                qtables[tq] = q
+        elif marker == DHT:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision unsupported (8-bit only)"
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fw, fh, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) unsupported — needs PIL; plug in "
+                "via the lazy-init pattern in functions/langid.py"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF FF{marker:02X} unsupported (baseline/"
+                "extended-sequential Huffman only)"
+            )
+        elif marker == DRI:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == SOS:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cs] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(
+                payload, pos + 2 + seglen, frame, scan, qtables,
+                htables, restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
+    fw, fh, comps = frame
+    nc = len(comps)
+    if nc not in (1, 3):
+        raise NotImplementedError(
+            f"{nc}-component JPEG unsupported (grayscale or YCbCr only)"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    reader = _BitReader(data, pos)
+    # zigzag-order coefficient store per component, filled by the
+    # sequential entropy loop; all numeric work happens after, vectorized
+    coefs = [
+        np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int32)
+        for (_, hs, vs, _) in comps
+    ]
+    try:
+        tabs = [
+            (htables[(0, scan[cid][0])], htables[(1, scan[cid][1])])
+            for (cid, _, _, _) in comps
+        ]
+    except KeyError as e:
+        raise ValueError(f"JPEG scan references missing Huffman table {e}")
+    pred = [0] * nc
+    mcus_done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcus_done and mcus_done % ri == 0:
+                reader.restart()
+                pred = [0] * nc
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                dc_tab, ac_tab = tabs[ci]
+                row_blocks = mcux * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coefs[ci][
+                            (my * vs + by) * row_blocks + mx * hs + bx
+                        ]
+                        t = reader.read_symbol(dc_tab)
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run past end of block"
+                                )
+                            blk[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+            mcus_done += 1
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError(f"JPEG component references missing DQT {tq}")
+        q = qtables[tq]
+        nat = np.zeros_like(coefs[ci])
+        nat[:, ZZ] = coefs[ci]  # de-zigzag to natural order
+        deq = (nat * q[None, :]).astype(np.float64).reshape(-1, 8, 8)
+        spatial = _A.T[None] @ deq @ _A[None]  # batched IDCT
+        by, bx = mcuy * vs, mcux * hs
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # crop to this component's true size, then nearest-upsample to full
+        cw = -(-fw * hs // hmax)
+        ch = -(-fh * vs // vmax)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(fh) * vs // vmax).clip(0, ch - 1)
+        xs = (np.arange(fw) * hs // hmax).clip(0, cw - 1)
+        planes.append(plane[ys][:, xs])
+    if nc == 1:
+        out = planes[0] + 128.0
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)[..., None]
+    y = planes[0] + 128.0
+    cb = planes[1]
+    cr = planes[2]
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture-grade: Annex K tables, quality scaling, 4:4:4 or 4:2:0)
+# ---------------------------------------------------------------------------
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling (public formula): 1..100 -> table."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) -> (blocks, 64) int32 quantized
+    coefficients in NATURAL order; H, W multiples of 8."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    F = _A[None] @ blocks @ _A.T[None]
+    return np.rint(F.reshape(-1, 64) / q[None, :]).astype(np.int32)
+
+
+def _segment(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w)/(h, w, 1) uint8 gray -> baseline JPEG.
+
+    quality: 1-100 (Annex K tables scaled by the public libjpeg formula).
+    subsample: '444' (no chroma subsampling) or '420' (2x2, box-averaged).
+    restart_interval: MCUs between RSTn markers (0 = none).
+    """
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    if c not in (1, 3) or arr.dtype != np.uint8:
+        raise ValueError(
+            f"encode_jpeg needs (h, w, {{1|3}}) uint8, got shape "
+            f"{arr.shape} dtype {arr.dtype}"
+        )
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
+    gray = c == 1
+    qy = _scaled_qtable(_QT_LUMA, quality)
+    qc = _scaled_qtable(_QT_CHROMA, quality)
+    sub = 2 if (subsample == "420" and not gray) else 1
+
+    x = arr.astype(np.float64)
+    if gray:
+        planes = [x[..., 0] - 128.0]
+    else:
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        ycc = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        planes = [ycc[0]]
+        for p in ycc[1:]:
+            if sub == 2:  # box-average 2x2, edge-padded to even first
+                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                p = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+            planes.append(p)
+
+    # pad each plane to a whole number of MCUs (edge replication)
+    comps = []  # (quantized (blocks,64) natural-order, hs, vs, blocks_x)
+    for ci, p in enumerate(planes):
+        # luma carries the sampling factor (2 in 4:2:0) and pads to the full
+        # MCU edge; already-subsampled chroma pads to a plain 8-block edge
+        hs = vs = sub if ci == 0 else 1
+        mult = 8 * hs
+        ph = -(-p.shape[0] // mult) * mult
+        pw = -(-p.shape[1] // mult) * mult
+        p = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        qt = qy if ci == 0 else qc
+        comps.append((_fdct_quant(p, qt), hs, vs, p.shape[1] // 8))
+
+    # ---- entropy encode ----
+    dc_tabs = [_canonical_codes(*_HT_DC_LUMA)] + (
+        [] if gray else [_canonical_codes(*_HT_DC_CHROMA)] * 2
+    )
+    ac_tabs = [_canonical_codes(*_HT_AC_LUMA)] + (
+        [] if gray else [_canonical_codes(*_HT_AC_CHROMA)] * 2
+    )
+    hmax = max(cc[1] for cc in comps)
+    vmax = max(cc[2] for cc in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    mcus_done = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = [0] * len(comps)
+            for ci, (coef, hs, vs, bxr) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coef[(my * vs + by) * bxr + mx * hs + bx]
+                        zz = blk[ZZ]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, code = _magnitude(diff)
+                        hc, hl = dc_tabs[ci][t]
+                        bw.write(hc, hl)
+                        if t:
+                            bw.write(code, t)
+                        nz = np.nonzero(zz[1:])[0]
+                        k = 1
+                        for pos_nz in nz + 1:
+                            run = int(pos_nz) - k
+                            while run >= 16:
+                                hc, hl = ac_tabs[ci][0xF0]  # ZRL
+                                bw.write(hc, hl)
+                                run -= 16
+                            s, code = _magnitude(int(zz[pos_nz]))
+                            hc, hl = ac_tabs[ci][(run << 4) | s]
+                            bw.write(hc, hl)
+                            bw.write(code, s)
+                            k = int(pos_nz) + 1
+                        if k < 64:
+                            hc, hl = ac_tabs[ci][0x00]  # EOB
+                            bw.write(hc, hl)
+            mcus_done += 1
+    bw.flush()
+
+    # ---- assemble segments ----
+    def dqt_body(tq: int, q: np.ndarray) -> bytes:
+        return bytes([tq]) + bytes(int(v) for v in q[ZZ])
+
+    def dht_body(tc: int, th: int, table: tuple) -> bytes:
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sos = bytes([nc])
+    for ci in range(nc):
+        hs = vs = sub if ci == 0 else 1
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (fixed for baseline)
+
+    out = bytearray(bytes([0xFF, SOI]))
+    out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(DQT, dqt_body(0, qy))
+    if not gray:
+        out += _segment(DQT, dqt_body(1, qc))
+    out += _segment(DHT, dht_body(0, 0, _HT_DC_LUMA))
+    out += _segment(DHT, dht_body(1, 0, _HT_AC_LUMA))
+    if not gray:
+        out += _segment(DHT, dht_body(0, 1, _HT_DC_CHROMA))
+        out += _segment(DHT, dht_body(1, 1, _HT_AC_CHROMA))
+    if restart_interval:
+        out += _segment(DRI, struct.pack(">H", restart_interval))
+    out += _segment(0xC0, sof)
+    out += _segment(SOS, sos)
+    out += bw.out
+    out += bytes([0xFF, EOI])
+    return bytes(out)

@@ -10,17 +10,20 @@ working decoders for the formats that need no external library:
          54-byte header + bottom-up rows padded to 4 bytes); PNG, 8-bit
          gray/RGB/RGBA non-interlaced — stdlib zlib inflate + the five
          scanline filters (None/Sub/Up/Average/Paeth) reconstructed in
-         numpy, no external lib
+         numpy, no external lib; baseline JPEG (sequential DCT, gray or
+         YCbCr, any sampling factors, restart intervals) via the pure-numpy
+         T.81 codec in jpeg.py
   audio  WAV, PCM 16-bit (RIFF/fmt/data chunk walk)
   video  RAWBMPV: a minimal public container = the ASCII magic ``RBMV`` +
          uint32 frame count + concatenated BMP frames. Stands in for a real
          container the way the bigram LM stands in for KenLM — the Spark
          plumbing (frame explode, per-frame rows, sampling) is identical.
 
-Genuinely-external compressed formats (JPEG/MP3/MP4...) still raise
-NotImplementedError with the payload magic in the message — decoding those
-requires PIL/ffmpeg, which this environment does not ship; the lazy-init
-pattern to plug them in is the fastText pattern in functions/langid.py.
+Genuinely-external compressed formats (WebP/AVIF, progressive JPEG, MP3,
+MP4...) still raise NotImplementedError with the payload magic in the
+message — decoding those requires PIL/ffmpeg, which this environment does
+not ship; the lazy-init pattern to plug them in is the fastText pattern in
+functions/langid.py.
 
 Schema convention:
   media(media_id string, kind string, payload binary,
@@ -45,6 +48,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from redpajama_processor_spark import jpeg
+
+JPEG_MAGIC = b"\xff\xd8"
+
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
@@ -62,7 +69,11 @@ RAWBMPV_MAGIC = b"RBMV"
 def encode_bmp(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError(
+            f"encode_bmp needs (h, w, 3) uint8, got shape {arr.shape} "
+            f"dtype {arr.dtype}"
+        )
     row_size = (w * 3 + 3) & ~3
     img_size = row_size * h
     header = struct.pack(
@@ -274,21 +285,28 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP or PNG -> (h, w, 3) uint8 RGB.
-    Anything else raises NotImplementedError naming the missing lib."""
+    """Magic-dispatched image decode: BMP, PNG or baseline JPEG ->
+    (h, w, 3) uint8 RGB. Anything else raises NotImplementedError naming
+    the missing lib."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == JPEG_MAGIC:
+        img = jpeg.decode_jpeg(payload)
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        return img
     raise NotImplementedError(
-        f"unsupported image format (magic {payload[:8]!r}); JPEG etc. "
+        f"unsupported image format (magic {payload[:8]!r}); WebP/AVIF etc. "
         "need PIL — plug in via the lazy-init pattern in langid.py"
     )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono samples -> PCM-16 WAV bytes."""
-    assert samples.dtype == np.int16
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav needs int16 samples, got {samples.dtype}")
     data = samples.tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     return (
@@ -460,6 +478,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 if p[:8] == PNG_MAGIC:
                     img = resize_nearest(decode_png_raw(p), width, height)
                     payloads.append(bytearray(encode_png(img)))
+                elif p[:2] == JPEG_MAGIC:
+                    img = resize_nearest(jpeg.decode_jpeg(p), width, height)
+                    payloads.append(
+                        bytearray(jpeg.encode_jpeg(img[..., 0] if
+                                                   img.shape[2] == 1 else img))
+                    )
                 else:
                     img = resize_nearest(decode_image(p), width, height)
                     payloads.append(bytearray(encode_bmp(img)))

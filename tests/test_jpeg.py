@@ -1,0 +1,234 @@
+"""Baseline JPEG codec (jpeg.py) — unit + Spark integration tests.
+
+The decoder is validated two independent ways: (1) encoder round-trip PSNR
+floors across quality/subsampling/restart settings, and (2) a BYTE-LEVEL
+hand-constructed fixture (built directly from T.81 segment grammar, not via
+encode_jpeg) whose decoded output is computable analytically — so a shared
+encoder/decoder bug cannot cancel out.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark.jpeg import (
+    _HT_AC_LUMA,
+    _HT_DC_LUMA,
+    ZZ,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse) if mse else 99.0
+
+
+def gradient_image(h=41, w=53, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [yy * 255 / h, xx * 255 / w, (yy + xx) * 255 / (h + w)], axis=-1
+    )
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# round trips (encoder + decoder together)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "quality,subsample,floor",
+    [(95, "444", 36.0), (90, "444", 34.0), (90, "420", 32.0), (75, "420", 30.0)],
+)
+def test_rgb_roundtrip_psnr(quality, subsample, floor):
+    img = gradient_image()
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    assert dec.shape == img.shape
+    assert psnr(img, dec) > floor
+
+
+def test_gray_roundtrip():
+    gray = gradient_image()[..., 0]
+    dec = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dec.shape == (*gray.shape, 1)
+    assert psnr(gray, dec[..., 0]) > 35.0
+
+
+def test_nonmultiple_of_mcu_dims():
+    # 4:2:0 MCUs are 16x16; exercise every padding remainder mod 16
+    for h, w in [(17, 31), (8, 8), (9, 16), (16, 9), (1, 1), (5, 37)]:
+        img = gradient_image(h, w)
+        dec = decode_jpeg(encode_jpeg(img, quality=92, subsample="420"))
+        assert dec.shape == (h, w, 3)
+        assert psnr(img, dec) > 26.0
+
+
+def test_restart_interval_bitstream_equivalence():
+    img = gradient_image()
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 3, 7):
+        with_rst = decode_jpeg(
+            encode_jpeg(img, quality=90, restart_interval=ri)
+        )
+        assert np.array_equal(plain, with_rst)
+
+
+def test_flat_image_near_lossless():
+    img = np.full((24, 24, 3), 137, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert int(np.abs(dec.astype(int) - 137).max()) <= 1
+
+
+def test_high_detail_survives():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsample="444"))
+    # pure noise at q100: not faithful, but correlated well above chance
+    assert psnr(img, dec) > 20.0
+
+
+# ---------------------------------------------------------------------------
+# byte-level fixture (decoder alone; no encode_jpeg involvement)
+# ---------------------------------------------------------------------------
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _handmade_dc_only_jpeg(dc_category3_value=4, q0=16, pq16=False):
+    """Minimal 8x8 grayscale baseline JPEG, one block, DC-only, built
+    straight from the T.81 grammar. With quant[0]=q0 and DC diff d, the
+    decoded block is the constant round(d * q0 / 8) + 128 everywhere.
+
+    Bitstream with the Annex K DC-luma table: category 3 codes as '100'
+    (length 3), then the 3 magnitude bits; EOB in the AC-luma table is
+    '1010'. For d=4: 100 100 1010 + six 1-pad bits = 0x92 0xBF.
+    """
+    assert dc_category3_value in (4, 5, 6, 7)  # category-3 positives
+    qt = np.full(64, q0, dtype=np.int64)
+    if pq16:
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(v)) for v in qt[ZZ]
+        )
+    else:
+        dqt = bytes([0x00]) + bytes(int(v) for v in qt[ZZ])
+    bits_dc, vals_dc = _HT_DC_LUMA
+    bits_ac, vals_ac = _HT_AC_LUMA
+    dht = (
+        bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc)
+        + bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac)
+    )
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    bitstring = "100" + format(dc_category3_value, "03b") + "1010"
+    bitstring += "1" * (-len(bitstring) % 8)
+    entropy = int(bitstring, 2).to_bytes(len(bitstring) // 8, "big")
+    return (
+        bytes([0xFF, 0xD8])
+        + _seg(0xDB, dqt)
+        + _seg(0xC4, dht)
+        + _seg(0xC0, sof)
+        + _seg(0xDA, sos)
+        + entropy
+        + bytes([0xFF, 0xD9])
+    )
+
+
+@pytest.mark.parametrize("pq16", [False, True])
+def test_handmade_dc_only_block(pq16):
+    # DC diff 4, quant 16 -> dequant 64 -> IDCT constant 64/8=8 -> +128
+    img = decode_jpeg(_handmade_dc_only_jpeg(4, q0=16, pq16=pq16))
+    assert img.shape == (8, 8, 1)
+    assert np.array_equal(img, np.full((8, 8, 1), 136, dtype=np.uint8))
+
+
+def test_handmade_other_dc_values():
+    for d in (5, 6, 7):  # constant = d*16/8 + 128
+        img = decode_jpeg(_handmade_dc_only_jpeg(d, q0=16))
+        assert np.array_equal(img, np.full((8, 8, 1), 128 + 2 * d, np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# error surfaces
+# ---------------------------------------------------------------------------
+
+def test_progressive_raises():
+    payload = bytes([0xFF, 0xD8]) + _seg(
+        0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(payload)
+
+
+def test_truncated_segment_raises():
+    enc = bytearray(encode_jpeg(gradient_image(9, 9)))
+    with pytest.raises(ValueError, match="truncated|no SOS"):
+        decode_jpeg(bytes(enc[:40]))
+
+
+def test_truncated_entropy_raises():
+    enc = encode_jpeg(gradient_image(33, 33))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg(b"RIFFxxxxWAVE")
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="encode_jpeg"):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="encode_jpeg"):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.float32))
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsample="422")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (same mapInPandas plumbing as BMP/PNG/WAV)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_through_extract_features(spark):
+    from redpajama_processor_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _image_feature,
+        extract_features,
+    )
+
+    imgs = {f"j-{i}": gradient_image(16 + i, 24, seed=i) for i in range(4)}
+    rows = [
+        (mid, "image", bytearray(encode_jpeg(img, quality=92)),
+         (img.shape[1], img.shape[0], None, None))
+        for mid, img in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    feats = {r.media_id: np.array(r.feature) for r in
+             extract_features(media, fake=False, dim=16).collect()}
+    assert set(feats) == set(imgs)
+    for mid, img in imgs.items():
+        expected = _image_feature(
+            decode_jpeg(encode_jpeg(img, quality=92)), 16
+        )
+        assert np.allclose(feats[mid], expected)
+
+
+def test_jpeg_through_resize_images(spark):
+    from redpajama_processor_spark.multimodal import MEDIA_SCHEMA, resize_images
+
+    img = gradient_image(20, 28)
+    media = spark.createDataFrame(
+        [("j-0", "image", bytearray(encode_jpeg(img)), (28, 20, None, None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, 8, 8).collect()
+    assert len(out) == 1
+    p = bytes(out[0].payload)
+    assert p[:2] == b"\xff\xd8"  # stays JPEG
+    dec = decode_jpeg(p)
+    assert dec.shape == (8, 8, 3)
+    assert out[0].meta.width == 8 and out[0].meta.height == 8
