@@ -190,8 +190,19 @@ def test_decode_image_dispatch():
     img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
     assert (decode_image(encode_bmp(img)) == img).all()
     assert (decode_image(encode_png(img)) == img).all()
+    # JPEG dispatches to the real codec since round 5 (lossy: check shape
+    # + closeness, exactness is test_jpeg.py's job)
+    from redpajama_processor_spark.jpeg import encode_jpeg
+
+    flat = np.full((6, 8, 3), 90, dtype=np.uint8)
+    out = decode_image(encode_jpeg(flat, quality=95))
+    assert out.shape == flat.shape
+    assert int(np.abs(out.astype(int) - 90).max()) <= 1
+    # gray JPEG expands to 3 channels through the dispatch contract
+    assert decode_image(encode_jpeg(flat[..., 0], quality=95)).shape == flat.shape
+    # genuinely-external formats still raise with the magic in the message
     with pytest.raises(NotImplementedError, match="magic"):
-        decode_image(b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 32)
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
 
 
 def test_wav_roundtrip():
