@@ -337,11 +337,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == EOI:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: standalone
+            pos += 2
+            continue
+        if pos + 4 > n:
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         if pos + 2 + seglen > n:
@@ -421,6 +429,11 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
         raise NotImplementedError(
             f"{nc}-component JPEG unsupported (grayscale or YCbCr only)"
         )
+    if nc == 1:
+        # single-component scans are non-interleaved (T.81 A.2.2): one data
+        # unit per MCU, blocks in plain raster order with NO MCU padding —
+        # declared sampling factors are irrelevant (libjpeg ignores them)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))

@@ -186,6 +186,30 @@ def test_handmade_other_dc_values():
 # error surfaces
 # ---------------------------------------------------------------------------
 
+def test_gray_declared_sampling_ignored():
+    """A single-component frame is non-interleaved: declared sampling
+    factors must be ignored (T.81 A.2.2; libjpeg behavior). 17x9 makes the
+    block count differ between the two interpretations (6 raster blocks vs
+    8 MCU-padded), so the wrong reading fails to decode."""
+    gray = gradient_image(9, 17)[..., 0]
+    enc = bytearray(encode_jpeg(gray, quality=90))
+    sof_at = bytes(enc).index(bytes([0xFF, 0xC0]))
+    assert enc[sof_at + 11] == 0x11  # h=1, v=1 as written
+    enc[sof_at + 11] = 0x22  # declare h=2, v=2
+    assert np.array_equal(decode_jpeg(bytes(enc)),
+                          decode_jpeg(encode_jpeg(gray, quality=90)))
+
+
+def test_marker_fill_bytes_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    decoders must skip them (libjpeg does)."""
+    enc = encode_jpeg(gradient_image(9, 9), quality=90)
+    # inject fill bytes before the SOF0 marker
+    sof_at = enc.index(bytes([0xFF, 0xC0]))
+    padded = enc[:sof_at] + b"\xff\xff\xff" + enc[sof_at:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
 def test_progressive_raises():
     payload = bytes([0xFF, 0xD8]) + _seg(
         0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
