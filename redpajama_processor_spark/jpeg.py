@@ -9,13 +9,21 @@ well-known Annex K example quantization/Huffman tables for the encoder.
 The reference repo has no codec code at all (it delegates to PIL); this is
 new surface, not a port.
 
-Decoder scope: baseline (SOF0) and extended-sequential (SOF1) Huffman
-scans, grayscale or YCbCr, any integer sampling factors (4:4:4 / 4:2:2 /
-4:2:0 ...), 8- and 16-bit quantization tables, restart intervals.
-Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
+Decoder scope: baseline (SOF0), extended-sequential (SOF1) AND progressive
+(SOF2: spectral selection + successive approximation per Annex G — DC/AC
+first and refinement scans, EOB runs, interleaved and non-interleaved
+geometry) Huffman scans, grayscale or YCbCr, any integer sampling factors
+(4:4:4 / 4:2:2 / 4:2:0 ...), 8- and 16-bit quantization tables, restart
+intervals. Arithmetic coding, 12-bit precision and CMYK raise
 NotImplementedError naming what is missing. Decoder correctness does NOT
 depend on the Annex K constants — quant and Huffman tables are always read
 from the file's own DQT/DHT segments.
+
+The encoder can emit progressive too (``progressive=True``: a
+libjpeg-style scan script with per-scan OPTIMAL Huffman tables built by
+the Annex K.2 procedure), quantizing identically to the sequential path —
+so progressive and sequential encodings of one image decode bit-for-bit
+equal, which is the two-sided validation the tests lean on.
 
 Throughput shape: Huffman entropy decode is inherently sequential (each
 code's length is unknown until decoded). It is kept fast the way libjpeg
@@ -211,12 +219,15 @@ class _BitWriter:
             self.write(0xFF, 8 - self.nbits)
 
 
-def _split_entropy(payload: bytes, pos: int) -> list[bytes]:
+def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Destuff the entropy-coded stream ONCE up front: split on RSTn
     restart markers (each split point is a byte-aligned resync per
     F.2.2.5), strip the FF00 byte stuffing inside each segment, stop at
     the first non-RST marker. Turns per-bit marker checks in the hot
-    decode loop into one numpy scan + bytes.replace."""
+    decode loop into one numpy scan + bytes.replace. Returns (segments,
+    end) where end is the payload offset of the terminating marker's 0xFF
+    (len(payload) if the data runs out) — progressive decoding resumes the
+    segment walk there."""
     buf = np.frombuffer(payload, np.uint8)[pos:]
     segments: list[bytes] = []
     start = 0
@@ -230,10 +241,10 @@ def _split_entropy(payload: bytes, pos: int) -> list[bytes]:
             payload[pos + start : pos + j].replace(b"\xff\x00", b"\xff")
         )
         if not (0xD0 <= nxt <= 0xD7):
-            return segments  # end of scan
+            return segments, min(pos + j, len(payload))  # end of scan
         start = j + 2
     segments.append(payload[pos + start :].replace(b"\xff\x00", b"\xff"))
-    return segments
+    return segments, len(payload)
 
 
 class _BitReader:
@@ -243,10 +254,10 @@ class _BitReader:
     the used>limit check, so a truncated stream still raises cleanly."""
 
     __slots__ = ("segments", "seg_idx", "data", "i", "n", "acc", "nbits",
-                 "limit", "used")
+                 "limit", "used", "end")
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.segments = _split_entropy(data, pos)
+        self.segments, self.end = _split_entropy(data, pos)
         self._load(0)
 
     def _load(self, k: int) -> None:
@@ -324,9 +335,13 @@ def _magnitude(v: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JPEG bytes -> (h, w, 3) uint8 RGB or
-    (h, w, 1) uint8 grayscale (original component count preserved, like
-    decode_png_raw). Tables are read from the file's own DQT/DHT segments."""
+    """Baseline (SOF0), extended-sequential (SOF1) or progressive (SOF2)
+    JPEG bytes -> (h, w, 3) uint8 RGB or (h, w, 1) uint8 grayscale
+    (original component count preserved, like decode_png_raw). Tables are
+    read from the file's own DQT/DHT segments. Progressive files decode
+    scan by scan into one persistent coefficient store (spectral selection
+    + successive approximation per T.81 Annex G); a truncated progressive
+    file renders whatever scans arrived, like libjpeg/browsers do."""
     if payload[:2] != bytes([0xFF, SOI]):
         raise NotImplementedError(
             f"not a JPEG (magic {payload[:2]!r})"
@@ -334,6 +349,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    coefs = None
+    geom = None
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -381,7 +399,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + nv])
                 htables[(tc, th)] = _decode_lut(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(
@@ -392,16 +410,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fw, fh, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) unsupported — needs PIL; plug in "
-                "via the lazy-init pattern in functions/langid.py"
-            )
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF FF{marker:02X} unsupported (baseline/"
-                "extended-sequential Huffman only)"
+                "extended-sequential/progressive Huffman only)"
             )
         elif marker == DRI:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -413,16 +427,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan, qtables,
-                htables, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, scan, qtables,
+                    htables, restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if geom is None:
+                geom = _geometry(frame)
+                _, _, _, mcux, mcuy = geom
+                coefs = [
+                    np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int32)
+                    for (_, hs, vs, _) in geom[0]
+                ]
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, geom, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, htables, restart_interval, coefs,
             )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
+    if coefs is not None:
+        return _reconstruct(frame, geom, qtables, coefs)
     raise ValueError("JPEG has no SOS scan")
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
+def _geometry(frame):
+    """(normalized comps, hmax, vmax, mcux, mcuy) for a frame. Single-
+    component frames are non-interleaved (T.81 A.2.2): one data unit per
+    MCU, blocks in plain raster order with NO MCU padding — declared
+    sampling factors are irrelevant (libjpeg ignores them)."""
     fw, fh, comps = frame
     nc = len(comps)
     if nc not in (1, 3):
@@ -430,14 +465,19 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
             f"{nc}-component JPEG unsupported (grayscale or YCbCr only)"
         )
     if nc == 1:
-        # single-component scans are non-interleaved (T.81 A.2.2): one data
-        # unit per MCU, blocks in plain raster order with NO MCU padding —
-        # declared sampling factors are irrelevant (libjpeg ignores them)
         comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
+    return comps, hmax, vmax, mcux, mcuy
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
+    fw, fh, _ = frame
+    geom = _geometry(frame)
+    comps, hmax, vmax, mcux, mcuy = geom
+    nc = len(comps)
     reader = _BitReader(data, pos)
     # zigzag-order coefficient store per component, filled by the
     # sequential entropy loop; all numeric work happens after, vectorized
@@ -488,6 +528,15 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
                             blk[k] = _extend(reader.read_bits(s), s)
                             k += 1
             mcus_done += 1
+    return _reconstruct(frame, geom, qtables, coefs)
+
+
+def _reconstruct(frame, geom, qtables, coefs):
+    """Zigzag coefficient stores -> pixels: dequantize, batched-matmul
+    IDCT, crop, nearest-upsample, YCbCr->RGB — all vectorized numpy."""
+    fw, fh, _ = frame
+    comps, hmax, vmax, mcux, mcuy = geom
+    nc = len(comps)
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         if tq not in qtables:
@@ -528,8 +577,256 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, ri):
 
 
 # ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G: spectral selection + successive
+# approximation, DC/AC first + refinement scans, EOB runs)
+# ---------------------------------------------------------------------------
+
+def _scan_block_order(scan_cis, samplings, strides, fw, fh, hmax, vmax,
+                      mcux, mcuy):
+    """Yield tuples of (ci, block_index) — one tuple per MCU (the restart
+    unit). Multi-component scans interleave over the full MCU grid;
+    single-component scans are non-interleaved: raster order over the
+    component's OWN block grid (ceil(cw/8) x ceil(ch/8), T.81 A.2.2), no
+    MCU padding. block_index addresses the MCU-padded per-component store
+    (row stride = strides[ci]), which the non-interleaved grid prefixes."""
+    if len(scan_cis) == 1:
+        ci = scan_cis[0]
+        hs, vs = samplings[ci]
+        cw = -(-fw * hs // hmax)
+        ch = -(-fh * vs // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        st = strides[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                yield ((ci, by * st + bx),)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci in scan_cis:
+                    hs, vs = samplings[ci]
+                    st = strides[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit.append(
+                                (ci, (my * vs + by) * st + mx * hs + bx)
+                            )
+                yield tuple(unit)
+
+
+def _refine_nonzero(blk, k, p1, reader):
+    """Apply one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3 / the jdphuff rule): a 1-bit moves the value one step
+    away from zero at the current bit position, unless that bit is
+    already set."""
+    c = int(blk[k])
+    if reader.read_bits(1) and (c & p1) == 0:
+        blk[k] = c + (p1 if c >= 0 else -p1)
+
+
+def _decode_prog_scan(data, pos, frame, geom, scan, ss, se, ah, al,
+                      htables, ri, coefs):
+    """Decode ONE progressive scan into the persistent zigzag coefficient
+    stores; returns the payload offset of the terminating marker so the
+    caller's segment walk resumes. DC scans (Ss=0) may interleave several
+    components; AC scans are single-component per T.81 G.1."""
+    fw, fh, _ = frame
+    comps, hmax, vmax, mcux, mcuy = geom
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    try:
+        scan_cis = [cid_to_ci[cid] for cid in scan]
+    except KeyError as e:
+        raise ValueError(f"JPEG scan references unknown component {e}")
+    samplings = [(hs, vs) for (_, hs, vs, _) in comps]
+    strides = [mcux * hs for (hs, _) in samplings]
+    order = _scan_block_order(
+        scan_cis, samplings, strides, fw, fh, hmax, vmax, mcux, mcuy
+    )
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:  # DC first: diff-coded (V >> Al), like sequential
+            try:
+                tabs = {
+                    ci: htables[(0, scan[comps[ci][0]][0])]
+                    for ci in scan_cis
+                }
+            except KeyError as e:
+                raise ValueError(f"JPEG scan needs missing DC table {e}")
+            pred = {ci: 0 for ci in scan_cis}
+            done = 0
+            for unit in order:
+                if ri and done and done % ri == 0:
+                    reader.restart()
+                    pred = {ci: 0 for ci in scan_cis}
+                for ci, idx in unit:
+                    t = reader.read_symbol(tabs[ci])
+                    pred[ci] += _extend(reader.read_bits(t), t)
+                    coefs[ci][idx, 0] = pred[ci] << al
+                done += 1
+        else:  # DC refinement: one raw bit per block (G.1.2.1)
+            done = 0
+            for unit in order:
+                if ri and done and done % ri == 0:
+                    reader.restart()
+                for ci, idx in unit:
+                    if reader.read_bits(1):
+                        coefs[ci][idx, 0] |= 1 << al
+                done += 1
+        return reader.end
+    # ---- AC scans ----
+    if len(scan_cis) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"bad progressive spectral band {ss}..{se}")
+    ci = scan_cis[0]
+    try:
+        tab = htables[(1, scan[comps[ci][0]][1])]
+    except KeyError as e:
+        raise ValueError(f"JPEG scan needs missing AC table {e}")
+    store = coefs[ci]
+    eobrun = 0
+    done = 0
+    if ah == 0:  # AC first scan at this Al (G.1.2.2): values land <<Al
+        for unit in order:
+            if ri and done and done % ri == 0:
+                reader.restart()
+                eobrun = 0
+            done += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = store[unit[0][1]]
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (
+                        reader.read_bits(r) if r else 0
+                    )
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run past band end")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        return reader.end
+    # AC refinement (G.1.2.3): newly-significant coefficients arrive as
+    # +-(1<<Al); already-nonzero ones each consume one correction bit.
+    p1 = 1 << al
+    for unit in order:
+        if ri and done and done % ri == 0:
+            reader.restart()
+            eobrun = 0
+        done += 1
+        blk = store[unit[0][1]]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_symbol(tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (
+                            reader.read_bits(r) if r else 0
+                        )
+                        break  # rest of block under the EOB-run rule below
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid JPEG refinement magnitude category"
+                        )
+                    val = p1 if reader.read_bits(1) else -p1
+                # advance over r zero-history coefficients, refining every
+                # nonzero-history one passed along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_nonzero(blk, k, p1, reader)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # EOB-run block: correction bits only
+                if blk[k] != 0:
+                    _refine_nonzero(blk, k, p1, reader)
+                k += 1
+            eobrun -= 1
+    return reader.end
+
+
+# ---------------------------------------------------------------------------
 # encoder (fixture-grade: Annex K tables, quality scaling, 4:4:4/4:2:2/4:2:0)
 # ---------------------------------------------------------------------------
+
+def _optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table from symbol frequencies —
+    the public T.81 Annex K.2 procedure: pairwise least-frequency merging
+    with the chained codesize bookkeeping (Figure K.1), the BITS
+    adjustment to the 16-bit limit (Figure K.3), and the reserved
+    pseudo-symbol 256 that guarantees the all-ones code stays unassigned
+    (B.2.4.2). Returns (BITS[1..16], HUFFVAL)."""
+    if not any(freq):
+        return [0] * 16, []
+    freq = list(freq) + [1]  # slot 256: reserved, never emitted
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # least-frequency symbol; ties -> largest value (K.2 note)
+        c1, v = -1, None
+        for i, f in enumerate(freq):
+            if f and (v is None or f <= v):
+                v, c1 = f, i
+        c2, v = -1, None
+        for i, f in enumerate(freq):
+            if f and i != c1 and (v is None or f <= v):
+                v, c2 = f, i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    for i in range(32, 16, -1):  # Figure K.3: fold lengths > 16 down
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code
+    huffval = [
+        s for s in sorted(range(256), key=lambda s: (codesize[s], s))
+        if codesize[s]
+    ]
+    return bits[1:17], huffval
+
 
 def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
     """libjpeg-style quality scaling (public formula): 1..100 -> table."""
@@ -555,19 +852,224 @@ def _segment(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
+# ---- progressive encoding (T.81 Annex G, encoder side) --------------------
+#
+# Each scan runs TWICE through the same emitter: a frequency-count pass
+# that feeds _optimal_table, then the real encode pass — the standard
+# two-pass "optimized coding" shape. sym(tid, s) emits a Huffman symbol
+# for table tid; bits(v, n) emits n raw bits.
+
+def _emit_dc_first(order, zz, al, sym, bits):
+    pred = {}
+    for unit in order:
+        for ci, idx in unit:
+            v = int(zz[ci][idx, 0]) >> al  # DC point transform: arith shift
+            diff = v - pred.get(ci, 0)
+            pred[ci] = v
+            t, code = _magnitude(diff)
+            sym(0 if ci == 0 else 1, t)
+            if t:
+                bits(code, t)
+
+
+def _emit_dc_refine(order, zz, al, sym, bits):
+    for unit in order:
+        for ci, idx in unit:
+            bits((int(zz[ci][idx, 0]) >> al) & 1, 1)
+
+
+def _flush_eobrun(state, tid, sym, bits):
+    """Emit the pending EOBn symbol + its buffered correction bits."""
+    eobrun, buf = state
+    if eobrun:
+        n = eobrun.bit_length() - 1
+        sym(tid, n << 4)
+        if n:
+            bits(eobrun - (1 << n), n)
+    for b in buf:
+        bits(b, 1)
+    state[0] = 0
+    state[1] = []
+
+
+def _emit_ac_first(order, zz, ci, ss, se, al, sym, bits):
+    tid = 0 if ci == 0 else 1
+    state = [0, []]  # [eobrun, buffered bits] (bits unused in first scans)
+    for unit in order:
+        band = zz[ci][unit[0][1], ss : se + 1]
+        r = 0
+        for v in band.tolist():
+            t = abs(v) >> al  # AC point transform: magnitude shift
+            if t == 0:
+                r += 1
+                continue
+            _flush_eobrun(state, tid, sym, bits)
+            while r > 15:
+                sym(tid, 0xF0)  # ZRL
+                r -= 16
+            s, code = _magnitude(t if v > 0 else -t)
+            sym(tid, (r << 4) | s)
+            bits(code, s)
+            r = 0
+        if r:
+            state[0] += 1
+            if state[0] == 0x7FFF:
+                _flush_eobrun(state, tid, sym, bits)
+    _flush_eobrun(state, tid, sym, bits)
+
+
+def _emit_ac_refine(order, zz, ci, ss, se, al, sym, bits):
+    """The jcphuff-style refinement pass rebuilt from G.1.2.3: newly
+    significant coefficients (shifted magnitude == 1) are coded with
+    zero-history run lengths; already-significant ones contribute one
+    buffered correction bit each, appended after the next emitted symbol;
+    blocks with nothing new join the EOB run (their correction bits are
+    buffered until the run flushes)."""
+    tid = 0 if ci == 0 else 1
+    state = [0, []]  # [eobrun, run-buffered correction bits (BE)]
+    for unit in order:
+        band = zz[ci][unit[0][1], ss : se + 1].tolist()
+        absval = [abs(v) >> al for v in band]
+        eob = 0  # 1 + offset of the last newly-significant coefficient
+        for off, t in enumerate(absval):
+            if t == 1:
+                eob = off + 1
+        r = 0
+        cur: list[int] = []  # correction bits since the last symbol (BR)
+        for off, v in enumerate(band):
+            t = absval[off]
+            if t == 0:
+                r += 1
+                continue
+            # a pending ZRL must flush at the FIRST nonzero coefficient —
+            # correction or new — so buffered correction bits stay on the
+            # decoder's side of the ZRL's 16-zero advance (the jcphuff
+            # ordering); runs past the last new coefficient fold into the
+            # EOB run instead
+            while r > 15 and off < eob:
+                _flush_eobrun(state, tid, sym, bits)
+                sym(tid, 0xF0)
+                r -= 16
+                for b in cur:
+                    bits(b, 1)
+                cur = []
+            if t > 1:  # history-nonzero: one correction bit, buffered
+                cur.append(t & 1)
+                continue
+            _flush_eobrun(state, tid, sym, bits)
+            sym(tid, (r << 4) | 1)
+            bits(1 if v > 0 else 0, 1)
+            for b in cur:
+                bits(b, 1)
+            cur = []
+            r = 0
+        if r or cur:
+            state[0] += 1
+            state[1].extend(cur)
+            if state[0] == 0x7FFF or len(state[1]) > 900:
+                _flush_eobrun(state, tid, sym, bits)
+    _flush_eobrun(state, tid, sym, bits)
+
+
+def _encode_progressive(comps, gray, w, h) -> bytes:
+    """Scan-script encode: DHT(s) + SOS + entropy bytes per scan, with
+    per-scan optimal Huffman tables. The script mirrors libjpeg's default
+    (DC first at Al=1; AC spectral bands at Al>0; AC refinements; DC
+    refinement) so a round-trip exercises every Annex G decoder path."""
+    zz = [c[0][:, ZZ] for c in comps]
+    samplings = [(hs, vs) for (_, hs, vs, _) in comps]
+    strides = [bxr for (_, _, _, bxr) in comps]
+    hmax = max(hs for hs, _ in samplings)
+    vmax = max(vs for _, vs in samplings)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if gray:
+        script = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", [0], 1, 5, 0, 2),
+            ("ac", [0], 6, 63, 0, 2),
+            ("ac", [0], 1, 63, 2, 1),
+            ("dcr", [0], 0, 0, 1, 0),
+            ("ac", [0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", [0], 1, 5, 0, 2),
+            ("ac", [2], 1, 63, 0, 1),
+            ("ac", [1], 1, 63, 0, 1),
+            ("ac", [0], 6, 63, 0, 2),
+            ("ac", [0], 1, 63, 2, 1),
+            ("dcr", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", [2], 1, 63, 1, 0),
+            ("ac", [1], 1, 63, 1, 0),
+            ("ac", [0], 1, 63, 1, 0),
+        ]
+    out = bytearray()
+    for kind, cis, ss, se, ah, al in script:
+        def run(sym, bits):
+            order = _scan_block_order(
+                cis, samplings, strides, w, h, hmax, vmax, mcux, mcuy
+            )
+            if kind == "dc":
+                _emit_dc_first(order, zz, al, sym, bits)
+            elif kind == "dcr":
+                _emit_dc_refine(order, zz, al, sym, bits)
+            elif ah == 0:
+                _emit_ac_first(order, zz, cis[0], ss, se, al, sym, bits)
+            else:
+                _emit_ac_refine(order, zz, cis[0], ss, se, al, sym, bits)
+
+        bw_ = _BitWriter()
+        if kind == "dcr":  # raw bits only: no Huffman table needed
+            run(lambda tid, s: None, bw_.write)
+        else:
+            freqs: dict[int, list[int]] = {}
+            def _count(tid, s):
+                freqs.setdefault(tid, [0] * 256)[s] += 1
+            run(_count, lambda v, n: None)
+            tables = {tid: _optimal_table(f) for tid, f in freqs.items()}
+            codes = {tid: _canonical_codes(*t) for tid, t in tables.items()}
+            tc = 0 if kind == "dc" else 1
+            for tid in sorted(tables):
+                b, v = tables[tid]
+                out += _segment(
+                    DHT, bytes([(tc << 4) | tid]) + bytes(b) + bytes(v)
+                )
+            run(lambda tid, s: bw_.write(*codes[tid][s]), bw_.write)
+        bw_.flush()
+        sosb = bytes([len(cis)])
+        for ci in cis:
+            tid = 0 if ci == 0 else 1
+            td, ta = (tid, 0) if kind in ("dc", "dcr") else (0, tid)
+            sosb += bytes([ci + 1, (td << 4) | ta])
+        sosb += bytes([ss, se, (ah << 4) | al])
+        out += _segment(SOS, sosb) + bytes(bw_.out)
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB or (h, w)/(h, w, 1) uint8 gray -> baseline JPEG.
+    """(h, w, 3) uint8 RGB or (h, w)/(h, w, 1) uint8 gray -> JPEG bytes.
 
     quality: 1-100 (Annex K tables scaled by the public libjpeg formula).
     subsample: '444' (no chroma subsampling), '422' (2x1 horizontal) or
     '420' (2x2) — chroma is box-averaged.
-    restart_interval: MCUs between RSTn markers (0 = none).
+    restart_interval: MCUs between RSTn markers (0 = none; sequential only).
+    progressive: emit an SOF2 multi-scan file (spectral selection +
+    successive approximation, per-scan optimal Huffman tables). The
+    quantized coefficients are identical to the sequential encoding, so
+    decode(progressive) == decode(sequential) bit-for-bit.
     """
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart_interval is not supported with progressive encoding"
+        )
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, c = arr.shape
@@ -621,6 +1123,25 @@ def encode_jpeg(
         )
         qt = qy if ci == 0 else qc
         comps.append((_fdct_quant(p, qt), hs, vs, p.shape[1] // 8))
+
+    if progressive:
+        def dqt_body(tq: int, q: np.ndarray) -> bytes:
+            return bytes([tq]) + bytes(int(v) for v in q[ZZ])
+
+        nc = 1 if gray else 3
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for ci in range(nc):
+            chs, cvs = (sh, sv) if ci == 0 else (1, 1)
+            sof += bytes([ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1])
+        out = bytearray(bytes([0xFF, SOI]))
+        out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _segment(DQT, dqt_body(0, qy))
+        if not gray:
+            out += _segment(DQT, dqt_body(1, qc))
+        out += _segment(0xC2, sof)
+        out += _encode_progressive(comps, gray, w, h)
+        out += bytes([0xFF, EOI])
+        return bytes(out)
 
     # ---- entropy encode ----
     dc_tabs = [_canonical_codes(*_HT_DC_LUMA)] + (

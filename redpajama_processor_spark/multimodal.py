@@ -10,16 +10,17 @@ working decoders for the formats that need no external library:
          54-byte header + bottom-up rows padded to 4 bytes); PNG, 8-bit
          gray/RGB/RGBA non-interlaced — stdlib zlib inflate + the five
          scanline filters (None/Sub/Up/Average/Paeth) reconstructed in
-         numpy, no external lib; baseline JPEG (sequential DCT, gray or
-         YCbCr, any sampling factors, restart intervals) via the pure-numpy
-         T.81 codec in jpeg.py
+         numpy, no external lib; JPEG — baseline/extended-sequential AND
+         progressive (SOF2 spectral selection + successive approximation),
+         gray or YCbCr, any sampling factors, restart intervals — via the
+         pure-numpy T.81 codec in jpeg.py
   audio  WAV, PCM 16-bit (RIFF/fmt/data chunk walk)
   video  RAWBMPV: a minimal public container = the ASCII magic ``RBMV`` +
          uint32 frame count + concatenated BMP frames. Stands in for a real
          container the way the bigram LM stands in for KenLM — the Spark
          plumbing (frame explode, per-frame rows, sampling) is identical.
 
-Genuinely-external compressed formats (WebP/AVIF, progressive JPEG, MP3,
+Genuinely-external compressed formats (WebP/AVIF, MP3,
 MP4...) still raise NotImplementedError with the payload magic in the
 message — decoding those requires PIL/ffmpeg, which this environment does
 not ship; the lazy-init pattern to plug them in is the fastText pattern in

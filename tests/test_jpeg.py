@@ -210,11 +210,11 @@ def test_marker_fill_bytes_tolerated():
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
 
 
-def test_progressive_raises():
+def test_progressive_without_scans_raises():
     payload = bytes([0xFF, 0xD8]) + _seg(
         0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg(payload)
 
 
@@ -281,6 +281,195 @@ def test_encoder_input_validation():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.float32))
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsample="411")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): the encoder quantizes identically to sequential, so
+# progressive decode must equal sequential decode BIT-FOR-BIT — a much
+# stronger oracle than PSNR; any error in either side's Annex G logic
+# (EOB runs, refinement bit order, non-interleaved geometry) breaks it
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("subsample", ["444", "422", "420"])
+@pytest.mark.parametrize("quality", [70, 90, 100])
+def test_progressive_equals_sequential(subsample, quality):
+    img = gradient_image(41, 53)
+    seq = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsample=subsample,
+                    progressive=True)
+    )
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_equals_sequential_odd_dims():
+    # partial MCUs on both axes: non-interleaved AC scans cover the
+    # component block grid, interleaved DC covers the padded MCU grid
+    for h, w in [(17, 31), (9, 16), (16, 9), (1, 1), (5, 37)]:
+        img = gradient_image(h, w, seed=h * 100 + w)
+        for sub in ("420", "422"):
+            seq = decode_jpeg(encode_jpeg(img, quality=88, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=88, subsample=sub, progressive=True)
+            )
+            assert np.array_equal(seq, prog), (h, w, sub)
+
+
+def test_progressive_gray():
+    gray = gradient_image(23, 19)[..., 0]
+    seq = decode_jpeg(encode_jpeg(gray, quality=90))
+    prog = decode_jpeg(encode_jpeg(gray, quality=90, progressive=True))
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_sparse_long_eob_runs():
+    # near-empty blocks: the AC scans are dominated by EOBn (n>0) runs
+    # and the refinement scans by EOB-run correction bits
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[30, 30] = 255
+    img[5, 50] = 128
+    seq = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=85, subsample="420", progressive=True)
+    )
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_dense_noise():
+    # q100 noise: nearly every coefficient significant — ZRL-in-refinement
+    # and correction-bit ordering get maximum exercise
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    seq = decode_jpeg(encode_jpeg(img, quality=100, subsample="444"))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=100, subsample="444", progressive=True)
+    )
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_smaller_than_sequential_on_photo():
+    # per-scan optimal tables should beat the fixed Annex K tables on
+    # photographic content (that is why real encoders default progressive)
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = np.clip(
+        np.stack([yy, xx, yy + xx], -1) % 256 * 0.7
+        + rng.normal(0, 10, (128, 128, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    seq = encode_jpeg(img, quality=90, subsample="420")
+    prog = encode_jpeg(img, quality=90, subsample="420", progressive=True)
+    assert len(prog) < len(seq)
+
+
+def test_progressive_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        quality=st.sampled_from([70, 85, 95]),
+        subsample=st.sampled_from(["444", "422", "420"]),
+    )
+    def check(h, w, seed, quality, subsample):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, size=3)
+        img = np.clip(
+            base[None, None, :] + rng.normal(0, 12, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        seq = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsample=subsample)
+        )
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsample=subsample,
+                        progressive=True)
+        )
+        assert np.array_equal(seq, prog)
+
+    check()
+
+
+def test_progressive_restart_interval_unsupported():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(
+            gradient_image(9, 9), progressive=True, restart_interval=2
+        )
+
+
+def test_progressive_decode_throughput_floor():
+    """Progressive decode makes several entropy passes, so it is slower
+    than baseline (~0.20 vs ~1.0 MPix/s measured on a 256x256 4:2:0 q90);
+    floor at 0.03 MPix/s — ~7x headroom for this host's documented 2-5x
+    swings, but loud if a per-bit or per-pixel Python shape sneaks in."""
+    import time
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:256, 0:256]
+    img = np.clip(
+        np.stack([yy, xx, yy + xx], -1) % 256 * 0.7
+        + rng.normal(0, 10, (256, 256, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    payload = encode_jpeg(img, quality=90, subsample="420", progressive=True)
+    decode_jpeg(payload)  # warm
+    t0 = time.perf_counter()
+    decode_jpeg(payload)
+    dt = time.perf_counter() - t0
+    mpix = 256 * 256 / dt / 1e6
+    assert mpix >= 0.03, f"progressive JPEG decode at {mpix:.3f} MPix/s"
+
+
+# ---- byte-level progressive fixtures (decoder alone; no encode_jpeg) ------
+
+def _handmade_progressive_gray(dc_value=4, refine_bit=None, q0=16):
+    """Minimal 8x8 grayscale SOF2 JPEG built straight from the T.81
+    grammar: a DC-first scan at Al=1 coding diff `dc_value` (category 3),
+    optionally followed by a DC refinement scan (Ah=1, Al=0) delivering
+    one raw bit. No AC scans — a legally truncated progressive stream.
+
+    Decoded DC coefficient = (dc_value << 1) | refine_bit, so the block is
+    the constant round(DC * q0 / 8) + 128.
+    """
+    assert dc_value in (4, 5, 6, 7)  # category-3 positives
+    qt = np.full(64, q0, dtype=np.int64)
+    dqt = bytes([0x00]) + bytes(int(v) for v in qt[ZZ])
+    bits_dc, vals_dc = _HT_DC_LUMA
+    dht = bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out = bytearray(bytes([0xFF, 0xD8]))
+    out += _seg(0xDB, dqt)
+    out += _seg(0xC4, dht)
+    out += _seg(0xC2, sof)
+    # DC first scan: Ss=0 Se=0 Ah=0 Al=1; category 3 = '100', 3 value bits
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    bitstring = "100" + format(dc_value, "03b")
+    bitstring += "1" * (-len(bitstring) % 8)
+    out += int(bitstring, 2).to_bytes(len(bitstring) // 8, "big")
+    if refine_bit is not None:
+        # DC refinement scan: Ss=0 Se=0 Ah=1 Al=0; ONE raw bit
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        # one bit + 1-padding: 0xFF needs byte stuffing (F.1.2.3)
+        out += bytes([0xFF, 0x00]) if refine_bit else bytes([0x7F])
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
+def test_handmade_progressive_dc_first_only():
+    # DC diff 4 at Al=1 -> coefficient 8; dequant 128 -> constant 16 + 128
+    img = decode_jpeg(_handmade_progressive_gray(4))
+    assert img.shape == (8, 8, 1)
+    assert np.array_equal(img, np.full((8, 8, 1), 144, dtype=np.uint8))
+
+
+def test_handmade_progressive_dc_refined():
+    # refinement bit 1: coefficient (4<<1)|1 = 9 -> dequant 144 -> 18+128
+    img = decode_jpeg(_handmade_progressive_gray(4, refine_bit=1))
+    assert np.array_equal(img, np.full((8, 8, 1), 146, dtype=np.uint8))
+    # refinement bit 0: coefficient stays 8
+    img0 = decode_jpeg(_handmade_progressive_gray(4, refine_bit=0))
+    assert np.array_equal(img0, np.full((8, 8, 1), 144, dtype=np.uint8))
 
 
 # ---------------------------------------------------------------------------
