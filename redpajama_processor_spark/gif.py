@@ -1,0 +1,334 @@
+"""Pure-numpy/stdlib GIF codec (GIF87a/GIF89a).
+
+GIF is the third of the big web image formats (after JPEG and PNG) and —
+unlike WebP/AVIF — needs nothing beyond variable-width LZW, so the engine
+decodes it for real. Everything here derives from the public GIF89a
+specification: the logical-screen / image-descriptor grammar, LSB-first
+variable-width LZW with CLEAR/EOI codes and the 12-bit ceiling, the
+4-pass row interlace, Graphic Control Extension transparency and frame
+disposal (none / keep / restore-background / restore-previous). The
+reference repo has no codec code at all (it delegates to PIL); this is
+new surface, not a port.
+
+Decoder scope: global and local color tables, any bit depth, interlaced
+frames, multi-frame animations composed onto the logical-screen canvas
+with correct disposal, transparent pixels, 87a and 89a. The encoder is
+fixture-grade: builds a global palette from the frames' unique colors
+(<= 256, else raises), optional interlace, multi-frame with per-frame
+delay and NETSCAPE looping — enough to round-trip every decoder path.
+
+Spark-side the codec sits behind multimodal.decode_image /
+extract_features / resize_images exactly like BMP/PNG/JPEG — inside
+mapInPandas, narrow, payloads never shuffled.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+# interlace passes: (first row, row step), GIF89a appendix E
+_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first bit packing, CLEAR/EOI, 12-bit max)
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """Concatenated image sub-block bytes -> uint8 index array of length
+    `expected`. Raises ValueError on codes outside the table or output
+    overrun (corrupt stream)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # placeholder None at the CLEAR/EOI slots keeps list index == code
+    base: list[bytes | None] = [bytes([i]) for i in range(clear)]
+    base += [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    i = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < code_size:
+            if i >= n:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # both sides widen when the next free slot needs one more bit
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"GIF LZW stream ended at {len(out)} of {expected} pixels"
+        )
+    return np.frombuffer(bytes(out[:expected]), np.uint8)
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """uint8 index array -> GIF LZW bytes (starts with CLEAR, ends with
+    EOI, resets the table when the 12-bit space fills)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prev = b""
+    for c in indices.tobytes():
+        cur = prev + bytes([c])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        # widen BEFORE this miss's assignment: the decoder's table lags
+        # the encoder's by one entry (its first code appends nothing), so
+        # the width change must align to the decoder's size — the giflib
+        # ordering (write code, then bump when the value about to be
+        # assigned no longer fits)
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        else:  # table full: reset (decoder mirrors on CLEAR)
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        prev = bytes([c])
+    if prev:
+        emit(table[prev], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Pack bytes into <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    """Rows arrive in 4-pass interlace order; restore natural order."""
+    h = idx.shape[0]
+    order = [y for start, step in _INTERLACE for y in range(start, h, step)]
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """GIF bytes -> list of full-canvas (h, w, 3) uint8 RGB frames,
+    composed with GIF89a disposal semantics (1/0 keep, 2 restore
+    background color, 3 restore previous canvas) and GCE transparency.
+    The initial canvas is the background color (the global table's
+    background index, black without a global table)."""
+    if payload[:6] not in GIF_MAGICS:
+        raise NotImplementedError(
+            f"not a GIF (magic {payload[:6]!r}); WebP/AVIF etc. need PIL — "
+            "plug in via the lazy-init pattern in langid.py"
+        )
+    w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.full((h, w, 3), bg_rgb, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    n_pay = len(payload)
+    while pos < n_pay:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                size = payload[pos]
+                gce_packed, _delay, tidx = struct.unpack_from(
+                    "<BHB", payload, pos + 1
+                )
+                disposal = (gce_packed >> 2) & 0x07
+                transparent = tidx if gce_packed & 0x01 else None
+                pos += 1 + size
+            while payload[pos]:  # skip (remaining) sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos
+            )
+            pos += 9
+            lct = None
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = np.frombuffer(
+                    payload, np.uint8, 3 * n, pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if left + fw > w or top + fh > h:
+                raise ValueError("GIF frame rectangle exceeds canvas")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                size = payload[pos]
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, fw * fh).reshape(fh, fw)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + fh, left : left + fw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = pal[idx][mask]
+            else:
+                region[:] = pal[idx]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            elif disposal == 3:
+                canvas = before
+            transparent = None
+            disposal = 0
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02X} at byte {pos - 1}")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture-grade)
+# ---------------------------------------------------------------------------
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    delay_cs: int = 10,
+    interlace: bool = False,
+    loop: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 frame or list of same-size frames -> GIF89a bytes.
+
+    Builds one global color table from the distinct colors across all
+    frames (raises ValueError beyond 256 — quantization is out of scope
+    for a fixture-grade encoder). Multi-frame output gets a NETSCAPE2.0
+    loop extension and a per-frame delay GCE.
+    """
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError(
+                f"encode_gif needs same-size (h, w, 3) uint8 frames, got "
+                f"{f.shape} {f.dtype}"
+            )
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif: {len(palette)} distinct colors exceed the "
+            "256-entry GIF palette (quantize first)"
+        )
+    depth = max(1, int(len(palette) - 1).bit_length())
+    table_n = 1 << depth
+    pal_bytes = palette.tobytes() + b"\x00" * (3 * (table_n - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_bytes
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0"
+        out += bytes([3, 1]) + struct.pack("<H", loop) + b"\x00"
+    per = w * h
+    min_code = max(2, depth)
+    for fi, _ in enumerate(frames):
+        idx = inverse[fi * per : (fi + 1) * per].astype(np.uint8).reshape(h, w)
+        if len(frames) > 1:
+            out += b"\x21\xf9" + bytes([4, 0]) + struct.pack(
+                "<H", delay_cs
+            ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        if interlace:
+            order = [
+                y for start, step in _INTERLACE for y in range(start, h, step)
+            ]
+            idx = idx[order]
+        out += bytes([min_code])
+        out += _sub_blocks(_lzw_encode(idx.flatten(), min_code))
+    out += b"\x3b"
+    return bytes(out)

@@ -7,13 +7,17 @@ payload-never-shuffled rule) is the same for any codec; this module ships
 working decoders for the formats that need no external library:
 
   image  BMP, 24-bit uncompressed BI_RGB (the format's spec is a fixed
-         54-byte header + bottom-up rows padded to 4 bytes); PNG, 8-bit
-         gray/RGB/RGBA non-interlaced — stdlib zlib inflate + the five
+         54-byte header + bottom-up rows padded to 4 bytes); PNG — every
+         legal IHDR combo: bit depths 1/2/4/8/16, gray / gray+alpha /
+         RGB / RGBA / palette (PLTE + tRNS), Adam7 interlace, all five
          scanline filters (None/Sub/Up/Average/Paeth) reconstructed in
-         numpy, no external lib; JPEG — baseline/extended-sequential AND
-         progressive (SOF2 spectral selection + successive approximation),
-         gray or YCbCr, any sampling factors, restart intervals — via the
-         pure-numpy T.81 codec in jpeg.py
+         numpy over stdlib zlib inflate; JPEG — baseline/
+         extended-sequential AND progressive (SOF2 spectral selection +
+         successive approximation), gray or YCbCr, any sampling factors,
+         restart intervals — via the pure-numpy T.81 codec in jpeg.py;
+         GIF — 87a/89a, global/local color tables, LZW, interlace,
+         transparency, multi-frame animations with disposal — via the
+         pure-numpy codec in gif.py
   audio  WAV, PCM 16-bit (RIFF/fmt/data chunk walk)
   video  RAWBMPV: a minimal public container = the ASCII magic ``RBMV`` +
          uint32 frame count + concatenated BMP frames. Stands in for a real
@@ -49,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redpajama_processor_spark import jpeg
+from redpajama_processor_spark import gif, jpeg
 
 JPEG_MAGIC = b"\xff\xd8"
 
@@ -124,18 +128,18 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w, {1|3|4}) uint8 -> PNG bytes (8-bit gray/RGB/RGBA per the
-    channel count, filter 0 rows, non-interlaced). Pure stdlib zlib — no
-    PIL. A 2-D array is treated as grayscale."""
+    """(h, w, {1|2|3|4}) uint8 -> PNG bytes (8-bit gray / gray+alpha /
+    RGB / RGBA per the channel count, filter 0 rows, non-interlaced).
+    Pure stdlib zlib — no PIL. A 2-D array is treated as grayscale."""
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, c = arr.shape
-    if c not in (1, 3, 4) or arr.dtype != np.uint8:
+    if c not in (1, 2, 3, 4) or arr.dtype != np.uint8:
         raise ValueError(
-            f"encode_png needs (h, w, {{1|3|4}}) uint8, got shape "
+            f"encode_png needs (h, w, {{1|2|3|4}}) uint8, got shape "
             f"{arr.shape} dtype {arr.dtype}"
         )
-    color_type = {1: 0, 3: 2, 4: 6}[c]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     # one filter byte (0 = None) per scanline, then raw samples
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
@@ -198,14 +202,84 @@ def _png_unfilter_wavefront(
     return out[1:, nch:].astype(np.uint8)
 
 
+def _png_unfilter_bytes(
+    mat: np.ndarray, ft: np.ndarray, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Invert the per-row scanline filters on raw BYTES. PNG filtering is
+    byte-oriented: the 'left' neighbor is bpp bytes back (bpp = bytes per
+    complete pixel, min 1 — so sub-byte depths use bpp=1 per the spec).
+    None/Sub/Up-only images reconstruct row-wise (Sub as a per-byte-lane
+    prefix sum); any Average/Paeth row routes through the anti-diagonal
+    wavefront."""
+    if (ft >= 3).any():  # Average/Paeth present: anti-diagonal wavefront
+        return _png_unfilter_wavefront(
+            mat.astype(np.int32), ft, h, stride // bpp, bpp
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = mat[y].astype(np.int32)
+        if ft[y] == 0:
+            cur = line
+        elif ft[y] == 1:  # Sub: per-lane prefix sum mod 256
+            # (cumsum in int64 cannot overflow at 255 * stride)
+            cur = np.empty(stride, dtype=np.int32)
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(line[c::bpp], dtype=np.int64) & 0xFF
+        else:  # Up
+            prev = out[y - 1].astype(np.int32) if y else 0
+            cur = (line + prev) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _png_decode_subimage(
+    raw: bytes, off: int, w: int, h: int, nch: int, bd: int
+) -> tuple[np.ndarray, int]:
+    """One (sub-)image of filtered scanlines -> (h, w, nch) uint16 raw
+    sample values (unscaled; palette indices stay indices) + bytes
+    consumed. This is the unit Adam7 passes decode through."""
+    bits_pp = nch * bd
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    need = h * (1 + stride)
+    if off + need > len(raw):
+        raise ValueError("PNG IDAT size does not match IHDR dimensions")
+    mat = np.frombuffer(raw, np.uint8, need, off).reshape(h, 1 + stride)
+    ft = mat[:, 0].astype(np.int32)
+    if ft.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter type {int(ft.max(initial=0))}")
+    by = _png_unfilter_bytes(mat[:, 1:], ft, h, stride, bpp)
+    if bd == 8:
+        samples = by.reshape(h, w, nch).astype(np.uint16)
+    elif bd == 16:  # big-endian sample pairs
+        pairs = by.reshape(h, w, nch, 2).astype(np.uint16)
+        samples = (pairs[..., 0] << 8) | pairs[..., 1]
+    else:  # 1/2/4-bit (gray or palette; nch == 1): MSB-first bit packing
+        bits = np.unpackbits(by, axis=1)[:, : w * bd]
+        weights = (1 << np.arange(bd - 1, -1, -1)).astype(np.uint16)
+        samples = (
+            bits.reshape(h, w, bd).astype(np.uint16) * weights
+        ).sum(-1)[..., None]
+    return samples, need
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec section 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png_raw(payload: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, {1|3|4}) uint8 with the ORIGINAL channel count
-    (gray / RGB / RGBA). Supports 8-bit, non-interlaced, all five scanline
-    filters (None/Sub/Up/Average/Paeth). Palette, 16-bit and Adam7
-    interlace raise NotImplementedError.
+    """PNG bytes -> (h, w, {1|2|3|4}) uint8 with the ORIGINAL channel
+    count (gray / gray+alpha / RGB / RGBA; palette expands to RGB, or RGBA
+    when a tRNS chunk supplies alpha). Supports every legal IHDR combo:
+    bit depths 1/2/4/8/16 (16-bit scales to 8 by taking the high byte,
+    sub-byte gray scales to full range), color types 0/2/3/4/6, Adam7
+    interlace, all five scanline filters (None/Sub/Up/Average/Paeth).
 
     Fully vectorized for every filter mix: None/Sub/Up rows reconstruct
-    row-wise (Sub as a per-channel prefix sum); images containing
+    row-wise (Sub as a per-byte-lane prefix sum); images containing
     Average/Paeth rows — the libpng adaptive-filter common case — go
     through the anti-diagonal wavefront (_png_unfilter_wavefront), h+w-1
     numpy steps, no per-pixel Python."""
@@ -216,6 +290,7 @@ def decode_png_raw(payload: bytes) -> np.ndarray:
         )
     pos, idat = 8, []
     w = h = bd = ct = interlace = None
+    plte = trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
@@ -229,6 +304,10 @@ def decode_png_raw(payload: bytes) -> np.ndarray:
             w, h, bd, ct, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -236,59 +315,71 @@ def decode_png_raw(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR chunk")
-    if bd != 8 or ct not in (0, 2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
-            f"(bit_depth={bd}, color_type={ct}, interlace={interlace})"
+    valid = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
+    if ct not in valid or bd not in valid[ct] or interlace not in (0, 1):
+        raise ValueError(
+            f"illegal PNG IHDR (bit_depth={bd}, color_type={ct}, "
+            f"interlace={interlace})"
         )
-    nch = {0: 1, 2: 3, 6: 4}[ct]
-    stride = w * nch
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
+    if interlace == 0:
+        samples, used = _png_decode_subimage(raw, 0, w, h, nch, bd)
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros((h, w, nch), dtype=np.uint16)
+        used = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, n = _png_decode_subimage(raw, used, pw, ph, nch, bd)
+            used += n
+            samples[y0::dy, x0::dx] = sub
+    if used != len(raw):
         raise ValueError("PNG IDAT size does not match IHDR dimensions")
-    mat = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
-    ft = mat[:, 0].astype(np.int32)
-    if ft.max(initial=0) > 4:
-        raise ValueError(f"bad PNG filter type {int(ft.max(initial=0))}")
-    if (ft >= 3).any():  # Average/Paeth present: anti-diagonal wavefront
-        out = _png_unfilter_wavefront(
-            mat[:, 1:].astype(np.int32), ft, h, w, nch
-        )
-    else:  # None/Sub/Up only: row-wise vectorized reconstruction
-        out = np.zeros((h, stride), dtype=np.uint8)
-        for y in range(h):
-            line = mat[y, 1:].astype(np.int32)
-            if ft[y] == 0:
-                cur = line
-            elif ft[y] == 1:  # Sub: per-channel prefix sum mod 256
-                # (cumsum in int64 cannot overflow at 255 * stride)
-                cur = np.empty(stride, dtype=np.int32)
-                for c in range(nch):
-                    cur[c::nch] = np.cumsum(line[c::nch], dtype=np.int64) & 0xFF
-            else:  # Up
-                prev = out[y - 1].astype(np.int32) if y else 0
-                cur = (line + prev) & 0xFF
-            out[y] = cur.astype(np.uint8)
-    return out.reshape(h, w, nch).copy()
+    if ct == 3:  # palette -> RGB (+ alpha when tRNS present)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = samples[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]]).copy()
+        return rgb.copy()
+    if bd == 16:
+        return (samples >> 8).astype(np.uint8)
+    if bd < 8:  # sub-byte gray: expand to full 8-bit range
+        return (samples * (255 // ((1 << bd) - 1))).astype(np.uint8)
+    return samples.astype(np.uint8)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB (the featurize contract):
-    grayscale is expanded to 3 channels, RGBA drops alpha. Use
-    decode_png_raw when the original channel count must survive (the
-    resize path does, so an RGBA payload keeps its alpha)."""
+    grayscale expands to 3 channels, gray+alpha expands and drops alpha,
+    RGBA drops alpha. Use decode_png_raw when the original channel count
+    must survive (the resize path does, so an RGBA payload keeps its
+    alpha)."""
     img = decode_png_raw(payload)
     if img.shape[2] == 1:
         return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
     if img.shape[2] == 4:
         return img[:, :, :3].copy()
     return img
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP, PNG or baseline JPEG ->
-    (h, w, 3) uint8 RGB. Anything else raises NotImplementedError naming
-    the missing lib."""
+    """Magic-dispatched image decode: BMP, PNG, JPEG (baseline or
+    progressive) or GIF (first frame) -> (h, w, 3) uint8 RGB. Anything
+    else raises NotImplementedError naming the missing lib."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
@@ -298,6 +389,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         if img.shape[2] == 1:
             return np.repeat(img, 3, axis=2)
         return img
+    if payload[:6] in gif.GIF_MAGICS:
+        return gif.decode_gif(payload)[0]
     raise NotImplementedError(
         f"unsupported image format (magic {payload[:8]!r}); WebP/AVIF etc. "
         "need PIL — plug in via the lazy-init pattern in langid.py"
@@ -479,6 +572,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 if p[:8] == PNG_MAGIC:
                     img = resize_nearest(decode_png_raw(p), width, height)
                     payloads.append(bytearray(encode_png(img)))
+                elif p[:6] in gif.GIF_MAGICS:
+                    # nearest-neighbor only samples existing pixels, so the
+                    # frame stays within the original <=256-color palette
+                    img = resize_nearest(gif.decode_gif(p)[0], width, height)
+                    payloads.append(bytearray(gif.encode_gif(img)))
                 elif p[:2] == JPEG_MAGIC:
                     img = resize_nearest(jpeg.decode_jpeg(p), width, height)
                     payloads.append(
@@ -506,9 +604,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """REAL video frame sampling for RAWBMPV payloads: keep frames
-    0, every_n, 2*every_n, ...; one output row per kept frame, payload =
-    that frame as a standalone BMP. Real containers need ffmpeg and raise."""
+    """REAL video frame sampling for RAWBMPV and animated-GIF payloads:
+    keep frames 0, every_n, 2*every_n, ...; one output row per kept frame,
+    payload = that frame as a standalone BMP (GIF frames arrive composed
+    onto the canvas with disposal applied). Real containers need ffmpeg
+    and raise."""
 
     out_schema = MEDIA_SCHEMA.replace(
         "media_id string", "media_id string, frame_idx int"
@@ -520,7 +620,11 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, kind, p, m in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
-                frames = decode_rawbmpv(bytes(p))
+                p = bytes(p)
+                if p[:6] in gif.GIF_MAGICS:
+                    frames = gif.decode_gif(p)
+                else:
+                    frames = decode_rawbmpv(p)
                 for idx in range(0, len(frames), every_n):
                     fr = frames[idx]
                     meta = dict(m) if m is not None else {}

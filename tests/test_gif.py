@@ -1,0 +1,349 @@
+"""GIF codec (gif.py) — unit + Spark integration tests.
+
+Validated two independent ways, like the other codecs: (1) encoder
+round-trips across palette sizes / interlace / animation, and (2) a
+BYTE-LEVEL hand-constructed fixture (built straight from the GIF89a
+grammar with hand-packed LZW codes, no encode_gif involvement) whose
+decode is known analytically — so a shared encoder/decoder bug cannot
+cancel out. Frame composition (transparency, disposal modes) is driven
+through hand-assembled block sequences.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    _sub_blocks,
+    decode_gif,
+    encode_gif,
+)
+
+
+# ---------------------------------------------------------------------------
+# LZW
+# ---------------------------------------------------------------------------
+
+def test_lzw_roundtrip_sizes_and_alphabets():
+    rng = np.random.default_rng(0)
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 7, 100, 5000):
+            idx = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+            assert np.array_equal(
+                _lzw_decode(_lzw_encode(idx, mcs), mcs, n), idx
+            ), (mcs, n)
+
+
+def test_lzw_table_full_reset():
+    # 70k random bytes exceed the 4096-entry table: the encoder emits
+    # CLEAR mid-stream and both sides must resynchronize
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 256, 70000).astype(np.uint8)
+    assert np.array_equal(_lzw_decode(_lzw_encode(idx, 8), 8, 70000), idx)
+
+
+def test_lzw_kwkwk_case():
+    # constant runs force the code == next_free_slot (KwKwK) path
+    for mcs in (2, 8):
+        idx = np.zeros(50, np.uint8)
+        assert np.array_equal(_lzw_decode(_lzw_encode(idx, mcs), mcs, 50), idx)
+
+
+def test_lzw_low_entropy_runs():
+    rng = np.random.default_rng(2)
+    idx = np.repeat(
+        rng.integers(0, 16, 300), rng.integers(1, 40, 300)
+    ).astype(np.uint8)
+    assert np.array_equal(
+        _lzw_decode(_lzw_encode(idx, 4), 4, len(idx)), idx
+    )
+
+
+def test_lzw_truncated_raises():
+    idx = np.arange(64, dtype=np.uint8) % 4
+    enc = _lzw_encode(idx, 2)
+    with pytest.raises(ValueError, match="truncated|ended"):
+        _lzw_decode(enc[: len(enc) // 2], 2, 64)
+
+
+# ---------------------------------------------------------------------------
+# byte-level fixture (decoder alone)
+# ---------------------------------------------------------------------------
+
+PALETTE4 = np.array(
+    [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]], np.uint8
+)
+
+
+def _handmade_gif_2x2() -> bytes:
+    """2x2 GIF89a, 4-color global table, pixels = indices [[0,1],[2,3]].
+
+    LZW by hand (min code size 2, so CLEAR=4, EOI=5, initial width 3):
+    codes CLEAR,0,1,2 go out at 3 bits; after code 2 the decoder's table
+    reaches 8 entries, widening to 4 bits, so 3 and EOI are 4-bit.
+    LSB-first packing: 4 | 0<<3 | 1<<6 | 2<<9 | 3<<12 | 5<<16
+    = 0x53444 -> bytes 44 34 05.
+    """
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)  # GCT, 4 entries
+    out += PALETTE4.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out += bytes([2])  # LZW minimum code size
+    out += bytes([3, 0x44, 0x34, 0x05, 0])  # one sub-block + terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_handmade_fixture_decodes():
+    frames = decode_gif(_handmade_gif_2x2())
+    assert len(frames) == 1
+    expected = PALETTE4[np.array([[0, 1], [2, 3]])]
+    assert np.array_equal(frames[0], expected)
+
+
+# ---------------------------------------------------------------------------
+# encoder round trips
+# ---------------------------------------------------------------------------
+
+def test_single_frame_roundtrip():
+    img = np.zeros((23, 31, 3), np.uint8)
+    img[3:9, 4:20] = [255, 0, 0]
+    img[12:20, 10:28] = [0, 128, 255]
+    assert np.array_equal(decode_gif(encode_gif(img))[0], img)
+
+
+def test_256_color_roundtrip():
+    rng = np.random.default_rng(3)
+    r = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    img = np.stack([r, r, r], -1)  # <=256 distinct (gray)
+    assert np.array_equal(decode_gif(encode_gif(img))[0], img)
+
+
+def test_interlaced_roundtrip():
+    rng = np.random.default_rng(4)
+    img = np.zeros((23, 31, 3), np.uint8)
+    img[3:9, 4:20] = [255, 0, 0]
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True))[0], img)
+    # odd heights hit every interlace pass boundary
+    for h in (1, 2, 5, 8, 37):
+        gi = np.stack(
+            [rng.integers(0, 16, (h, 5)).astype(np.uint8) * 16] * 3, -1
+        )
+        assert np.array_equal(
+            decode_gif(encode_gif(gi, interlace=True))[0], gi
+        ), h
+
+
+def test_animation_roundtrip():
+    f1 = np.full((8, 10, 3), [10, 20, 30], np.uint8)
+    f2 = f1.copy()
+    f2[2:5, 3:7] = [200, 100, 0]
+    f3 = np.full((8, 10, 3), [0, 255, 0], np.uint8)
+    out = decode_gif(encode_gif([f1, f2, f3], delay_cs=5))
+    assert len(out) == 3
+    for a, b in zip(out, [f1, f2, f3]):
+        assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# composition: transparency + disposal (hand-assembled block sequences)
+# ---------------------------------------------------------------------------
+
+def _gce(disposal: int, transparent: int | None) -> bytes:
+    packed = (disposal & 0x07) << 2
+    tidx = 0
+    if transparent is not None:
+        packed |= 1
+        tidx = transparent
+    return b"\x21\xf9" + bytes([4, packed]) + struct.pack("<H", 0) + bytes(
+        [tidx, 0]
+    )
+
+
+def _frame(idx: np.ndarray, left: int = 0, top: int = 0) -> bytes:
+    fh, fw = idx.shape
+    out = b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+    out += bytes([2]) + _sub_blocks(_lzw_encode(idx.flatten(), 2))
+    return out
+
+
+def _assemble(w: int, h: int, *blocks: bytes) -> bytes:
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    out += PALETTE4.tobytes()
+    for b in blocks:
+        out += b
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_transparency_preserves_canvas():
+    # frame 1 paints all color-1; frame 2 paints color-2 but with index 3
+    # marked transparent in a checker pattern — transparent pixels must
+    # show frame 1 underneath
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.array([[2, 3] * 2, [3, 2] * 2] * 2, np.uint8)
+    payload = _assemble(
+        4, 4, _frame(f1), _gce(disposal=1, transparent=3), _frame(f2)
+    )
+    frames = decode_gif(payload)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], PALETTE4[f1])
+    exp = PALETTE4[np.where(f2 == 3, f1, f2)]
+    assert np.array_equal(frames[1], exp)
+
+
+def test_disposal_restore_background():
+    # frame 1 paints a sub-rect with disposal=2: before frame 2 the rect
+    # reverts to the background color (palette[bg_index=0])
+    f1 = np.full((2, 2), 2, np.uint8)
+    f2 = np.full((1, 1), 1, np.uint8)
+    payload = _assemble(
+        4, 4,
+        _gce(disposal=2, transparent=None), _frame(f1, left=1, top=1),
+        _gce(disposal=0, transparent=3), _frame(f2, left=3, top=3),
+    )
+    frames = decode_gif(payload)
+    bg = PALETTE4[0]
+    exp1 = np.tile(bg, (4, 4, 1)).astype(np.uint8)
+    exp1[1:3, 1:3] = PALETTE4[2]
+    assert np.array_equal(frames[0], exp1)
+    exp2 = np.tile(bg, (4, 4, 1)).astype(np.uint8)  # rect restored
+    exp2[3, 3] = PALETTE4[1]
+    assert np.array_equal(frames[1], exp2)
+
+
+def test_disposal_restore_previous():
+    # disposal=3: canvas reverts to the pre-frame state
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.full((2, 2), 2, np.uint8)
+    f3 = np.full((1, 1), 3, np.uint8)
+    payload = _assemble(
+        4, 4,
+        _frame(f1),
+        _gce(disposal=3, transparent=None), _frame(f2, left=0, top=0),
+        _frame(f3),
+    )
+    frames = decode_gif(payload)
+    assert np.array_equal(frames[1][:2, :2], PALETTE4[f2])
+    # frame 3 paints on the REVERTED canvas: f2's patch is gone
+    exp3 = PALETTE4[f1].copy()
+    exp3[0, 0] = PALETTE4[3]
+    assert np.array_equal(frames[2], exp3)
+
+
+# ---------------------------------------------------------------------------
+# error surfaces
+# ---------------------------------------------------------------------------
+
+def test_not_a_gif_raises():
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        decode_gif(b"RIFFxxxxWEBP")
+
+
+def test_too_many_colors_raises():
+    rng = np.random.default_rng(5)
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+
+
+def test_frame_exceeds_canvas_raises():
+    payload = _assemble(2, 2, _frame(np.zeros((4, 4), np.uint8)))
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        decode_gif(payload)
+
+
+def test_no_frames_raises():
+    payload = _assemble(2, 2)
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif(payload)
+
+
+def test_bad_frame_size_mix_raises():
+    with pytest.raises(ValueError, match="same-size"):
+        encode_gif([
+            np.zeros((4, 4, 3), np.uint8), np.zeros((4, 5, 3), np.uint8)
+        ])
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (same mapInPandas plumbing as BMP/PNG/JPEG)
+# ---------------------------------------------------------------------------
+
+def test_gif_through_extract_features(spark):
+    from redpajama_processor_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _image_feature,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(6)
+    imgs = {
+        f"g-{i}": np.stack(
+            [rng.integers(0, 8, (10 + i, 12)).astype(np.uint8) * 32] * 3, -1
+        )
+        for i in range(3)
+    }
+    rows = [
+        (mid, "image", bytearray(encode_gif(img)),
+         (img.shape[1], img.shape[0], None, None))
+        for mid, img in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    feats = {r.media_id: np.array(r.feature) for r in
+             extract_features(media, fake=False, dim=16).collect()}
+    assert set(feats) == set(imgs)
+    for mid, img in imgs.items():
+        assert np.allclose(feats[mid], _image_feature(img, 16))
+
+
+def test_gif_through_sample_frames(spark):
+    from redpajama_processor_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        sample_frames,
+    )
+
+    base = np.full((6, 8, 3), [1, 2, 3], np.uint8)
+    frames = []
+    for k in range(5):
+        f = base.copy()
+        f[0, k] = [200, 0, 0]
+        frames.append(f)
+    media = spark.createDataFrame(
+        [("g-0", "video", bytearray(encode_gif(frames)), (8, 6, None, 5))],
+        MEDIA_SCHEMA,
+    )
+    out = sample_frames(media, every_n=2).collect()
+    kept = {r.frame_idx: decode_bmp(bytes(r.payload)) for r in out}
+    assert sorted(kept) == [0, 2, 4]
+    for k, img in kept.items():
+        assert np.array_equal(img, frames[k])
+
+
+def test_gif_through_resize_images(spark):
+    from redpajama_processor_spark.multimodal import MEDIA_SCHEMA, resize_images
+
+    img = np.stack(
+        [np.arange(20, dtype=np.uint8)[:, None].repeat(28, 1) * 12] * 3, -1
+    )
+    media = spark.createDataFrame(
+        [("g-0", "image", bytearray(encode_gif(img)), (28, 20, None, None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, 8, 8).collect()
+    assert len(out) == 1
+    p = bytes(out[0].payload)
+    assert p[:6] == b"GIF89a"  # stays GIF
+    dec = decode_gif(p)[0]
+    assert dec.shape == (8, 8, 3)
+
+
+def test_gif_through_decode_image_dispatch():
+    from redpajama_processor_spark.multimodal import decode_image
+
+    img = np.full((5, 7, 3), [9, 8, 7], np.uint8)
+    assert np.array_equal(decode_image(encode_gif(img)), img)

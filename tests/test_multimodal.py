@@ -162,27 +162,169 @@ def test_encode_png_typed_errors():
     """encode_png raises ValueError (not a -O-strippable assert) on
     unsupported channel counts / dtypes (ADVICE r4)."""
     with pytest.raises(ValueError, match="uint8"):
-        encode_png(np.zeros((4, 4, 2), dtype=np.uint8))
+        encode_png(np.zeros((4, 4, 5), dtype=np.uint8))
     with pytest.raises(ValueError, match="uint8"):
         encode_png(np.zeros((4, 4, 3), dtype=np.float32))
 
 
-def test_png_unsupported_variants_raise():
+def test_png_illegal_ihdr_raises():
+    """Since round 5 every LEGAL IHDR combo decodes; combos the spec
+    forbids (16-bit palette, color type 7) raise ValueError."""
     import struct
+    import zlib as _z
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     good = encode_png(img)
-    # patch IHDR to interlaced / 16-bit / palette — each must raise
-    for off, val, what in [(28, 1, "interlace"), (24, 16, "bit_depth"), (25, 3, "color_type")]:
+    for patches in [{24: 16, 25: 3}, {25: 7}, {24: 3}]:
         bad = bytearray(good)
-        bad[off] = val
-        # fix the IHDR CRC so we exercise the capability check, not CRC
+        for off, val in patches.items():
+            bad[off] = val
         ihdr = bytes(bad[16:29])
-        bad[29:33] = struct.pack(">I", __import__("zlib").crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-        with pytest.raises(NotImplementedError):
+        bad[29:33] = struct.pack(
+            ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        with pytest.raises(ValueError, match="illegal PNG IHDR"):
             decode_png(bytes(bad))
     with pytest.raises(NotImplementedError, match="magic"):
         decode_png(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+
+
+# --- PNG full-spec coverage (palette / sub-byte / 16-bit / Adam7) ----------
+
+def _build_png(w, h, bd, ct, raw, plte=None, trns=None, interlace=0):
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bd, ct, 0, 0, interlace)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def _pack_subbyte(row: np.ndarray, bd: int) -> bytes:
+    """Pack samples into MSB-first bd-bit fields, zero-padded per spec."""
+    bits = np.unpackbits(row.astype(np.uint8)[:, None], axis=1)[:, 8 - bd :]
+    flat = bits.flatten()
+    pad = (-len(flat)) % 8
+    return np.packbits(np.concatenate([flat, np.zeros(pad, np.uint8)])).tobytes()
+
+
+def test_png_palette_8bit():
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (9, 13)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    img = decode_png_raw(_build_png(13, 9, 8, 3, raw, plte=pal.tobytes()))
+    assert img.shape == (9, 13, 3)
+    assert (img == pal[idx]).all()
+
+
+def test_png_palette_4bit_with_transparency():
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (5, 5)).astype(np.uint8)
+    raw = b"".join(b"\x00" + _pack_subbyte(idx[y], 4) for y in range(5))
+    trns = bytes([255, 0, 128])  # idx1 transparent, idx2 half, rest opaque
+    img = decode_png_raw(
+        _build_png(5, 5, 4, 3, raw, plte=pal.tobytes(), trns=trns)
+    )
+    assert img.shape == (5, 5, 4)
+    assert (img[..., :3] == pal[idx]).all()
+    exp_a = np.full(7, 255, np.uint8)
+    exp_a[:3] = [255, 0, 128]
+    assert (img[..., 3] == exp_a[idx]).all()
+
+
+def test_png_16bit_scales_to_high_byte():
+    rng = np.random.default_rng(2)
+    img16 = rng.integers(0, 65536, (6, 4, 3)).astype(np.uint16)
+    raw = b"".join(
+        b"\x00" + img16[y].astype(">u2").tobytes() for y in range(6)
+    )
+    dec = decode_png_raw(_build_png(4, 6, 16, 2, raw))
+    assert (dec == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_1bit_gray_full_range():
+    rng = np.random.default_rng(3)
+    g1 = rng.integers(0, 2, (7, 11)).astype(np.uint8)
+    raw = b"".join(b"\x00" + _pack_subbyte(g1[y], 1) for y in range(7))
+    dec = decode_png_raw(_build_png(11, 7, 1, 0, raw))
+    assert (dec[..., 0] == g1 * 255).all()
+
+
+def test_png_gray_alpha_roundtrip():
+    rng = np.random.default_rng(4)
+    ga = rng.integers(0, 256, (8, 5, 2)).astype(np.uint8)
+    assert (decode_png_raw(encode_png(ga)) == ga).all()
+    # featurize contract: gray expands, alpha drops
+    assert decode_png(encode_png(ga)).shape == (8, 5, 3)
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlaced_raw(img: np.ndarray, bd: int = 8) -> bytes:
+    """Reference Adam7 pass-splitter (independent of the decoder): emit
+    each pass's rows filter-0, sub-byte packed per pass row."""
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            if bd == 8:
+                parts.append(b"\x00" + sub[y].tobytes())
+            else:
+                parts.append(b"\x00" + _pack_subbyte(sub[y], bd))
+    return b"".join(parts)
+
+
+def test_png_adam7_rgb():
+    rng = np.random.default_rng(5)
+    truth = rng.integers(0, 256, (13, 10, 3)).astype(np.uint8)
+    dec = decode_png_raw(
+        _build_png(10, 13, 8, 2, _interlaced_raw(truth), interlace=1)
+    )
+    assert (dec == truth).all()
+
+
+def test_png_adam7_small_dims():
+    # images smaller than the 8x8 pass grid: several passes are empty
+    rng = np.random.default_rng(6)
+    for h, w in [(1, 1), (2, 3), (7, 7), (8, 1), (1, 9)]:
+        truth = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        dec = decode_png_raw(
+            _build_png(w, h, 8, 2, _interlaced_raw(truth), interlace=1)
+        )
+        assert (dec == truth).all(), (h, w)
+
+
+def test_png_adam7_4bit_palette():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (9, 9)).astype(np.uint8)
+    dec = decode_png_raw(
+        _build_png(
+            9, 9, 4, 3, _interlaced_raw(idx[..., None], 4),
+            plte=pal.tobytes(), interlace=1,
+        )
+    )
+    assert (dec == pal[idx]).all()
+
+
+def test_png_palette_index_out_of_range_raises():
+    pal = np.zeros((2, 3), np.uint8)
+    idx = np.full((3, 3), 5, np.uint8)  # index 5 >= 2 entries
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png_raw(_build_png(3, 3, 8, 3, raw, plte=pal.tobytes()))
 
 
 def test_decode_image_dispatch():
