@@ -17,7 +17,10 @@ working decoders for the formats that need no external library:
          restart intervals — via the pure-numpy T.81 codec in jpeg.py;
          GIF — 87a/89a, global/local color tables, LZW, interlace,
          transparency, multi-frame animations with disposal — via the
-         pure-numpy codec in gif.py
+         pure-numpy codec in gif.py; TIFF — strip-based baseline, II/MM
+         byte orders, none/LZW/PackBits compression with the horizontal
+         predictor, gray / WhiteIsZero / bilevel / RGB(A) / 16-bit-
+         ColorMap palette — via the pure-numpy codec in tiff.py
   audio  WAV, PCM 16-bit (RIFF/fmt/data chunk walk)
   video  RAWBMPV: a minimal public container = the ASCII magic ``RBMV`` +
          uint32 frame count + concatenated BMP frames. Stands in for a real
@@ -53,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redpajama_processor_spark import gif, jpeg
+from redpajama_processor_spark import gif, jpeg, tiff
 
 JPEG_MAGIC = b"\xff\xd8"
 
@@ -391,6 +394,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return img
     if payload[:6] in gif.GIF_MAGICS:
         return gif.decode_gif(payload)[0]
+    if payload[:4] in tiff.TIFF_MAGICS:
+        img = tiff.decode_tiff(payload)
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        if img.shape[2] == 4:
+            return img[:, :, :3].copy()
+        return img
     raise NotImplementedError(
         f"unsupported image format (magic {payload[:8]!r}); WebP/AVIF etc. "
         "need PIL — plug in via the lazy-init pattern in langid.py"
@@ -513,13 +523,13 @@ def _audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
 def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: batch-in, batch-out, payload dropped.
 
-    fake=False (default) runs the REAL codecs: BMP/PNG images -> 4x4 gray
-    mean-pool patch; WAV audio -> per-segment log-RMS; RAWBMPV video ->
-    image feature of the first frame. Genuinely-external payloads (JPEG,
-    MP3, MP4...) raise NotImplementedError naming the missing lib
-    (PIL/ffmpeg — plug in via the lazy-init pattern in functions/
-    langid.py). fake=True keeps the md5-seeded deterministic vectors for
-    plumbing tests on arbitrary bytes.
+    fake=False (default) runs the REAL codecs: BMP/PNG/JPEG/GIF/TIFF
+    images -> 4x4 gray mean-pool patch; WAV audio -> per-segment log-RMS;
+    RAWBMPV video -> image feature of the first frame. Genuinely-external
+    payloads (WebP/AVIF, MP3, MP4...) raise NotImplementedError naming
+    the missing lib (PIL/ffmpeg — plug in via the lazy-init pattern in
+    functions/langid.py). fake=True keeps the md5-seeded deterministic
+    vectors for plumbing tests on arbitrary bytes.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -577,6 +587,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     # frame stays within the original <=256-color palette
                     img = resize_nearest(gif.decode_gif(p)[0], width, height)
                     payloads.append(bytearray(gif.encode_gif(img)))
+                elif p[:4] in tiff.TIFF_MAGICS:
+                    img = resize_nearest(tiff.decode_tiff(p), width, height)
+                    payloads.append(bytearray(tiff.encode_tiff(img)))
                 elif p[:2] == JPEG_MAGIC:
                     img = resize_nearest(jpeg.decode_jpeg(p), width, height)
                     payloads.append(

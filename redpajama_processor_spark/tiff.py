@@ -1,0 +1,397 @@
+"""Pure-numpy/stdlib TIFF codec (TIFF 6.0 baseline, strip-based).
+
+TIFF dominates scanned-document and archival corpora the way JPEG/PNG/GIF
+dominate the web, and its baseline profile needs nothing external: an IFD
+tag walk, PackBits RLE, and the TIFF variant of LZW (MSB-first bit
+packing, 9-bit start, the spec's "early change" width switch — both
+points where it deliberately differs from GIF's LZW) plus the horizontal
+differencing predictor. Everything here derives from the public TIFF 6.0
+specification. The reference repo has no codec code at all (it delegates
+to PIL); this is new surface, not a port.
+
+Decoder scope: II and MM byte orders, strip organization (any
+RowsPerStrip), compression 1 (none) / 5 (LZW, predictor 1 or 2) / 32773
+(PackBits), photometric 0/1 (bilevel+gray incl. WhiteIsZero inversion),
+2 (RGB, with extra samples preserved as alpha), 3 (palette via the
+16-bit ColorMap), bits-per-sample 1 or 8, contiguous planar config.
+Tiled TIFFs, 16-bit samples, separated planes and JPEG-in-TIFF raise
+NotImplementedError naming what is missing. The encoder is
+fixture-grade: 8-bit gray/RGB/RGBA, none/PackBits/LZW(+predictor),
+choosable rows-per-strip — enough to round-trip every decoder path.
+
+Spark-side the codec sits behind multimodal.decode_image /
+extract_features exactly like BMP/PNG/JPEG/GIF — inside mapInPandas,
+narrow, payloads never shuffled.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+# ---------------------------------------------------------------------------
+# TIFF-variant LZW (spec section 13: MSB-first, 9-bit start, early change)
+# ---------------------------------------------------------------------------
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    base: list[bytes | None] = [bytes([i]) for i in range(256)]
+    base += [None, None]  # CLEAR/EOI slots keep index == code
+    table = list(base)
+    width = 9
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    i = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if i >= n:
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[i]  # MSB-first (GIF packs LSB-first)
+            nbits += 8
+            i += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == _CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == _EOI:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # EARLY CHANGE: widen one slot sooner than GIF — at table size
+        # (1<<width)-1, because the encoder must leave room for the code
+        # it is about to emit at the new width (TIFF 6.0 section 13)
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"TIFF LZW stream ended at {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    prev = b""
+    for c in data:
+        cur = prev + bytes([c])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4094:
+            table[cur] = next_code
+            next_code += 1
+            # the decoder's table lags ours by one entry AND it switches
+            # early (at 2^w - 1): the two off-by-ones cancel, so in our
+            # own next_code terms the switch lands at exactly 2^w
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # near-full: reset (spec requires clear before overflow)
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([c])
+    if prev:
+        emit(table[prev], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PackBits (spec section 9)
+# ---------------------------------------------------------------------------
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while len(out) < expected and i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i >= n:
+                break
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: noop
+    if len(out) < expected:
+        raise ValueError(
+            f"TIFF PackBits ended at {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:  # repeat run
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal run: until the next >=3 repeat or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _read_ifd(payload: bytes, e: str) -> dict[int, list[int]]:
+    try:
+        (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+        (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for k in range(n_tags):
+            off = ifd_off + 2 + 12 * k
+            tag, typ, count = struct.unpack_from(e + "HHI", payload, off)
+            size = _TYPE_SIZE.get(typ, 1) * count
+            voff = off + 8 if size <= 4 else struct.unpack_from(
+                e + "I", payload, off + 8
+            )[0]
+            fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+            if fmt is None:
+                continue  # rationals/ascii etc. — not imaging tags
+            tags[tag] = list(
+                struct.unpack_from(e + fmt * count, payload, voff)
+            )
+    except struct.error:
+        raise ValueError("truncated TIFF: IFD runs past end of payload")
+    return tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """TIFF bytes -> (h, w, {1|3|4}) uint8 with the original channel
+    count (palette expands to RGB; WhiteIsZero gray is inverted to
+    normal polarity; bilevel expands to 0/255)."""
+    if payload[:4] not in TIFF_MAGICS:
+        raise NotImplementedError(
+            f"not a TIFF (magic {payload[:4]!r}); WebP/AVIF etc. need PIL "
+            "— plug in via the lazy-init pattern in langid.py"
+        )
+    e = "<" if payload[:2] == b"II" else ">"
+    tags = _read_ifd(payload, e)
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as k:
+        raise ValueError(f"TIFF missing required tag {k}")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    rps = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if planar != 1:
+        raise NotImplementedError(
+            "separated planar TIFF unsupported (contiguous only)"
+        )
+    if len(set(bits)) != 1 or bits[0] not in (1, 8):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bits} unsupported (1 or 8 per sample)"
+        )
+    bps = bits[0]
+    if bps == 1 and spp != 1:
+        raise NotImplementedError("1-bit TIFF must be single-sample")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (none/LZW/PackBits; "
+            "JPEG-in-TIFF and CCITT need external codecs)"
+        )
+    row_bytes = (w * spp * bps + 7) // 8
+    rows_out = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            break
+        raw = payload[off : off + cnt]
+        need = nrows * row_bytes
+        if comp == 1:
+            if len(raw) < need:
+                raise ValueError("truncated TIFF strip")
+            chunk = raw[:need]
+        elif comp == 5:
+            chunk = _lzw_decode_tiff(raw, need)
+        else:
+            chunk = _packbits_decode(raw, need)
+        rows_out.append(np.frombuffer(chunk, np.uint8).reshape(nrows, row_bytes))
+    mat = np.concatenate(rows_out)
+    if mat.shape[0] != h:
+        raise ValueError("TIFF strips do not cover the image height")
+    if bps == 1:
+        img = np.unpackbits(mat, axis=1)[:, :w].astype(np.uint8)[..., None]
+        img = img * 255
+        if photo == 0:  # WhiteIsZero
+            img = 255 - img
+        return img
+    img = mat.reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo via row cumsum
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if photo == 3:  # palette via 16-bit ColorMap
+        if 320 not in tags:
+            raise ValueError("palette TIFF missing ColorMap tag")
+        cm = np.array(tags[320], dtype=np.uint16).reshape(3, -1)
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= cm.shape[1]:
+            raise ValueError("TIFF palette index out of range")
+        return (cm[:, idx] >> 8).astype(np.uint8).transpose(1, 2, 0).copy()
+    if photo == 0:  # WhiteIsZero gray
+        img = 255 - img
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"{spp}-sample TIFF unsupported (gray/RGB/RGBA)"
+        )
+    return img.copy()
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture-grade)
+# ---------------------------------------------------------------------------
+
+def encode_tiff(
+    arr: np.ndarray,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(h, w, {1|3|4}) uint8 (or 2-D gray) -> little-endian TIFF bytes.
+
+    compression: 'none' | 'packbits' | 'lzw'. predictor: horizontal
+    differencing (LZW only). rows_per_strip defaults to the whole image.
+    """
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    if c not in (1, 3, 4) or arr.dtype != np.uint8:
+        raise ValueError(
+            f"encode_tiff needs (h, w, {{1|3|4}}) uint8, got {arr.shape} "
+            f"{arr.dtype}"
+        )
+    comps = {"none": 1, "packbits": 32773, "lzw": 5}
+    if compression not in comps:
+        raise ValueError(f"compression must be one of {sorted(comps)}")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor requires LZW compression")
+    rps = rows_per_strip or h
+    data = arr
+    if predictor:
+        d = data.astype(np.int16)
+        d[:, 1:] -= data[:, :-1].astype(np.int16)
+        data = (d & 0xFF).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = data[y0 : y0 + rps].tobytes()
+        if compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        elif compression == "lzw":
+            strips.append(_lzw_encode_tiff(raw))
+        else:
+            strips.append(raw)
+    # layout: header(8) + strip data + IFD
+    strip_offs = []
+    pos = 8
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    if pos % 2:
+        pos += 1
+    ifd_off = pos
+    photo = 1 if c == 1 else 2
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, c, [8] * c),
+        (259, 3, 1, [comps[compression]]), (262, 3, 1, [photo]),
+        (273, 4, len(strips), strip_offs), (277, 3, 1, [c]),
+        (278, 4, 1, [rps]), (279, 4, len(strips), [len(s) for s in strips]),
+    ]
+    if c == 4:
+        entries.append((338, 3, 1, [2]))  # unassociated alpha
+    if predictor:
+        entries.append((317, 3, 1, [2]))
+    entries.sort()
+    # out-of-line value area after the IFD
+    tail_off = ifd_off + 2 + 12 * len(entries) + 4
+    tail = bytearray()
+    body = bytearray()
+    for tag, typ, count, vals in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack("<" + fmt * count, *vals)
+        if len(packed) <= 4:
+            val_field = packed.ljust(4, b"\x00")
+        else:
+            val_field = struct.pack("<I", tail_off + len(tail))
+            tail += packed
+        body += struct.pack("<HHI", tag, typ, count) + val_field
+    out = bytearray(b"II*\x00") + struct.pack("<I", ifd_off)
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    out += struct.pack("<H", len(entries)) + body + struct.pack("<I", 0)
+    out += tail
+    return bytes(out)

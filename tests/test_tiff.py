@@ -1,0 +1,330 @@
+"""TIFF codec (tiff.py) — unit + Spark integration tests.
+
+Validated two independent ways, like the other codecs: (1) encoder
+round-trips across compression x strip layout x channel count, and (2)
+BYTE-LEVEL hand-constructed fixtures (built straight from the TIFF 6.0
+IFD grammar, including a big-endian MM file and a 16-bit ColorMap
+palette) whose decode is known analytically — so a shared
+encoder/decoder bug cannot cancel out.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark.tiff import (
+    _lzw_decode_tiff,
+    _lzw_encode_tiff,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF variant: MSB-first, 9-bit start, early change)
+# ---------------------------------------------------------------------------
+
+def test_lzw_roundtrip_across_width_boundaries():
+    # the 511/1023/2047 early-change boundaries and the 4094 table reset
+    rng = np.random.default_rng(0)
+    for n in (1, 10, 300, 2000, 10000, 80000):
+        data = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), n) == data, n
+
+
+def test_lzw_low_entropy_and_kwkwk():
+    rng = np.random.default_rng(1)
+    data = bytes(
+        np.repeat(
+            rng.integers(0, 8, 500), rng.integers(1, 50, 500)
+        ).astype(np.uint8)
+    )
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+    assert _lzw_decode_tiff(_lzw_encode_tiff(b"\x00" * 999), 999) == b"\x00" * 999
+
+
+def test_lzw_truncated_raises():
+    enc = _lzw_encode_tiff(bytes(range(100)))
+    with pytest.raises(ValueError, match="truncated|ended"):
+        _lzw_decode_tiff(enc[: len(enc) // 2], 100)
+
+
+# ---------------------------------------------------------------------------
+# PackBits
+# ---------------------------------------------------------------------------
+
+def test_packbits_roundtrip():
+    rng = np.random.default_rng(2)
+    for n in (1, 5, 300, 5000):
+        runs = bytes(rng.integers(0, 4, n).astype(np.uint8))
+        assert _packbits_decode(_packbits_encode(runs), n) == runs, n
+    lit = bytes(rng.integers(0, 256, 1000).astype(np.uint8))
+    assert _packbits_decode(_packbits_encode(lit), 1000) == lit
+    assert _packbits_decode(_packbits_encode(b"\xab" * 400), 400) == b"\xab" * 400
+
+
+def test_packbits_noop_byte_tolerated():
+    # 0x80 is a spec no-op; decoders must skip it
+    assert _packbits_decode(b"\x80\x02abc", 3) == b"abc"
+
+
+# ---------------------------------------------------------------------------
+# encoder round trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_roundtrip_shapes_and_strips(comp):
+    rng = np.random.default_rng(3)
+    for shape in [(9, 13, 3), (5, 5, 1), (8, 6, 4), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            decode_tiff(encode_tiff(img, compression=comp)), img
+        ), shape
+    img = rng.integers(0, 256, (23, 7, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=5)),
+        img,
+    )
+
+
+def test_lzw_predictor_roundtrip_and_wins_on_smooth():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (17, 11, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, compression="lzw", predictor=True)), img
+    )
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.clip(np.stack([yy * 2, xx * 2, yy + xx], -1), 0, 255).astype(
+        np.uint8
+    )
+    plain = len(encode_tiff(smooth, compression="lzw"))
+    pred = len(encode_tiff(smooth, compression="lzw", predictor=True))
+    assert pred < plain  # horizontal differencing must actually help
+
+
+# ---------------------------------------------------------------------------
+# byte-level fixtures (decoder alone; no encode_tiff involvement)
+# ---------------------------------------------------------------------------
+
+def _ifd_entry(e, tag, typ, count, val_field):
+    return struct.pack(e + "HHI", tag, typ, count) + val_field
+
+
+def _handmade_gray_mm() -> tuple[bytes, np.ndarray]:
+    """2x3 big-endian (MM) uncompressed grayscale, strip at offset 8."""
+    img = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    strip = img.tobytes()
+    ifd_off = 8 + len(strip)
+    e = ">"
+    entries = [
+        (256, 3, 1, struct.pack(e + "H", 3) + b"\x00\x00"),
+        (257, 3, 1, struct.pack(e + "H", 2) + b"\x00\x00"),
+        (258, 3, 1, struct.pack(e + "H", 8) + b"\x00\x00"),
+        (259, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (262, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (273, 4, 1, struct.pack(e + "I", 8)),
+        (277, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (278, 4, 1, struct.pack(e + "I", 2)),
+        (279, 4, 1, struct.pack(e + "I", len(strip))),
+    ]
+    body = b"".join(_ifd_entry(e, *x) for x in entries)
+    payload = (
+        b"MM\x00*"
+        + struct.pack(e + "I", ifd_off)
+        + strip
+        + struct.pack(e + "H", len(entries))
+        + body
+        + struct.pack(e + "I", 0)
+    )
+    return payload, img
+
+
+def test_handmade_big_endian_gray():
+    payload, img = _handmade_gray_mm()
+    out = decode_tiff(payload)
+    assert out.shape == (2, 3, 1)
+    assert np.array_equal(out[..., 0], img)
+
+
+def test_handmade_white_is_zero_inverts():
+    payload, img = _handmade_gray_mm()
+    # photometric tag (262) value sits in the IFD; flip 1 -> 0
+    idx = payload.index(struct.pack(">HH", 262, 3))
+    patched = bytearray(payload)
+    patched[idx + 8 : idx + 10] = struct.pack(">H", 0)
+    out = decode_tiff(bytes(patched))
+    assert np.array_equal(out[..., 0], 255 - img)
+
+
+def _handmade_palette_ii() -> tuple[bytes, np.ndarray]:
+    """2x2 little-endian palette TIFF with a 4-entry 16-bit ColorMap."""
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    strip = idx.tobytes()
+    # ColorMap: 3 * 4 SHORTs (all reds, all greens, all blues), 16-bit
+    reds = [0xFF00, 0x0000, 0x0000, 0x8000]
+    greens = [0x0000, 0xFF00, 0x0000, 0x8000]
+    blues = [0x0000, 0x0000, 0xFF00, 0x8000]
+    cmap = struct.pack("<12H", *(reds + greens + blues))
+    ifd_off = 8 + len(strip)
+    cmap_off = None  # filled below
+    e = "<"
+    n_entries = 10
+    cmap_off = ifd_off + 2 + 12 * n_entries + 4
+    entries = [
+        (256, 3, 1, struct.pack(e + "H", 2) + b"\x00\x00"),
+        (257, 3, 1, struct.pack(e + "H", 2) + b"\x00\x00"),
+        (258, 3, 1, struct.pack(e + "H", 8) + b"\x00\x00"),
+        (259, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (262, 3, 1, struct.pack(e + "H", 3) + b"\x00\x00"),
+        (273, 4, 1, struct.pack(e + "I", 8)),
+        (277, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (278, 4, 1, struct.pack(e + "I", 2)),
+        (279, 4, 1, struct.pack(e + "I", len(strip))),
+        (320, 3, 12, struct.pack(e + "I", cmap_off)),
+    ]
+    assert len(entries) == n_entries
+    body = b"".join(_ifd_entry(e, *x) for x in entries)
+    payload = (
+        b"II*\x00"
+        + struct.pack(e + "I", ifd_off)
+        + strip
+        + struct.pack(e + "H", n_entries)
+        + body
+        + struct.pack(e + "I", 0)
+        + cmap
+    )
+    expected = np.array(
+        [[[0xFF, 0, 0], [0, 0xFF, 0]], [[0, 0, 0xFF], [0x80, 0x80, 0x80]]],
+        np.uint8,
+    )
+    return payload, expected
+
+
+def test_handmade_palette_colormap():
+    payload, expected = _handmade_palette_ii()
+    assert np.array_equal(decode_tiff(payload), expected)
+
+
+def test_handmade_bilevel_1bit():
+    """5x2 1-bit bilevel, MSB-first packing, BlackIsZero."""
+    rows = np.array([[1, 0, 1, 1, 0], [0, 1, 0, 0, 1]], np.uint8)
+    strip = bytes(np.packbits(rows, axis=1))  # one byte per row
+    ifd_off = 8 + len(strip)
+    e = "<"
+    entries = [
+        (256, 3, 1, struct.pack(e + "H", 5) + b"\x00\x00"),
+        (257, 3, 1, struct.pack(e + "H", 2) + b"\x00\x00"),
+        (258, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (259, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (262, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (273, 4, 1, struct.pack(e + "I", 8)),
+        (277, 3, 1, struct.pack(e + "H", 1) + b"\x00\x00"),
+        (278, 4, 1, struct.pack(e + "I", 2)),
+        (279, 4, 1, struct.pack(e + "I", len(strip))),
+    ]
+    body = b"".join(_ifd_entry(e, *x) for x in entries)
+    payload = (
+        b"II*\x00"
+        + struct.pack(e + "I", ifd_off)
+        + strip
+        + struct.pack(e + "H", len(entries))
+        + body
+        + struct.pack(e + "I", 0)
+    )
+    out = decode_tiff(payload)
+    assert np.array_equal(out[..., 0], rows * 255)
+
+
+# ---------------------------------------------------------------------------
+# error surfaces
+# ---------------------------------------------------------------------------
+
+def test_not_a_tiff_raises():
+    with pytest.raises(NotImplementedError, match="not a TIFF"):
+        decode_tiff(b"RIFFxxxxWEBP")
+
+
+def test_tiled_raises():
+    payload, _ = _handmade_gray_mm()
+    # append a TileWidth (322) tag is intrusive; instead patch tag id 278
+    # (RowsPerStrip) to 322 — the decoder must refuse tiled layout
+    idx = payload.index(struct.pack(">HH", 278, 4))
+    patched = bytearray(payload)
+    patched[idx : idx + 2] = struct.pack(">H", 322)
+    with pytest.raises(NotImplementedError, match="tiled"):
+        decode_tiff(bytes(patched))
+
+
+def test_unknown_compression_raises():
+    payload, _ = _handmade_gray_mm()
+    idx = payload.index(struct.pack(">HH", 259, 3))
+    patched = bytearray(payload)
+    patched[idx + 8 : idx + 10] = struct.pack(">H", 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(bytes(patched))
+
+
+def test_encoder_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_tiff(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="compression"):
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), compression="zip")
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(
+            np.zeros((4, 4, 3), dtype=np.uint8),
+            compression="packbits", predictor=True,
+        )
+
+
+def test_truncated_strip_raises():
+    img = np.zeros((8, 8, 3), np.uint8)
+    enc = encode_tiff(img, compression="lzw")
+    with pytest.raises(ValueError):
+        decode_tiff(enc[:40])
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (same mapInPandas plumbing as the other codecs)
+# ---------------------------------------------------------------------------
+
+def test_tiff_through_extract_features(spark):
+    from redpajama_processor_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _image_feature,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = {
+        f"t-{i}": rng.integers(0, 256, (10 + i, 12, 3)).astype(np.uint8)
+        for i in range(3)
+    }
+    comps = ["none", "packbits", "lzw"]
+    rows = [
+        (mid, "image",
+         bytearray(encode_tiff(img, compression=comps[i % 3])),
+         (img.shape[1], img.shape[0], None, None))
+        for i, (mid, img) in enumerate(imgs.items())
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    feats = {r.media_id: np.array(r.feature) for r in
+             extract_features(media, fake=False, dim=16).collect()}
+    assert set(feats) == set(imgs)
+    for mid, img in imgs.items():
+        assert np.allclose(feats[mid], _image_feature(img, 16))
+
+
+def test_tiff_through_decode_image_dispatch():
+    from redpajama_processor_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(img)), img)
+    gray = rng.integers(0, 256, (6, 8, 1)).astype(np.uint8)
+    out = decode_image(encode_tiff(gray))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, (6, 8, 4)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(rgba)), rgba[..., :3])
