@@ -1204,6 +1204,38 @@ def q_transcript_pipeline(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "keep", "drop_rule", "language")
 
 
+def q_doc_bpe_vocab(spark, sf_dir):
+    """BPE tokenizer TRAINED on the documents table: the learned merge
+    list as (rank, left, right, merged). Rows-only: the iterative greedy
+    merge learning is not ANSI-SQL-expressible; parity is instead proven
+    exactly against the single-process trainer in tests/test_bpe.py
+    (identical merges across partitionings and vs the pure-Python
+    oracle). Deterministic: exact census + lexicographic tie-break."""
+    from redpajama_processor_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = train_bpe(docs, num_merges=256, min_frequency=2)
+    rows = [
+        (r, left, right, left + right)
+        for r, (left, right) in enumerate(model.merges)
+    ]
+    return spark.createDataFrame(
+        rows, schema="rank int, left string, right string, merged string"
+    )
+
+
+def q_doc_bpe_stats(spark, sf_dir):
+    """Corpus tokenized with the corpus-trained BPE model: per-document
+    (n_tokens, n_unk, n_chars). Rows-only for the same reason as
+    doc_bpe_vocab; the distributed encode itself is proven equal to the
+    single-process encoder in tests/test_bpe.py."""
+    from redpajama_processor_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = train_bpe(docs, num_merges=256, min_frequency=2)
+    return bpe_token_stats(docs, model)
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1285,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_first_per_user_type": q_events_first_per_user_type,
         "events_sessionize": q_events_sessionize,
         "transcript_pipeline": q_transcript_pipeline,
+        "doc_bpe_vocab": q_doc_bpe_vocab,
+        "doc_bpe_stats": q_doc_bpe_stats,
     }
 
 

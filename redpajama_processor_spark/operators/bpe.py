@@ -1,0 +1,310 @@
+"""Distributed BPE tokenizer: train on the corpus, encode at corpus scale.
+
+Training-data-pipeline addition. The reference counts whitespace tokens only
+(/root/reference/simple_processor.py.py:220); a real curation pipeline also
+needs to FIT a subword tokenizer on the corpus it just curated and then
+tokenize that corpus. Classic byte-pair encoding (Sennrich et al. 2016,
+public algorithm) decomposed Spark-first:
+
+  phase 1 — distributed, corpus-scale: pre-tokenize (the same portable
+      ``BPE_ISH_RE`` pre-tokenizer used by the token-count signal) and
+      build the exact word-form frequency census: explode + map-side-
+      combined groupBy. At 100 TB this is the ONLY pass over the corpus;
+      the distinct-word-form table follows Heaps' law and is orders of
+      magnitude smaller than the corpus.
+  phase 2 — bounded, driver-side: learn the merge list over the TOP-K
+      word forms by frequency (TakeOrdered, default K=200_000 — the same
+      bounded-collect precedent as the 16 IVF centroids: the collected
+      set is capped by a parameter, never by corpus size). Greedy
+      highest-count pair merging with an incremental pair-count index and
+      a deterministic tie-break (count desc, then pair lexicographic
+      asc), so the learned merges are a pure function of the census —
+      identical across partitionings, core counts and JVMs. Tail word
+      forms beyond K contribute negligible pair mass by construction
+      (frequency-ranked); the census itself stays exact.
+  phase 3 — distributed: encoding broadcasts the merge-rank table and
+      runs an Arrow-batched ``mapInPandas`` with a per-batch word cache —
+      each DISTINCT pretoken in a batch is merged once, repeats are O(1)
+      dict hits (the same memoization real tokenizer runtimes use). The
+      corpus is never shuffled; encoding is embarrassingly parallel.
+
+No reference analog for training (cite: closest is the whitespace token
+count above); the algorithm is from the public Sennrich paper + the
+openly documented HuggingFace merge-application order.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokens import BPE_ISH_RE
+
+# re.ASCII pins \s to the ASCII class so the Python pre-tokenizer agrees
+# byte-for-byte with the Java-regex census in word_form_counts (Java and
+# RE2 \s are ASCII-only by default; Python's is Unicode-wide).
+_PRETOKEN_RE = re.compile(BPE_ISH_RE, re.ASCII)
+
+UNK_ID = 0
+UNK_TOKEN = "<unk>"
+
+
+# ---------------------------------------------------------------------------
+# phase 1: corpus-scale word-form census (distributed, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def word_form_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact pretoken frequency census: (word, count).
+
+    ``regexp_extract_all`` + explode + groupBy — whole-stage-codegen'd,
+    map-side partial aggregation, one shuffle keyed on the word form.
+    """
+    # F.lit keeps the pattern out of the SQL parser (whose string-literal
+    # escaping would eat the backslash in \s)
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0))
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 2: bounded merge learning (driver-side over top-K forms)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BPEModel:
+    """Learned merges + derived vocab. Picklable, broadcast-friendly."""
+
+    merges: tuple[tuple[str, str], ...]
+    alphabet: tuple[str, ...]  # sorted base symbols seen at train time
+    ranks: dict = field(default_factory=dict, compare=False, repr=False)
+    vocab: dict = field(default_factory=dict, compare=False, repr=False)
+
+    def __post_init__(self):
+        ranks = {pair: r for r, pair in enumerate(self.merges)}
+        vocab = {UNK_TOKEN: UNK_ID}
+        for ch in self.alphabet:
+            vocab[ch] = len(vocab)
+        for left, right in self.merges:
+            tok = left + right
+            if tok not in vocab:  # pragma: no branch - merges are unique
+                vocab[tok] = len(vocab)
+        object.__setattr__(self, "ranks", ranks)
+        object.__setattr__(self, "vocab", vocab)
+
+    @property
+    def id_to_token(self) -> list[str]:
+        out = [UNK_TOKEN] * len(self.vocab)
+        for tok, i in self.vocab.items():
+            out[i] = tok
+        return out
+
+
+def learn_merges(
+    word_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_frequency: int = 2,
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning with an incremental pair index.
+
+    Deterministic: best pair = highest summed count, ties broken by
+    lexicographically smallest (left, right). Input order is irrelevant —
+    counts are summed per pair before any comparison.
+
+    Incremental: merging a pair only re-scans the word forms that contain
+    it (an inverted pair -> word-index map), so total work is proportional
+    to the number of symbol adjustments, not O(V * num_merges).
+    """
+    words = [list(w) for w, _ in word_counts]
+    counts = [int(c) for _, c in word_counts]
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        c = counts[i]
+        for pair in zip(syms, syms[1:]):
+            pair_counts[pair] += c
+            pair_words[pair].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < min_frequency:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        affected = sorted(pair_words[best])
+        for i in affected:
+            syms, c = words[i], counts[i]
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] -= c
+                pair_words[pair].discard(i)
+                if pair_counts[pair] <= 0:
+                    del pair_counts[pair]
+                    pair_words.pop(pair, None)
+            merged = _apply_merge(syms, best, new_sym)
+            words[i] = merged
+            for pair in zip(merged, merged[1:]):
+                pair_counts[pair] += c
+                pair_words[pair].add(i)
+        assert best not in pair_counts, "merged pair must vanish from the index"
+    return merges
+
+
+def _apply_merge(syms: list[str], pair: tuple[str, str], new_sym: str) -> list[str]:
+    """Replace every left-to-right non-overlapping occurrence of pair."""
+    out: list[str] = []
+    j, n = 0, len(syms)
+    left, right = pair
+    while j < n:
+        if j + 1 < n and syms[j] == left and syms[j + 1] == right:
+            out.append(new_sym)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    max_word_forms: int = 200_000,
+    min_frequency: int = 2,
+) -> BPEModel:
+    """Fit a BPE model on a corpus DataFrame (phases 1 + 2).
+
+    The collect is bounded by ``max_word_forms`` (TakeOrdered on count
+    desc, word asc for a deterministic cut), never by corpus size.
+    """
+    census = word_form_counts(df, text_col)
+    top = (
+        census.orderBy(F.col("count").desc(), F.col("word").asc())
+        .limit(int(max_word_forms))
+        .collect()
+    )
+    wc = [(r["word"], r["count"]) for r in top]
+    merges = learn_merges(wc, num_merges=num_merges, min_frequency=min_frequency)
+    alphabet = tuple(sorted({ch for w, _ in wc for ch in w}))
+    return BPEModel(merges=tuple(merges), alphabet=alphabet)
+
+
+# ---------------------------------------------------------------------------
+# single-process oracle (tests compare the Spark path against this)
+# ---------------------------------------------------------------------------
+
+
+def train_bpe_reference(
+    texts: list[str], num_merges: int, min_frequency: int = 2
+) -> BPEModel:
+    """Pure-Python trainer over in-memory texts: the parity oracle."""
+    census: dict[str, int] = defaultdict(int)
+    for t in texts:
+        for w in _PRETOKEN_RE.findall(t or ""):
+            census[w] += 1
+    wc = sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = learn_merges(wc, num_merges=num_merges, min_frequency=min_frequency)
+    alphabet = tuple(sorted({ch for w in census for ch in w}))
+    return BPEModel(merges=tuple(merges), alphabet=alphabet)
+
+
+def encode_text(text: str, model: BPEModel, cache: dict | None = None) -> list[int]:
+    """Single-process encode: pretokenize, merge per word, map to ids."""
+    if cache is None:
+        cache = {}
+    ids: list[int] = []
+    for w in _PRETOKEN_RE.findall(text or ""):
+        ids.extend(_encode_word(w, model, cache))
+    return ids
+
+
+def _encode_word(word: str, model: BPEModel, cache: dict) -> list[int]:
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    ranks = model.ranks
+    while len(syms) > 1:
+        best_rank = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = pair
+        if best_rank is None:
+            break
+        syms = _apply_merge(syms, best_pair, best_pair[0] + best_pair[1])
+    vocab = model.vocab
+    out = [vocab.get(s, UNK_ID) for s in syms]
+    cache[word] = out
+    return out
+
+
+def decode_ids(ids: list[int], model: BPEModel) -> str:
+    """Concatenate token strings; UNK decodes to '' (information lost)."""
+    table = model.id_to_token
+    return "".join(table[i] if i != UNK_ID else "" for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# phase 3: distributed encode (broadcast ranks, Arrow batches, word cache)
+# ---------------------------------------------------------------------------
+
+
+def encode_bpe(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` — BPE token ids per row.
+
+    mapInPandas, model broadcast once per executor; a per-batch pretoken
+    cache makes repeated word forms O(1). No shuffle: narrow map only.
+    """
+    sc = df.sparkSession.sparkContext
+    b_model = sc.broadcast(model)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = b_model.value
+        cache: dict = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [encode_text(t, m, cache) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_unk, n_chars) per document — the downstream census
+    a data-mixture / packing stage consumes. Narrow map, no shuffle."""
+    enc = encode_bpe(df.select(id_col, text_col), model, text_col)
+    return enc.select(
+        F.col(id_col),
+        F.size("token_ids").alias("n_tokens"),
+        F.size(F.filter("token_ids", lambda x: x == F.lit(UNK_ID))).alias("n_unk"),
+        F.length(text_col).alias("n_chars"),
+    )

@@ -1,0 +1,198 @@
+"""Distributed BPE trainer/encoder vs the single-process oracle.
+
+Parity is exact by construction (same learn_merges over the same exact
+census); these tests prove the DISTRIBUTED phases deliver that census and
+encoding unchanged under partitioning, and pin the algorithm's contract
+(determinism, tie-break, merge cascades, round-trip).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redpajama_processor_spark.operators.bpe import (
+    UNK_ID,
+    BPEModel,
+    bpe_token_stats,
+    decode_ids,
+    encode_bpe,
+    encode_text,
+    learn_merges,
+    train_bpe,
+    train_bpe_reference,
+    word_form_counts,
+    _PRETOKEN_RE,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quicker the better, the quickest of all",
+    "low lower lowest newer newest wider widest",
+    "hello world, hello spark, hello tokenizer 12345",
+    "aaaa aaaa aaaa bbbb bbbb cccc",
+    "e-mail me: foo@bar.com (said the fox)",
+    "",
+    "the the the the the the",
+]
+
+
+def _corpus_df(spark, n_partitions=1):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(CORPUS)), "text": CORPUS}
+    )
+    return spark.createDataFrame(pdf).repartition(n_partitions)
+
+
+# ---------------------------------------------------------------------------
+# driver-side algorithm contract
+# ---------------------------------------------------------------------------
+
+
+def test_learn_merges_deterministic_tiebreak():
+    # 'ab' and 'cd' both appear 3 times -> tie broken lexicographically: (a,b)
+    wc = [("ab", 3), ("cd", 3)]
+    merges = learn_merges(wc, num_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_learn_merges_input_order_irrelevant():
+    wc = [("abab", 5), ("abc", 2), ("bc", 4)]
+    m1 = learn_merges(wc, num_merges=10)
+    m2 = learn_merges(list(reversed(wc)), num_merges=10)
+    assert m1 == m2
+
+
+def test_merge_cascade_repeated_char():
+    # 'aaaaaaaa' x4: (a,a) -> aa, then (aa,aa) -> aaaa, then (aaaa,aaaa)
+    merges = learn_merges([("aaaaaaaa", 4)], num_merges=3)
+    assert merges == [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")]
+
+
+def test_min_frequency_stops():
+    merges = learn_merges([("ab", 1)], num_merges=5, min_frequency=2)
+    assert merges == []
+    merges = learn_merges([("ab", 2)], num_merges=5, min_frequency=2)
+    assert merges == [("a", "b")]
+
+
+def test_encode_reproduces_training_segmentation():
+    model = train_bpe_reference(["banana banana banana"], num_merges=50,
+                                min_frequency=2)
+    ids = encode_text("banana", model)
+    # fully merged: the whole word becomes a single token
+    assert len(ids) == 1
+    assert decode_ids(ids, model) == "banana"
+
+
+def test_unk_maps_to_zero_and_decodes_empty():
+    model = train_bpe_reference(["abc abc"], num_merges=10)
+    ids = encode_text("xyz", model)
+    assert ids == [UNK_ID] * 3
+    assert decode_ids(ids, model) == ""
+
+
+def test_vocab_ids_stable():
+    model = train_bpe_reference(["abab abab"], num_merges=10)
+    # 0 = unk, then sorted alphabet, then merges in rank order
+    assert model.vocab["<unk>"] == 0
+    assert model.vocab["a"] == 1 and model.vocab["b"] == 2
+    first_merge = model.merges[0]
+    assert model.vocab[first_merge[0] + first_merge[1]] == 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="ab c.", max_size=30), max_size=8),
+       st.integers(min_value=0, max_value=12))
+def test_roundtrip_property(texts, num_merges):
+    model = train_bpe_reference(texts, num_merges=num_merges, min_frequency=2)
+    for t in texts:
+        ids = encode_text(t, model)
+        # alphabet covers the corpus, so decode == pretoken concatenation
+        assert decode_ids(ids, model) == "".join(_PRETOKEN_RE.findall(t))
+
+
+# ---------------------------------------------------------------------------
+# distributed phases vs oracle
+# ---------------------------------------------------------------------------
+
+
+def test_census_matches_python(spark):
+    df = _corpus_df(spark, n_partitions=5)
+    got = {
+        r["word"]: r["count"] for r in word_form_counts(df).collect()
+    }
+    want: dict[str, int] = {}
+    for t in CORPUS:
+        for w in _PRETOKEN_RE.findall(t):
+            want[w] = want.get(w, 0) + 1
+    assert got == want
+
+
+def test_train_parity_and_partition_invariance(spark):
+    ref = train_bpe_reference(CORPUS, num_merges=64, min_frequency=2)
+    for parts in (1, 7):
+        model = train_bpe(_corpus_df(spark, parts), num_merges=64,
+                          min_frequency=2)
+        assert model.merges == ref.merges
+        assert model.alphabet == ref.alphabet
+        assert model.vocab == ref.vocab
+
+
+def test_distributed_encode_matches_oracle(spark):
+    model = train_bpe_reference(CORPUS, num_merges=64, min_frequency=2)
+    out = (
+        encode_bpe(_corpus_df(spark, 3), model)
+        .select("doc_id", "token_ids")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(CORPUS):
+        assert list(out.token_ids[i]) == encode_text(t, model), f"doc {i}"
+
+
+def test_token_stats(spark):
+    model = train_bpe_reference(CORPUS, num_merges=32, min_frequency=2)
+    stats = (
+        bpe_token_stats(_corpus_df(spark, 2), model)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(CORPUS):
+        ids = encode_text(t, model)
+        assert stats.n_tokens[i] == len(ids)
+        assert stats.n_unk[i] == sum(1 for x in ids if x == UNK_ID)
+        assert stats.n_chars[i] == len(t)
+
+
+def test_max_word_forms_bounds_collect(spark):
+    # cap below the distinct-form count: training still works, merges are
+    # a pure function of the (deterministically cut) top-K census
+    m1 = train_bpe(_corpus_df(spark, 1), num_merges=16, max_word_forms=10)
+    m2 = train_bpe(_corpus_df(spark, 6), num_merges=16, max_word_forms=10)
+    assert m1.merges == m2.merges
+
+
+def test_encode_plan_is_narrow(spark):
+    # the mapInPandas encode stage adds no shuffle of its own
+    model = train_bpe_reference(CORPUS, num_merges=8)
+    enc = encode_bpe(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]})),
+        model,
+    )
+    p = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_model_picklable():
+    import pickle
+
+    model = train_bpe_reference(CORPUS, num_merges=16)
+    clone = pickle.loads(pickle.dumps(model))
+    assert clone.merges == model.merges
+    assert clone.ranks == model.ranks
+    assert clone.vocab == model.vocab
