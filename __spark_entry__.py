@@ -1236,6 +1236,37 @@ def q_doc_bpe_stats(spark, sf_dir):
     return bpe_token_stats(docs, model)
 
 
+def q_doc_iceberg_roundtrip(spark, sf_dir):
+    """Iceberg-lite round-trip census: write the documents table into a
+    pure-Python Iceberg v2 table partitioned by the spec's Murmur3
+    bucket(8) transform on doc_id, then report per-bucket document counts
+    STRAIGHT FROM THE MANIFESTS (metadata-only planning — no parquet is
+    re-read to answer the census) after eagerly verifying the read-back
+    row count equals the source. Rows-only: DuckDB has no Iceberg murmur3;
+    parity is instead pinned by the spec's published hash test vectors and
+    the backend-parity suite in tests/test_iceberg.py."""
+    import tempfile
+
+    from redpajama_processor_spark.sources.iceberg import IcebergTable, PartitionField
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    loc = tempfile.mkdtemp(prefix="iceberg_lite_")
+    table = IcebergTable(os.path.join(loc, "documents")).create(
+        docs.schema, [PartitionField("doc_id", "bucket", 8)]
+    )
+    n_src = docs.count()
+    table.append(docs, summary={"kept": n_src})
+    assert table.read(spark).count() == n_src
+    rows = [
+        (b, sum(
+            f["record_count"]
+            for f in table.data_files(partition_filter={"doc_id_bucket": b})
+        ))
+        for b in range(8)
+    ]
+    return spark.createDataFrame(rows, schema="bucket int, n_docs long")
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1319,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline": q_transcript_pipeline,
         "doc_bpe_vocab": q_doc_bpe_vocab,
         "doc_bpe_stats": q_doc_bpe_stats,
+        "doc_iceberg_roundtrip": q_doc_iceberg_roundtrip,
     }
 
 

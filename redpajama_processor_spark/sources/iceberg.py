@@ -1,0 +1,769 @@
+"""Iceberg-lite: a pure-Python Apache Iceberg v2 table format implementation.
+
+The north rule targets "Iceberg tables of multi-turn transcripts". This
+sandbox image has no iceberg-spark-runtime jar (verified rounds 3-4), so
+the engine previously programmed against a facade (sources/tables.py)
+whose Iceberg branch could not execute. This module removes that gap by
+implementing the PUBLIC Apache Iceberg table spec (format-version 2)
+directly:
+
+- ``metadata/vN.metadata.json`` + ``version-hint.text`` version pointer,
+- manifest lists and manifests as Avro OCF files (sources/avro.py), with
+  the spec's field-ids in the Avro schemas,
+- snapshots with sequence numbers, operation summaries, and time travel,
+- partition transforms ``identity`` and ``bucket(N)`` — bucketing uses
+  the spec's 32-bit Murmur3 hash (Appendix B), validated against the
+  published spec test vectors in tests/test_iceberg.py,
+- file-level partition pruning on read (manifest entries are filtered by
+  partition value before any parquet scan is planned).
+
+Data files are ordinary parquet written by Spark executors; ONLY the
+table metadata (a few KB per commit) flows through Python on the driver,
+which matches how Iceberg itself splits planning (driver) from IO
+(executors). At 10^12-turn scale the manifest set grows with file count,
+not row count; the reader streams manifests one Avro file at a time.
+
+Interop stance: everything written here follows the spec's required
+fields, so a real iceberg-spark-runtime can read these tables; the
+round-trip against the jar is gated on ICEBERG_SPARK_JAR like the
+existing facade test (no jar exists on this image to run it).
+
+Reference parity: the reference (dmvevents/redpajama-processor) has no
+table format at all — this surface exists for the north-rule target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .avro import read_ocf_file, write_ocf
+
+# ---------------------------------------------------------------------------
+# Murmur3 (x86, 32-bit) — Iceberg spec Appendix B bucket hash
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 of ``data``; returns a SIGNED int32 (Java int), as
+    the Iceberg spec's hash function does."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n_words = len(data) // 4
+    for i in range(n_words):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * n_words :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def iceberg_hash_long(v: int) -> int:
+    """Spec: int/long/date/time/timestamp hash as the little-endian 8-byte
+    long. Test vector: 34 -> 2017239379."""
+    return murmur3_32(struct.pack("<q", v))
+
+
+def iceberg_hash_string(s: str) -> int:
+    """Spec: strings hash their UTF-8 bytes. 'iceberg' -> 1210000089."""
+    return murmur3_32(s.encode("utf-8"))
+
+
+def bucket_value(value, n: int) -> int:
+    """Spec bucket transform: (hash(v) & Integer.MAX_VALUE) % N."""
+    if isinstance(value, str):
+        h = iceberg_hash_string(value)
+    elif isinstance(value, (int, np.integer)):
+        h = iceberg_hash_long(int(value))
+    else:
+        raise TypeError(f"bucket transform over {type(value).__name__} not supported")
+    return (h & 0x7FFFFFFF) % n
+
+
+def murmur3_32_utf8_batch(values: "np.ndarray | list[str]") -> np.ndarray:
+    """Vectorized Murmur3-32 over a batch of strings (UTF-8), returning
+    int32 hashes equal to murmur3_32(s.encode()) per row.
+
+    The per-word mix is uniform, so the batch is processed word-column by
+    word-column over a padded byte matrix with an active-row mask — the
+    same wavefront shape as the PNG filter inversion. Loop trips =
+    ceil(max_len/4) regardless of row count, so executors hash Arrow
+    batches of conv_ids in a handful of numpy passes instead of a Python
+    loop per row.
+    """
+    import pyarrow as pa
+
+    arr = pa.array(values, type=pa.string())
+    if arr.null_count:
+        raise ValueError("cannot bucket NULL partition values")
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1).astype(np.int64)
+    offsets = offsets + arr.offset if arr.offset else offsets
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    n = len(arr)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    max_len = int(lengths.max()) if n else 0
+    pad = (-max_len) % 4
+    width = max_len + pad
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(n, dtype=np.uint32)
+    if width:
+        idx = offsets[:-1, None] + np.arange(width)
+        mask = np.arange(width) < lengths[:, None]
+        padded = np.where(mask, data[np.minimum(idx, max(len(data) - 1, 0))], 0).astype(np.uint8)
+        words = np.ascontiguousarray(padded).view("<u4").reshape(n, width // 4)
+        full_words = lengths // 4
+        for j in range(width // 4):
+            active = full_words > j
+            if not active.any():
+                break
+            k = words[:, j].copy()
+            k *= c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k *= c2
+            hj = h[active] ^ k[active]
+            hj = (hj << np.uint32(13)) | (hj >> np.uint32(19))
+            h[active] = hj * np.uint32(5) + np.uint32(0xE6546B64)
+        rem = lengths % 4
+        has_tail = rem > 0
+        if has_tail.any():
+            tail_ix = np.minimum(full_words, width // 4 - 1)
+            tw = words[np.arange(n), tail_ix]
+            tail_mask = (np.uint64(1) << (np.uint64(8) * rem.astype(np.uint64))) - np.uint64(1)
+            k = (tw.astype(np.uint64) & tail_mask).astype(np.uint32)
+            k *= c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k *= c2
+            h[has_tail] ^= k[has_tail]
+    h ^= lengths.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+def murmur3_32_long_batch(values: np.ndarray) -> np.ndarray:
+    """Vectorized spec hash of int/long values (little-endian 8-byte
+    murmur3) — fully vectorized: exactly two word rounds + finalize."""
+    v = values.astype(np.int64).view(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    for word in ((v & np.uint64(0xFFFFFFFF)), (v >> np.uint64(32))):
+        k = word.astype(np.uint32)
+        k *= c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k *= c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+def bucket_expr(col: str, n: int):
+    """Spark Column computing the spec bucket(N) of a string or int/long
+    column via a vectorized pandas UDF (Arrow in, numpy wavefront or
+    two-round long hash, Arrow out)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_integer_dtype(s):
+            h = murmur3_32_long_batch(s.to_numpy())
+        else:
+            h = murmur3_32_utf8_batch(s.to_numpy())
+        return pd.Series((h.astype(np.int64) & 0x7FFFFFFF) % n, dtype="int32")
+
+    return _bucket(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> Iceberg schema conversion
+
+_SPARK_TO_ICE = {
+    T.StringType: "string",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BooleanType: "boolean",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.BinaryType: "binary",
+}
+
+_ICE_TO_SPARK = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+    "binary": T.BinaryType(),
+}
+
+
+def spark_to_iceberg_schema(schema: T.StructType) -> dict:
+    """Spark StructType -> Iceberg schema JSON with assigned field ids."""
+    counter = [0]
+
+    def field_id() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def convert(dt: T.DataType):
+        for cls, name in _SPARK_TO_ICE.items():
+            if isinstance(dt, cls):
+                return name
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "list",
+                "element-id": field_id(),
+                "element": convert(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": field_id(),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": convert(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise TypeError(f"no Iceberg mapping for Spark type {dt}")
+
+    fields = []
+    for f in schema.fields:
+        fid = field_id()
+        fields.append(
+            {"id": fid, "name": f.name, "required": not f.nullable, "type": convert(f.dataType)}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields, "last-column-id": counter[0]}
+
+
+def iceberg_to_spark_schema(ice: dict) -> T.StructType:
+    def convert(t):
+        if isinstance(t, str):
+            if t in _ICE_TO_SPARK:
+                return _ICE_TO_SPARK[t]
+            if t.startswith("decimal("):
+                p, s = t[8:-1].split(",")
+                return T.DecimalType(int(p), int(s))
+            raise TypeError(f"no Spark mapping for Iceberg type {t!r}")
+        if t["type"] == "list":
+            return T.ArrayType(convert(t["element"]), not t.get("element-required", False))
+        if t["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], convert(f["type"]), not f["required"])
+                    for f in t["fields"]
+                ]
+            )
+        raise TypeError(f"no Spark mapping for Iceberg type {t!r}")
+
+    return T.StructType(
+        [T.StructField(f["name"], convert(f["type"]), not f["required"]) for f in ice["fields"]]
+    )
+
+
+# ---------------------------------------------------------------------------
+# manifest Avro schemas (field-ids per the spec)
+
+
+def _opt(sch):
+    return ["null", sch]
+
+
+def _partition_avro_fields(spec_fields: list[dict], ice_schema: dict) -> list[dict]:
+    """Avro record fields for the partition struct (r102) of a spec."""
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    out = []
+    for pf in spec_fields:
+        if pf["transform"].startswith("bucket["):
+            avro_type = "int"
+        else:  # identity: partition value has the source column's type
+            src = by_id[pf["source-id"]]["type"]
+            avro_type = {"int": "int", "long": "long", "string": "string"}.get(src)
+            if avro_type is None:
+                raise TypeError(f"identity partition over {src!r} not supported")
+        out.append(
+            {
+                "name": pf["name"],
+                "type": _opt(avro_type),
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return out
+
+
+def _manifest_entry_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": _partition_avro_fields(spec_fields, ice_schema),
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": _opt("long"), "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": _opt(
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "contains_nan", "type": _opt("boolean"), "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": _opt("bytes"), "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": _opt("bytes"), "default": None, "field-id": 511},
+                        ],
+                    },
+                }
+            ),
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# the table
+
+
+class PartitionField:
+    """One partition spec entry: identity or bucket[N] over a source column."""
+
+    def __init__(self, source: str, transform: str = "identity", n: int | None = None):
+        self.source = source
+        self.transform = transform
+        self.n = n
+        if transform == "bucket" and not n:
+            raise ValueError("bucket transform needs n")
+
+    @property
+    def name(self) -> str:
+        return self.source if self.transform == "identity" else f"{self.source}_bucket"
+
+    def transform_str(self) -> str:
+        return "identity" if self.transform == "identity" else f"bucket[{self.n}]"
+
+    def spark_column(self):
+        if self.transform == "identity":
+            return F.col(self.source)
+        return bucket_expr(self.source, self.n)
+
+
+class IcebergTable:
+    """An Iceberg v2 table at a filesystem location (iceberg-lite engine)."""
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, "metadata")
+
+    # -- metadata plumbing --------------------------------------------------
+
+    def _current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                return int(f.read().strip())
+        versions = [
+            int(p[1:].split(".")[0])
+            for p in os.listdir(self.meta_dir)
+            if p.endswith(".metadata.json") and p.startswith("v")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no Iceberg metadata under {self.meta_dir}")
+        return max(versions)
+
+    def metadata(self) -> dict:
+        path = os.path.join(self.meta_dir, f"v{self._current_version()}.metadata.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.meta_dir) and any(
+            p.endswith(".metadata.json") for p in os.listdir(self.meta_dir)
+        )
+
+    def _write_metadata(self, meta: dict, version: int) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
+
+    # -- create -------------------------------------------------------------
+
+    def create(
+        self,
+        spark_schema: T.StructType,
+        partition_by: list[PartitionField] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "IcebergTable":
+        if self.exists():
+            raise FileExistsError(f"Iceberg table already exists at {self.location}")
+        ice_schema = spark_to_iceberg_schema(spark_schema)
+        last_col = ice_schema.pop("last-column-id")
+        spec_fields = []
+        for i, pf in enumerate(partition_by or []):
+            src = next(f for f in ice_schema["fields"] if f["name"] == pf.source)
+            spec_fields.append(
+                {
+                    "name": pf.name,
+                    "transform": pf.transform_str(),
+                    "source-id": src["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        self._write_metadata(meta, 1)
+        return self
+
+    # -- write --------------------------------------------------------------
+
+    def _partition_fields(self, meta: dict) -> list[PartitionField]:
+        spec = next(s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"])
+        by_id = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
+        out = []
+        for f in spec["fields"]:
+            if f["transform"] == "identity":
+                out.append(PartitionField(by_id[f["source-id"]], "identity"))
+            elif f["transform"].startswith("bucket["):
+                out.append(
+                    PartitionField(by_id[f["source-id"]], "bucket", int(f["transform"][7:-1]))
+                )
+            else:
+                raise NotImplementedError(f"transform {f['transform']!r}")
+        return out
+
+    def append(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
+        return self._commit(df, operation="append", summary=summary)
+
+    def overwrite(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
+        return self._commit(df, operation="overwrite", summary=summary)
+
+    def _commit(self, df: DataFrame, operation: str, summary: dict | None) -> int:
+        """Write df's rows as parquet data files + one manifest, then commit
+        a new snapshot. Returns the new snapshot id."""
+        import pyarrow.parquet as pq
+
+        meta = self.metadata()
+        version = self._current_version()
+        pfields = self._partition_fields(meta)
+        spec = next(s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"])
+        commit_uuid = str(uuid.uuid4())
+        data_dir = os.path.join(self.location, "data", commit_uuid)
+
+        # Partition on __p_-prefixed COPY columns: partitionBy strips the
+        # partitioning column from the parquet files, and identity
+        # partitions must keep their source column in the data file (the
+        # read path plans a file list, not a hive directory discovery).
+        out = df
+        for pf in pfields:
+            out = out.withColumn(f"__p_{pf.name}", pf.spark_column())
+        writer = out.write.mode("error")
+        if pfields:
+            writer = writer.partitionBy(*[f"__p_{pf.name}" for pf in pfields])
+        writer.parquet(data_dir)
+
+        # enumerate written files -> manifest entries (driver-side; file
+        # count per commit is what a manifest holds anyway)
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = seq  # monotone, unique per table
+        entries = []
+        total_rows = 0
+        ice_schema = meta["schemas"][0]
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                rel = os.path.relpath(root, data_dir)
+                partition = {}
+                if rel != ".":
+                    for seg in rel.split(os.sep):
+                        key, _, val = seg.partition("=")
+                        key = key.removeprefix("__p_")
+                        pf = next(p for p in pfields if p.name == key)
+                        if pf.transform == "bucket":
+                            partition[key] = int(val)
+                        else:
+                            partition[key] = _parse_identity(val, pf, ice_schema)
+                n_rows = pq.ParquetFile(path).metadata.num_rows
+                total_rows += n_rows
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": partition,
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(path),
+                        },
+                    }
+                )
+
+        entry_schema = _manifest_entry_schema(spec["fields"], ice_schema)
+        manifest_path = os.path.join(self.meta_dir, f"{commit_uuid}-m0.avro")
+        manifest_bytes = write_ocf(
+            entry_schema,
+            entries,
+            metadata={
+                "schema": json.dumps(ice_schema, separators=(",", ":")),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec["fields"], separators=(",", ":")),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(manifest_path, "wb") as f:
+            f.write(manifest_bytes)
+
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": spec["spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        manifests = [new_manifest]
+        if operation == "append" and meta["current-snapshot-id"] != -1:
+            current = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            _, _, prev = read_ocf_file(current["manifest-list"])
+            manifests = prev + manifests
+
+        list_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+        list_bytes = write_ocf(
+            _MANIFEST_FILE_SCHEMA,
+            manifests,
+            metadata={
+                "format-version": "2",
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": str(seq),
+                "parent-snapshot-id": str(meta["current-snapshot-id"]),
+            },
+        )
+        with open(list_path, "wb") as f:
+            f.write(list_bytes)
+
+        now_ms = int(time.time() * 1000)
+        snap = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+                **{k: str(v) for k, v in (summary or {}).items()},
+            },
+        }
+        if meta["current-snapshot-id"] != -1:
+            snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+        meta["snapshots"].append(snap)
+        meta["current-snapshot-id"] = snapshot_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["snapshot-log"].append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+        meta["metadata-log"].append(
+            {
+                "timestamp-ms": now_ms,
+                "metadata-file": os.path.join(self.meta_dir, f"v{version}.metadata.json"),
+            }
+        )
+        self._write_metadata(meta, version + 1)
+        return snapshot_id
+
+    # -- read ---------------------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata()["snapshots"])
+
+    def data_files(
+        self, snapshot_id: int | None = None, partition_filter: dict | None = None
+    ) -> list[dict]:
+        """Plan a scan: manifest-list -> manifests -> live data files, with
+        file-level partition pruning (no parquet touched)."""
+        meta = self.metadata()
+        sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+        if sid == -1:
+            return []
+        snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid), None)
+        if snap is None:
+            raise KeyError(f"no snapshot {sid} (have {[s['snapshot-id'] for s in meta['snapshots']]})")
+        _, _, manifests = read_ocf_file(snap["manifest-list"])
+        files = []
+        for mf in manifests:
+            if mf["content"] != 0:
+                continue
+            _, _, entries = read_ocf_file(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                part = e["data_file"]["partition"]
+                if partition_filter and any(
+                    part.get(k) != v for k, v in partition_filter.items()
+                ):
+                    continue
+                files.append(e["data_file"])
+        return files
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        meta = self.metadata()
+        schema = iceberg_to_spark_schema(meta["schemas"][0])
+        files = self.data_files(snapshot_id, partition_filter)
+        if not files:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(*[f["file_path"] for f in files])
+        return df.select(*[f.name for f in schema.fields])
+
+    def record_count(self, snapshot_id: int | None = None) -> int:
+        """Metadata-only count (no scan) — sum of manifest record counts."""
+        return sum(f["record_count"] for f in self.data_files(snapshot_id))
+
+
+def _parse_identity(val: str, pf: PartitionField, ice_schema: dict):
+    """Parse a hive-style partition-path value back to its typed form."""
+    from urllib.parse import unquote
+
+    src = next(f for f in ice_schema["fields"] if f["name"] == pf.source)
+    if src["type"] in ("int", "long"):
+        return int(val)
+    return unquote(val)

@@ -1,11 +1,13 @@
 """Table catalog abstraction: Iceberg when available, partitioned parquet
 otherwise.
 
-The north_rule targets Iceberg tables of transcripts. This sandbox image has
-no iceberg-spark-runtime jar, so the engine programs against this thin
-facade: identical call sites, and flipping ``use_iceberg=True`` (with the
-jar on the classpath and session.get_spark(iceberg_warehouse=...)) switches
-to real Iceberg tables with the same partition spec.
+The north_rule targets Iceberg tables of transcripts. Three backends share
+one call surface: ``parquet`` (bucket column + partitionBy), ``iceberg``
+(the jar-backed catalog — requires iceberg-spark-runtime on the classpath,
+absent on this image), and ``iceberg-lite`` (sources/iceberg.py: a
+pure-Python implementation of the Iceberg v2 spec — metadata JSON, Avro
+manifests, snapshots/time travel, spec-Murmur3 bucket(N, conv_id)
+partitioning with file-level pruning — that executes HERE, no jar).
 
 Partition spec for the turns table: bucket(N, conv_id) — all turns of a
 conversation co-locate (conversation-level operators need no extra shuffle
@@ -36,22 +38,49 @@ from pyspark.sql import functions as F
 
 
 class Catalog:
+    """Storage backends: ``parquet`` (default), ``iceberg`` (requires the
+    iceberg-spark-runtime jar on the classpath), ``iceberg-lite`` (the
+    pure-Python Iceberg v2 implementation in sources/iceberg.py — real
+    snapshots, manifests, and spec-Murmur3 bucket partitioning with NO
+    jar; executable in this sandbox and on any cluster)."""
+
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         use_iceberg: bool = False,
         n_buckets: int = 64,
+        backend: str | None = None,
     ):
         self.spark = spark
         self.root = root
-        self.use_iceberg = use_iceberg
+        self.backend = backend or ("iceberg" if use_iceberg else "parquet")
+        if self.backend not in ("parquet", "iceberg", "iceberg-lite"):
+            raise ValueError(f"unknown Catalog backend {self.backend!r}")
+        self.use_iceberg = self.backend == "iceberg"
         self.n_buckets = n_buckets
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _lite(self, name: str):
+        from .iceberg import IcebergTable
+
+        return IcebergTable(self._path(name))
+
     def write_turns(self, df: DataFrame, name: str = "turns", mode: str = "overwrite") -> None:
+        if self.backend == "iceberg-lite":
+            from .iceberg import PartitionField
+
+            t = self._lite(name)
+            if not t.exists():
+                t.create(df.schema, [PartitionField("conv_id", "bucket", self.n_buckets)])
+                t.append(df)
+            elif mode == "overwrite":
+                t.overwrite(df)
+            else:
+                t.append(df)
+            return
         if self.use_iceberg:
             (
                 df.writeTo(f"local.db.{name}")
@@ -70,13 +99,23 @@ class Catalog:
         )
 
     def read(self, name: str = "turns") -> DataFrame:
+        if self.backend == "iceberg-lite":
+            return self._lite(name).read(self.spark)
         if self.use_iceberg:
             return self.spark.read.table(f"local.db.{name}")
         df = self.spark.read.parquet(self._path(name))
         return df.drop("bucket") if "bucket" in df.columns else df
 
     def read_bucket(self, name: str, bucket: int) -> DataFrame:
-        """Partition-pruned single-bucket read (the resume unit)."""
+        """Single-bucket read — the RESUME unit. The bucket id is always
+        ``pmod(xxhash64(conv_id), N)`` in every backend so checkpoints
+        transfer across storage modes (see module docstring); Iceberg-mode
+        reads therefore filter rather than prune. For a PRUNED
+        conversation-group read in iceberg-lite, use read_spec_bucket."""
+        if self.backend == "iceberg-lite":
+            return self._lite(name).read(self.spark).filter(
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)) == bucket
+            )
         if self.use_iceberg:
             return self.spark.read.table(f"local.db.{name}").filter(
                 F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)) == bucket
@@ -84,6 +123,22 @@ class Catalog:
         return self.spark.read.parquet(self._path(name)).filter(
             F.col("bucket") == bucket
         ).drop("bucket")
+
+    def read_spec_bucket(self, name: str, bucket: int) -> DataFrame:
+        """iceberg-lite only: FILE-PRUNED read of one Iceberg bucket
+        partition (spec Murmur3 bucket of conv_id). Planning touches only
+        manifests; the parquet scan sees 1/N of the files. The unit here
+        is the Iceberg partition, not the resume bucket — use it for
+        partition-parallel jobs, not for resuming xxhash checkpoints."""
+        if self.backend != "iceberg-lite":
+            raise NotImplementedError(
+                "read_spec_bucket needs the iceberg-lite backend; parquet "
+                "mode prunes via the materialized bucket column "
+                "(read_bucket) and jar-mode via system.bucket pushdown"
+            )
+        return self._lite(name).read(
+            self.spark, partition_filter={"conv_id_bucket": bucket}
+        )
 
     def write_bucketed(
         self,
@@ -111,7 +166,7 @@ class Catalog:
         (write_turns) + storage-partitioned joins, and mixing a bucketBy
         session table into an Iceberg warehouse would silently break the
         storage-mode abstraction — so use_iceberg=True raises here."""
-        if self.use_iceberg:
+        if self.backend != "parquet":
             raise NotImplementedError(
                 "write_bucketed is the parquet/session-catalog rendering; "
                 "Iceberg tables get co-located joins from the "
@@ -128,6 +183,18 @@ class Catalog:
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
+        if self.backend == "iceberg-lite":
+            from .iceberg import IcebergTable, PartitionField
+
+            t = self._lite(name)
+            if not t.exists():
+                t.create(df.schema, [PartitionField(c) for c in partition_by or []])
+                t.append(df)
+            elif mode == "overwrite":
+                t.overwrite(df)
+            else:
+                t.append(df)
+            return
         if self.use_iceberg:
             w = df.writeTo(f"local.db.{name}")
             (w.createOrReplace() if mode == "overwrite" else w.append())

@@ -52,7 +52,13 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["transcript_pipeline", "transcript_census", "doc_bpe_vocab", "doc_bpe_stats"],
+    [
+        "transcript_pipeline",
+        "transcript_census",
+        "doc_bpe_vocab",
+        "doc_bpe_stats",
+        "doc_iceberg_roundtrip",
+    ],
 )
 def test_rows_only_queries(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)

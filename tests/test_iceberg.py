@@ -1,0 +1,344 @@
+"""Iceberg-lite: Avro codec, spec Murmur3 vectors, table round-trips,
+snapshots/time travel, partition pruning, Catalog backend parity."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark.sources import avro
+from redpajama_processor_spark.sources.iceberg import (
+    IcebergTable,
+    PartitionField,
+    bucket_value,
+    iceberg_hash_long,
+    iceberg_hash_string,
+    murmur3_32,
+    murmur3_32_long_batch,
+    murmur3_32_utf8_batch,
+)
+from redpajama_processor_spark.sources.tables import Catalog
+
+# ---------------------------------------------------------------------------
+# Avro binary codec
+
+
+RECORD_SCHEMA = {
+    "type": "record",
+    "name": "thing",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "f", "type": "double"},
+        {"name": "b", "type": ["null", "bytes"], "default": None},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "child",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "kid",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def test_avro_roundtrip_all_kinds():
+    recs = [
+        {
+            "s": "héllo",
+            "n": -1234567890123,
+            "f": 3.5,
+            "b": b"\x00\xff",
+            "flag": True,
+            "tags": ["a", "b", ""],
+            "props": {"k1": 1, "k2": -2},
+            "child": {"x": -7},
+        },
+        {
+            "s": "",
+            "n": 0,
+            "f": -0.0,
+            "b": None,
+            "flag": False,
+            "tags": [],
+            "props": {},
+            "child": None,
+        },
+    ]
+    for codec in ("null", "deflate"):
+        blob = avro.write_ocf(RECORD_SCHEMA, recs, codec=codec)
+        schema, meta, out = avro.read_ocf(blob)
+        assert out == recs
+        assert schema["name"] == "thing"
+        assert meta["avro.codec"] == codec.encode()
+
+
+def test_avro_zigzag_edges():
+    sch = avro.parse_schema("long")
+    for v in (0, -1, 1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        buf = bytearray()
+        avro.encode(sch, v, buf)
+        assert avro._Reader(bytes(buf)).read_long() == v
+
+
+def test_avro_hand_built_fixture():
+    """Byte-level OCF built straight from the Avro spec (not via write_ocf)
+    so a shared encoder/decoder bug cannot cancel: one record of
+    {"a": 3, "b": "hi"} with the null codec.
+
+    Spec grammar: magic Obj\\x01; metadata map (block count, then
+    key/value string/bytes pairs, then 0); 16-byte sync; per block:
+    count, byte size, payload, sync.
+    """
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    schema_bytes = json.dumps(schema).encode()
+
+    def vint(n):  # zigzag varint
+        z = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            if z >= 0x80:
+                out.append((z & 0x7F) | 0x80)
+                z >>= 7
+            else:
+                out.append(z)
+                return bytes(out)
+
+    payload = vint(3) + vint(2) + b"hi"  # a=3, b="hi"
+    sync = bytes(range(16))
+    blob = (
+        b"Obj\x01"
+        + vint(2)  # metadata map: 2 entries
+        + vint(len(b"avro.schema")) + b"avro.schema"
+        + vint(len(schema_bytes)) + schema_bytes
+        + vint(len(b"avro.codec")) + b"avro.codec"
+        + vint(4) + b"null"
+        + vint(0)  # end of map
+        + sync
+        + vint(1)  # 1 record in block
+        + vint(len(payload))
+        + payload
+        + sync
+    )
+    got_schema, _, recs = avro.read_ocf(blob)
+    assert recs == [{"a": 3, "b": "hi"}]
+    assert got_schema == schema
+
+
+def test_avro_corruption_detected():
+    blob = avro.write_ocf(
+        {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]},
+        [{"a": 1}],
+        codec="null",
+    )
+    bad = blob[:-1] + bytes([blob[-1] ^ 0xFF])  # flip last sync byte
+    with pytest.raises(ValueError, match="sync"):
+        avro.read_ocf(bad)
+    with pytest.raises(ValueError, match="magic"):
+        avro.read_ocf(b"NOPE" + blob[4:])
+
+
+# ---------------------------------------------------------------------------
+# spec Murmur3 — external oracle: published Iceberg spec Appendix B vectors
+
+
+def test_murmur3_iceberg_spec_vectors():
+    assert iceberg_hash_long(34) == 2017239379          # int/long 34
+    assert iceberg_hash_string("iceberg") == 1210000089  # string
+    days_2017_11_16 = 17486                               # date 2017-11-16
+    assert iceberg_hash_long(days_2017_11_16) == -653330422
+
+
+def test_murmur3_batch_equals_scalar():
+    rng = np.random.default_rng(7)
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "iceberg", "héllo wörld", "日本語テキスト"]
+    strs += ["".join(chr(rng.integers(32, 1000)) for _ in range(int(n))) for n in rng.integers(0, 64, 50)]
+    batch = murmur3_32_utf8_batch(strs)
+    scalar = [murmur3_32(s.encode("utf-8")) for s in strs]
+    assert list(batch) == scalar
+
+
+def test_murmur3_long_batch_equals_scalar():
+    vals = np.array(
+        [0, 1, -1, 34, 17486, 2**31, -(2**31), 2**62, -(2**62), 987654321012345],
+        dtype=np.int64,
+    )
+    assert list(murmur3_32_long_batch(vals)) == [iceberg_hash_long(int(v)) for v in vals]
+
+
+def test_bucket_transform_range():
+    for s in ("conv-1", "conv-2", ""):
+        b = bucket_value(s, 16)
+        assert 0 <= b < 16
+    assert bucket_value(34, 16) == 2017239379 % 16
+
+
+# ---------------------------------------------------------------------------
+# the table
+
+
+@pytest.fixture
+def turns_df(spark):
+    return spark.range(0, 400).selectExpr(
+        "concat('conv-', cast(id % 23 as string)) as conv_id",
+        "cast(id as int) as turn_idx",
+        "case when id % 2 = 0 then 'user' else 'assistant' end as role",
+        "concat('text ', cast(id as string)) as text",
+    )
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pdf[sorted(pdf.columns)]
+
+
+def test_table_roundtrip_bucket_partitioned(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(
+        turns_df.schema, [PartitionField("conv_id", "bucket", 8)]
+    )
+    t.append(turns_df)
+    back = t.read(spark)
+    assert _sorted_pdf(back).equals(_sorted_pdf(turns_df))
+    # every data file's manifest partition value matches the spec transform
+    for f in t.data_files():
+        assert 0 <= f["partition"]["conv_id_bucket"] < 8
+
+
+def test_table_roundtrip_identity_partitioned(spark, tmp_path, turns_df):
+    """Identity partition columns must SURVIVE the round trip (the write
+    partitions on a copy column so data files keep the source column)."""
+    t = IcebergTable(str(tmp_path / "t")).create(
+        turns_df.schema, [PartitionField("role")]
+    )
+    t.append(turns_df)
+    back = t.read(spark)
+    assert _sorted_pdf(back).equals(_sorted_pdf(turns_df))
+    vals = {f["partition"]["role"] for f in t.data_files()}
+    assert vals == {"user", "assistant"}
+    # identity pruning
+    only_user = t.read(spark, partition_filter={"role": "user"})
+    assert only_user.filter("role <> 'user'").count() == 0
+    assert only_user.count() == turns_df.filter("role = 'user'").count()
+
+
+def test_table_unpartitioned(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(turns_df.schema)
+    t.append(turns_df)
+    assert _sorted_pdf(t.read(spark)).equals(_sorted_pdf(turns_df))
+
+
+def test_snapshots_time_travel_and_overwrite(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(
+        turns_df.schema, [PartitionField("conv_id", "bucket", 4)]
+    )
+    s1 = t.append(turns_df, summary={"kept": 400})
+    extra = turns_df.withColumn("turn_idx", (turns_df.turn_idx + 10000).cast("int"))
+    s2 = t.append(extra)
+    assert t.read(spark).count() == 800
+    assert t.read(spark, snapshot_id=s1).count() == 400
+    assert t.record_count() == 800          # metadata-only, no scan
+    assert t.record_count(s1) == 400
+    s3 = t.overwrite(extra)
+    assert t.read(spark).count() == 400
+    assert t.read(spark, snapshot_id=s2).count() == 800  # history retained
+    meta = t.metadata()
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == s3
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [s1, s2, s3]
+    assert [s["summary"]["operation"] for s in meta["snapshots"]] == [
+        "append", "append", "overwrite",
+    ]
+    # lineage metrics ride the snapshot summary
+    assert meta["snapshots"][0]["summary"]["kept"] == "400"
+    # sequence numbers are monotone and recorded in manifests
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 3
+
+
+def test_partition_pruning_prunes_files_and_matches_full_scan(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(
+        turns_df.schema, [PartitionField("conv_id", "bucket", 8)]
+    )
+    t.append(turns_df)
+    all_files = t.data_files()
+    b3 = t.data_files(partition_filter={"conv_id_bucket": 3})
+    assert 0 < len(b3) < len(all_files)
+    pruned = t.read(spark, partition_filter={"conv_id_bucket": 3})
+    expect = {f"conv-{i}" for i in range(23) if bucket_value(f"conv-{i}", 8) == 3}
+    got = {r.conv_id for r in pruned.select("conv_id").distinct().collect()}
+    assert got == expect
+    # all buckets together = the full table
+    total = sum(
+        sum(f["record_count"] for f in t.data_files(partition_filter={"conv_id_bucket": b}))
+        for b in range(8)
+    )
+    assert total == 400
+
+
+def test_empty_and_missing_snapshot(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(turns_df.schema)
+    assert t.read(spark).count() == 0        # no snapshot yet -> empty, typed
+    assert t.read(spark).schema == turns_df.schema
+    t.append(turns_df)
+    with pytest.raises(KeyError, match="no snapshot"):
+        t.data_files(snapshot_id=999)
+    with pytest.raises(FileExistsError):
+        IcebergTable(t.location).create(turns_df.schema)
+
+
+def test_catalog_iceberg_lite_backend_parity(spark, tmp_path, turns_df):
+    """Same rows through parquet and iceberg-lite backends, and the RESUME
+    bucket (xxhash) partitions identically across backends — the
+    cross-backend checkpoint contract."""
+    cp = Catalog(spark, str(tmp_path / "pq"), n_buckets=8)
+    cl = Catalog(spark, str(tmp_path / "ice"), backend="iceberg-lite", n_buckets=8)
+    cp.write_turns(turns_df)
+    cl.write_turns(turns_df)
+    assert _sorted_pdf(cp.read("turns")).equals(_sorted_pdf(cl.read("turns")))
+    for b in (0, 3, 7):
+        assert _sorted_pdf(cp.read_bucket("turns", b)).equals(
+            _sorted_pdf(cl.read_bucket("turns", b))
+        )
+    # spec-bucket pruned read: disjoint cover of the table
+    counts = [cl.read_spec_bucket("turns", b).count() for b in range(8)]
+    assert sum(counts) == 400
+    with pytest.raises(NotImplementedError):
+        cp.read_spec_bucket("turns", 0)
+    # append mode stacks a second snapshot
+    cl.write_turns(turns_df, mode="append")
+    assert cl.read("turns").count() == 800
+    # overwrite replaces
+    cl.write_turns(turns_df, mode="overwrite")
+    assert cl.read("turns").count() == 400
+
+
+ICEBERG_JAR = os.environ.get("ICEBERG_SPARK_JAR", "")
+
+
+@pytest.mark.skipif(
+    not ICEBERG_JAR,
+    reason="no iceberg-spark-runtime jar on this image; set ICEBERG_SPARK_JAR to "
+    "cross-check iceberg-lite tables against the reference implementation",
+)
+def test_lite_table_readable_by_real_iceberg(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(
+        turns_df.schema, [PartitionField("conv_id", "bucket", 8)]
+    )
+    t.append(turns_df)
+    real = spark.read.format("iceberg").load(t.location)
+    assert real.count() == 400

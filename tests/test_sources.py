@@ -171,12 +171,14 @@ def test_catalog_branches_share_partition_spec_constants():
 
     src_write = inspect.getsource(Catalog.write_turns)
     src_read = inspect.getsource(Catalog.read_bucket)
-    # write: iceberg partitionedBy and parquet bucket column use the same knob
-    assert src_write.count("self.n_buckets") == 2, src_write
+    # write: iceberg partitionedBy, iceberg-lite PartitionField and the
+    # parquet bucket column all use the same knob
+    assert src_write.count("self.n_buckets") == 3, src_write
     assert 'F.bucket(self.n_buckets, F.col("conv_id"))' in src_write
+    assert 'PartitionField("conv_id", "bucket", self.n_buckets)' in src_write
     assert 'F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))' in src_write
-    # read_bucket: the xxhash resume filter is the iceberg-mode filter too
-    assert 'F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))' in src_read
+    # read_bucket: the xxhash resume filter appears in BOTH iceberg modes
+    assert src_read.count('F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))') == 2
 
 
 def test_catalog_parquet_bucket_equals_resume_hash(spark, tmp_path):
