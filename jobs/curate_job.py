@@ -34,6 +34,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _write_output(spark, out, args):
+    """Write the curated output in the chosen storage and return a reader
+    over it (re-read from storage so the census counts what was written)."""
+    if args.storage == "iceberg":
+        from redpajama_processor_spark.sources.iceberg import IcebergTable
+
+        t = IcebergTable(args.output)
+        if not t.exists():
+            t.create(out.schema)
+            t.append(out)
+        else:
+            t.overwrite(out)
+        return t.read(spark)
+    out.write.mode("overwrite").parquet(args.output)
+    return spark.read.parquet(args.output)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None, help="parquet dir of turns")
@@ -67,6 +84,15 @@ def main() -> None:
         action="store_true",
         help="annotate CCNet head/middle/tail perplexity buckets per language",
     )
+    ap.add_argument(
+        "--storage",
+        choices=["parquet", "iceberg"],
+        default="parquet",
+        help="iceberg = Iceberg v2 tables end to end (pure-Python "
+        "iceberg-lite engine, no jar needed): input may be an Iceberg "
+        "table, per-bucket checkpoints are atomic snapshot commits with "
+        "lineage in the summaries, and the output is an Iceberg table",
+    )
     args = ap.parse_args()
 
     from redpajama_processor_spark.datagen import gen_turns_spark, lm_corpus
@@ -78,8 +104,13 @@ def main() -> None:
     spark = get_spark(app_name="curate", cores=args.cores)
     t0 = time.time()
 
+    from redpajama_processor_spark.sources.iceberg import IcebergTable
+
     if args.input:
-        turns = spark.read.parquet(args.input)
+        if os.path.isdir(os.path.join(args.input, "metadata")):
+            turns = IcebergTable(args.input).read(spark)  # Iceberg input
+        else:
+            turns = spark.read.parquet(args.input)
     elif args.synthetic_convs:
         turns = gen_turns_spark(spark, args.synthetic_convs)
     else:
@@ -109,7 +140,16 @@ def main() -> None:
         )
 
         # Stage 2 (per conv_id bucket, resumable per bucket): annotation.
-        run = CheckpointedRun(spark, args.checkpoint_root, n_buckets=args.buckets)
+        if args.storage == "iceberg":
+            from redpajama_processor_spark.operators.checkpoint import (
+                IcebergCheckpointedRun,
+            )
+
+            run = IcebergCheckpointedRun(
+                spark, args.checkpoint_root, n_buckets=args.buckets
+            )
+        else:
+            run = CheckpointedRun(spark, args.checkpoint_root, n_buckets=args.buckets)
         run.run(
             "curate",
             turns,
@@ -123,7 +163,7 @@ def main() -> None:
             ),
         )
         out = run.result()
-        out.write.mode("overwrite").parquet(args.output)
+        result = _write_output(spark, out, args)
     else:
         out = curate(
             spark, turns, lm,
@@ -134,9 +174,8 @@ def main() -> None:
             with_repetition=args.with_repetition,
             with_ppl_buckets=args.with_ppl_buckets,
         )
-        out.write.mode("overwrite").parquet(args.output)
+        result = _write_output(spark, out, args)
 
-    result = spark.read.parquet(args.output)
     census = {
         r["rule"]: r["count"] for r in rule_census(result).collect()
     }

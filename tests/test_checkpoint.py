@@ -138,3 +138,52 @@ def test_stage_dir_lineage_cuts_and_resume(spark, tmp_path):
     assert (
         resumed["drop_rule"].fillna("~") == staged["drop_rule"].fillna("~")
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# IcebergCheckpointedRun: snapshot commit IS the checkpoint
+
+
+def test_iceberg_resume_after_kill(spark, turns_df, tmp_path):
+    from redpajama_processor_spark.operators.checkpoint import IcebergCheckpointedRun
+
+    run = IcebergCheckpointedRun(spark, str(tmp_path / "ice"), n_buckets=6)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run.run("quality", turns_df, _transform, fail_at_bucket=2)
+    assert len(run.completed("quality")) == 2
+
+    assert run.run("quality", turns_df, _transform) == 4
+    assert len(run.completed("quality")) == 6
+    assert run.run("quality", turns_df, _transform) == 0  # noop re-run
+
+    # resumed iceberg result == fresh parquet-rendering result
+    fresh = CheckpointedRun(spark, str(tmp_path / "fresh"), n_buckets=6)
+    fresh.run("quality", turns_df, _transform)
+    a = (
+        run.result().select("conv_id", "turn_idx", "keep").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        fresh.result().select("conv_id", "turn_idx", "keep").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert (a == b).all().all()
+    assert len(a) == turns_df.count()
+
+
+def test_iceberg_lineage_counters_in_snapshot_summaries(spark, turns_df, tmp_path):
+    from redpajama_processor_spark.operators.checkpoint import IcebergCheckpointedRun
+
+    run = IcebergCheckpointedRun(spark, str(tmp_path / "ice2"), n_buckets=4)
+    run.run("s", turns_df, _transform)
+    lin = run.lineage("s")
+    assert {r["bucket"] for r in lin} == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in lin) == turns_df.count()
+    assert all(0 <= r["n_kept"] <= r["n_rows"] for r in lin)
+    assert all(r["wall_sec"] >= 0 for r in lin)
+    # one atomic snapshot per bucket, operation=append, monotone sequence
+    snaps = run._table().snapshots()
+    assert len(snaps) == 4
+    assert all(s["summary"]["operation"] == "append" for s in snaps)
+    seqs = [s["sequence-number"] for s in snaps]
+    assert seqs == sorted(seqs)
