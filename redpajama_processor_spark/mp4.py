@@ -1,0 +1,402 @@
+"""Pure-Python ISO BMFF (MP4/QuickTime) demuxer + MJPEG-in-MP4 muxer.
+
+Implements the public ISO/IEC 14496-12 box grammar: the box tree (size /
+largesize / to-EOF), track headers (tkhd/mdhd/hdlr), and the full sample
+table resolution (stsd / stts / stsc / stsz / stco / co64) that maps
+sample index -> absolute byte range in the file. That is a DEMUXER: it
+yields each sample's raw codec payload plus track metadata.
+
+Decode is codec-dependent. Motion-JPEG tracks (sample entry 'jpeg' /
+'mjpa', where every sample is a complete JPEG image) decode end-to-end
+through the in-repo T.81 codec (jpeg.py) — so real .mp4 video files
+work with NO external library when they carry MJPEG. Compressed codecs
+(avc1/H.264, hvc1/HEVC, mp4a/AAC...) still raise NotImplementedError
+naming the codec and the missing decoder, but their CONTAINER now parses:
+track metadata, frame count, per-sample byte ranges are all real.
+
+The muxer writes fixture-grade single-video-track MJPEG files (ftyp +
+mdat + moov) used for the two-sided round-trip validation in
+tests/test_mp4.py; a hand-built byte-level box fixture validates the
+demuxer independently of the muxer.
+
+Reference parity: the reference engine has no media code at all; this
+module exists for the multimodal-column brief (frame-sample / featurize
+over real containers).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf",
+    b"udta", b"mvex", b"moof", b"traf",
+}
+
+
+# ---------------------------------------------------------------------------
+# box walk
+
+
+def iter_boxes(buf: bytes, start: int = 0, end: int | None = None):
+    """Yield (type, header_size, body_start, body_end) for each box in
+    buf[start:end], per the ISO 14496-12 size grammar."""
+    end = len(buf) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"bad box size {size} for {typ!r} at offset {pos} (file end {end})"
+            )
+        yield typ, hdr, pos + hdr, pos + size
+        pos += size
+
+
+def find_box(buf: bytes, path: list[bytes], start: int = 0, end: int | None = None):
+    """Walk a box path like [b'moov', b'trak'] -> (body_start, body_end) of
+    the FIRST match, or None."""
+    for typ, _hdr, bs, be in iter_boxes(buf, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return bs, be
+            return find_box(buf, path[1:], bs, be)
+    return None
+
+
+def _fullbox(buf: bytes, pos: int) -> tuple[int, int]:
+    """(version, flags) of a FullBox body starting at pos."""
+    v = buf[pos]
+    flags = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+    return v, flags
+
+
+# ---------------------------------------------------------------------------
+# track model
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str              # 'vide' / 'soun' / ...
+    codec: str                # sample-entry fourcc: 'jpeg', 'avc1', 'mp4a'...
+    timescale: int
+    duration: int             # in timescale units
+    width: int | None = None
+    height: int | None = None
+    sample_offsets: list[int] = field(default_factory=list)
+    sample_sizes: list[int] = field(default_factory=list)
+    sample_deltas: list[int] = field(default_factory=list)  # stts expanded
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.sample_sizes)
+
+    @property
+    def fps(self) -> float | None:
+        if self.handler != "vide" or not self.sample_deltas:
+            return None
+        avg = sum(self.sample_deltas) / len(self.sample_deltas)
+        return self.timescale / avg if avg else None
+
+    def sample(self, buf: bytes, i: int) -> bytes:
+        off, size = self.sample_offsets[i], self.sample_sizes[i]
+        if off + size > len(buf):
+            raise ValueError(
+                f"sample {i} range [{off}, {off + size}) exceeds file size {len(buf)}"
+            )
+        return buf[off : off + size]
+
+
+@dataclass
+class Mp4File:
+    brand: str
+    timescale: int
+    duration: int
+    tracks: list[Mp4Track]
+
+    def video_track(self) -> Mp4Track | None:
+        return next((t for t in self.tracks if t.handler == "vide"), None)
+
+
+def is_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def demux_mp4(payload: bytes) -> Mp4File:
+    """Parse an ISO BMFF file into track metadata + per-sample byte ranges."""
+    if not is_mp4(payload):
+        raise ValueError(f"not an ISO BMFF file (no ftyp; starts {payload[:12]!r})")
+    brand = payload[8:12].decode("latin1")
+    moov = find_box(payload, [b"moov"])
+    if moov is None:
+        raise ValueError("MP4 has no moov box (fragmented-only or truncated)")
+    ms, me = moov
+
+    timescale = duration = 0
+    mvhd = find_box(payload, [b"mvhd"], ms, me)
+    if mvhd:
+        v, _ = _fullbox(payload, mvhd[0])
+        if v == 1:
+            _, _, timescale, duration = struct.unpack_from(">QQIQ", payload, mvhd[0] + 4)
+        else:
+            _, _, timescale, duration = struct.unpack_from(">IIII", payload, mvhd[0] + 4)
+
+    tracks = []
+    for typ, _hdr, bs, be in iter_boxes(payload, ms, me):
+        if typ == b"trak":
+            tracks.append(_parse_trak(payload, bs, be))
+    return Mp4File(brand=brand, timescale=timescale, duration=duration, tracks=tracks)
+
+
+def _parse_trak(buf: bytes, ts: int, te: int) -> Mp4Track:
+    tkhd = find_box(buf, [b"tkhd"], ts, te)
+    track_id = 0
+    width = height = None
+    if tkhd:
+        v, _ = _fullbox(buf, tkhd[0])
+        base = tkhd[0] + 4
+        track_id = struct.unpack_from(">I", buf, base + (16 if v == 1 else 8))[0]
+        # width/height: last 8 bytes of tkhd, 16.16 fixed point
+        w_fx, h_fx = struct.unpack_from(">II", buf, tkhd[1] - 8)
+        if w_fx and h_fx:
+            width, height = w_fx >> 16, h_fx >> 16
+
+    mdia = find_box(buf, [b"mdia"], ts, te)
+    if mdia is None:
+        raise ValueError("trak without mdia")
+    mdhd = find_box(buf, [b"mdhd"], mdia[0], mdia[1])
+    timescale = duration = 0
+    if mdhd:
+        v, _ = _fullbox(buf, mdhd[0])
+        if v == 1:
+            _, _, timescale, duration = struct.unpack_from(">QQIQ", buf, mdhd[0] + 4)
+        else:
+            _, _, timescale, duration = struct.unpack_from(">IIII", buf, mdhd[0] + 4)
+    hdlr = find_box(buf, [b"hdlr"], mdia[0], mdia[1])
+    handler = buf[hdlr[0] + 8 : hdlr[0] + 12].decode("latin1") if hdlr else "????"
+
+    stbl = find_box(buf, [b"minf", b"stbl"], mdia[0], mdia[1])
+    if stbl is None:
+        raise ValueError("trak without sample table")
+    sb, se = stbl
+
+    codec = "????"
+    stsd = find_box(buf, [b"stsd"], sb, se)
+    if stsd:
+        (n_desc,) = struct.unpack_from(">I", buf, stsd[0] + 4)
+        if n_desc >= 1:
+            codec = buf[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
+
+    # ---- sample table resolution: stsz + stsc + stco/co64 -> offsets ----
+    sizes: list[int] = []
+    stsz = find_box(buf, [b"stsz"], sb, se)
+    if stsz:
+        fixed, count = struct.unpack_from(">II", buf, stsz[0] + 4)
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            sizes = list(struct.unpack_from(f">{count}I", buf, stsz[0] + 12))
+
+    chunk_offsets: list[int] = []
+    stco = find_box(buf, [b"stco"], sb, se)
+    if stco:
+        (n,) = struct.unpack_from(">I", buf, stco[0] + 4)
+        chunk_offsets = list(struct.unpack_from(f">{n}I", buf, stco[0] + 8))
+    else:
+        co64 = find_box(buf, [b"co64"], sb, se)
+        if co64:
+            (n,) = struct.unpack_from(">I", buf, co64[0] + 4)
+            chunk_offsets = list(struct.unpack_from(f">{n}Q", buf, co64[0] + 8))
+
+    # stsc: runs of (first_chunk, samples_per_chunk, desc); expand per chunk
+    spc: list[int] = []
+    stsc = find_box(buf, [b"stsc"], sb, se)
+    if stsc:
+        (n,) = struct.unpack_from(">I", buf, stsc[0] + 4)
+        runs = [
+            struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i) for i in range(n)
+        ]
+        for i, (first, per, _desc) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offsets)
+            spc.extend([per] * (last - first + 1))
+
+    offsets: list[int] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        pos = coff
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"sample table inconsistent: stsz has {len(sizes)} samples, "
+            f"stsc/stco cover {si}"
+        )
+
+    deltas: list[int] = []
+    stts = find_box(buf, [b"stts"], sb, se)
+    if stts:
+        (n,) = struct.unpack_from(">I", buf, stts[0] + 4)
+        for i in range(n):
+            cnt, delta = struct.unpack_from(">II", buf, stts[0] + 8 + 8 * i)
+            deltas.extend([delta] * cnt)
+
+    return Mp4Track(
+        track_id=track_id,
+        handler=handler,
+        codec=codec,
+        timescale=timescale,
+        duration=duration,
+        width=width,
+        height=height,
+        sample_offsets=offsets,
+        sample_sizes=sizes,
+        sample_deltas=deltas,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG decode path
+
+
+MJPEG_CODECS = {"jpeg", "mjpa", "mjpb", "AVDJ"}
+
+
+def decode_mp4_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode every video frame of an MJPEG-in-MP4 file to (h, w, 3) uint8
+    RGB via the in-repo T.81 codec. Compressed codecs raise, naming the
+    codec and what is missing."""
+    from . import jpeg
+
+    f = demux_mp4(payload)
+    track = f.video_track()
+    if track is None:
+        raise ValueError(
+            f"no video track in MP4 (tracks: {[t.handler for t in f.tracks]})"
+        )
+    if track.codec not in MJPEG_CODECS:
+        raise NotImplementedError(
+            f"MP4 video codec {track.codec!r} needs an external decoder "
+            "(ffmpeg/PyAV); only Motion-JPEG tracks decode in-repo"
+        )
+    return [jpeg.decode_jpeg(track.sample(payload, i)) for i in range(track.n_samples)]
+
+
+# ---------------------------------------------------------------------------
+# muxer (fixture-grade, single MJPEG video track)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mjpeg_mp4(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+) -> bytes:
+    """Frames [(h, w, 3) uint8 RGB] -> a valid single-track MJPEG .mp4.
+
+    Layout: ftyp, mdat (concatenated baseline-JPEG samples), moov with the
+    full sample table. Offsets in stco are absolute, so mdat is written
+    before moov and its payload offset is known exactly.
+    """
+    from . import jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one size")
+    samples = [jpeg.encode_jpeg(f, quality=quality) for f in frames]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    mdat_payload_off = len(ftyp) + 8  # absolute offset of first sample
+
+    timescale = 600
+    delta = timescale // fps
+    n = len(samples)
+    duration = n * delta
+
+    # stbl ------------------------------------------------------------------
+    # VisualSampleEntry 'jpeg': MJPEG-in-MP4 (each sample = full JPEG image)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)              # reserved, data_ref_idx
+        + b"\x00" * 16                                   # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)     # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                           # frame_count
+        + bytes([4]) + b"jpeg" + b"\x00" * 27            # compressorname
+        + struct.pack(">Hh", 24, -1)                     # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, mdat_payload_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),                 # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+
+    tkhd = _full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)      # times, track 1
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)     # rate, volume
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),                          # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

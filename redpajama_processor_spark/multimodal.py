@@ -22,16 +22,19 @@ working decoders for the formats that need no external library:
          predictor, gray / WhiteIsZero / bilevel / RGB(A) / 16-bit-
          ColorMap palette — via the pure-numpy codec in tiff.py
   audio  WAV, PCM 16-bit (RIFF/fmt/data chunk walk)
-  video  RAWBMPV: a minimal public container = the ASCII magic ``RBMV`` +
-         uint32 frame count + concatenated BMP frames. Stands in for a real
-         container the way the bigram LM stands in for KenLM — the Spark
-         plumbing (frame explode, per-frame rows, sampling) is identical.
+  video  REAL MP4 (ISO BMFF) — full demux via mp4.py (box tree, tkhd/
+         mdhd/hdlr, stsd/stts/stsc/stsz/stco/co64 sample-table
+         resolution); Motion-JPEG tracks decode end-to-end through the
+         in-repo T.81 codec. Animated GIF. RAWBMPV: a minimal public
+         container = ASCII ``RBMV`` + uint32 frame count + concatenated
+         BMP frames (the ffmpeg-free fixture container).
 
-Genuinely-external compressed formats (WebP/AVIF, MP3,
-MP4...) still raise NotImplementedError with the payload magic in the
-message — decoding those requires PIL/ffmpeg, which this environment does
-not ship; the lazy-init pattern to plug them in is the fastText pattern in
-functions/langid.py.
+Genuinely-external compressed CODECS (WebP/AVIF, MP3, H.264/HEVC/AAC
+inside MP4) still raise NotImplementedError naming the codec — decoding
+those requires PIL/ffmpeg, which this environment does not ship; the
+lazy-init pattern to plug them in is the fastText pattern in
+functions/langid.py. The MP4 CONTAINER itself always parses (track
+metadata, frame count, per-sample byte ranges).
 
 Schema convention:
   media(media_id string, kind string, payload binary,
@@ -477,6 +480,20 @@ def decode_rawbmpv(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+def decode_video(payload: bytes) -> list[np.ndarray]:
+    """Video payload -> list of (h, w, 3) uint8 RGB frames. Dispatches on
+    container magic: RAWBMPV, animated GIF, and REAL MP4 (ISO BMFF demux
+    via mp4.py; Motion-JPEG tracks decode through the in-repo T.81 codec,
+    compressed codecs raise naming the missing decoder)."""
+    from . import mp4
+
+    if payload[:6] in gif.GIF_MAGICS:
+        return gif.decode_gif(payload)
+    if mp4.is_mp4(payload):
+        return mp4.decode_mp4_frames(payload)
+    return decode_rawbmpv(payload)
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resize (pure indexing, no interp)."""
     h, w = img.shape[:2]
@@ -544,7 +561,7 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
                 elif kind == "audio":
                     feats.append(_audio_feature(decode_wav(p)[0], dim))
                 elif kind == "video":
-                    frames = decode_rawbmpv(p)
+                    frames = decode_video(p)
                     feats.append(
                         _image_feature(frames[0], dim)
                         if frames
@@ -634,10 +651,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
                 p = bytes(p)
-                if p[:6] in gif.GIF_MAGICS:
-                    frames = gif.decode_gif(p)
-                else:
-                    frames = decode_rawbmpv(p)
+                frames = decode_video(p)
                 for idx in range(0, len(frames), every_n):
                     fr = frames[idx]
                     meta = dict(m) if m is not None else {}
@@ -700,9 +714,15 @@ def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
             payload, meta = encode_wav(samples, sr), (None, None, sr, None)
         else:
             frames = [
-                rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+                rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
                 for _ in range(5)
             ]
-            payload, meta = encode_rawbmpv(frames), (8, 6, None, 5)
+            if (i // 3) % 2:  # alternate containers: real MP4 / RAWBMPV
+                from .mp4 import encode_mjpeg_mp4
+
+                payload = encode_mjpeg_mp4(frames, fps=5)
+            else:
+                payload = encode_rawbmpv(frames)
+            meta = (16, 16, None, 5)
         rows.append((f"m-{i:06d}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -758,6 +758,64 @@ class IcebergTable:
         """Metadata-only count (no scan) — sum of manifest record counts."""
         return sum(f["record_count"] for f in self.data_files(snapshot_id))
 
+    # -- maintenance ---------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots from table
+        metadata (history truncation). Data/manifest files are NOT deleted
+        here — files may be shared across snapshots; reclaim space with
+        remove_orphan_files afterwards. Returns the expired snapshot ids.
+
+        The current snapshot is always retained (keep_last is clamped to
+        >= 1), matching the reference implementation's contract.
+        """
+        keep_last = max(1, keep_last)
+        meta = self.metadata()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        expired = snaps[:-keep_last]
+        kept = snaps[-keep_last:]
+        expired_ids = {s["snapshot-id"] for s in expired}
+        if meta["current-snapshot-id"] in expired_ids:
+            raise ValueError("cannot expire the current snapshot")
+        meta["snapshots"] = kept
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"] if e["snapshot-id"] not in expired_ids
+        ]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._write_metadata(meta, self._current_version() + 1)
+        return sorted(expired_ids)
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete data files under ``<location>/data`` that no LIVE
+        snapshot references (crash leftovers from interrupted commits,
+        files stranded by expire_snapshots). Returns the removed paths.
+
+        Scale note: the referenced-set comes from manifests (metadata),
+        the candidate set from a filesystem walk — both proportional to
+        file count; no data is read.
+        """
+        meta = self.metadata()
+        referenced: set[str] = set()
+        for snap in meta["snapshots"]:
+            _, _, manifests = read_ocf_file(snap["manifest-list"])
+            for mf in manifests:
+                _, _, entries = read_ocf_file(mf["manifest_path"])
+                for e in entries:
+                    referenced.add(e["data_file"]["file_path"])
+        orphans = []
+        data_root = os.path.join(self.location, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for fn in files:
+                path = os.path.join(root, fn)
+                if fn.endswith(".parquet") and path not in referenced:
+                    orphans.append(path)
+        if not dry_run:
+            for path in orphans:
+                os.remove(path)
+        return sorted(orphans)
+
 
 def _parse_identity(val: str, pf: PartitionField, ice_schema: dict):
     """Parse a hive-style partition-path value back to its typed form."""

@@ -342,3 +342,118 @@ def test_lite_table_readable_by_real_iceberg(spark, tmp_path, turns_df):
     t.append(turns_df)
     real = spark.read.format("iceberg").load(t.location)
     assert real.count() == 400
+
+
+# ---------------------------------------------------------------------------
+# maintenance + planning scale
+
+
+def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path, turns_df):
+    t = IcebergTable(str(tmp_path / "t")).create(
+        turns_df.schema, [PartitionField("conv_id", "bucket", 4)]
+    )
+    s1 = t.append(turns_df)
+    s2 = t.overwrite(turns_df.limit(50))
+    s3 = t.append(turns_df.limit(10))
+    # expire everything but the latest two
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [s1]
+    assert [s["snapshot-id"] for s in t.snapshots()] == [s2, s3]
+    with pytest.raises(KeyError):
+        t.data_files(snapshot_id=s1)
+    # current data still reads fine
+    assert t.read(spark).count() == 60
+    # s1's files are now unreferenced -> orphans; dry run deletes nothing
+    dry = t.remove_orphan_files(dry_run=True)
+    assert len(dry) > 0
+    assert all(os.path.exists(p) for p in dry)
+    gone = t.remove_orphan_files()
+    assert gone == dry
+    assert not any(os.path.exists(p) for p in gone)
+    # live data intact after cleanup
+    assert t.read(spark).count() == 60
+    assert t.read(spark, snapshot_id=s2).count() == 50
+    # keep_last clamps: current snapshot can never be expired
+    assert t.expire_snapshots(keep_last=0) == [s2]
+    assert [s["snapshot-id"] for s in t.snapshots()] == [s3]
+
+
+def test_planning_scale_manifest_throughput(tmp_path):
+    """Planning cost at a 100 TB-shaped table: 50k data-file entries
+    (= 100 TB at 2 GB files) must plan in seconds, driver-side, without
+    touching any parquet. Pure-metadata synthesis: manifests are written
+    directly, no Spark."""
+    import time as _time
+
+    from redpajama_processor_spark.sources.iceberg import (
+        _MANIFEST_FILE_SCHEMA,
+        _manifest_entry_schema,
+    )
+    from redpajama_processor_spark.sources.avro import write_ocf
+
+    loc = tmp_path / "big"
+    t = IcebergTable(str(loc))
+    os.makedirs(t.meta_dir)
+    ice_schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [{"id": 1, "name": "conv_id", "required": False, "type": "string"}],
+    }
+    spec_fields = [
+        {"name": "conv_id_bucket", "transform": "bucket[64]", "source-id": 1, "field-id": 1000}
+    ]
+    n_files = 50_000
+    entries = [
+        {
+            "status": 1, "snapshot_id": 1, "sequence_number": 1, "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": f"/data/part-{i:06d}.parquet",
+                "file_format": "PARQUET",
+                "partition": {"conv_id_bucket": i % 64},
+                "record_count": 20_000_000,
+                "file_size_in_bytes": 2 << 30,
+            },
+        }
+        for i in range(n_files)
+    ]
+    mpath = os.path.join(t.meta_dir, "m0.avro")
+    blob = write_ocf(_manifest_entry_schema(spec_fields, ice_schema), entries)
+    with open(mpath, "wb") as f:
+        f.write(blob)
+    lpath = os.path.join(t.meta_dir, "snap-1.avro")
+    with open(lpath, "wb") as f:
+        f.write(write_ocf(_MANIFEST_FILE_SCHEMA, [{
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+            "min_sequence_number": 1, "added_snapshot_id": 1,
+            "added_files_count": n_files, "existing_files_count": 0,
+            "deleted_files_count": 0, "added_rows_count": n_files * 20_000_000,
+            "existing_rows_count": 0, "deleted_rows_count": 0, "partitions": None,
+        }]))
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32, "location": str(loc),
+        "last-sequence-number": 1, "last-updated-ms": 0, "last-column-id": 1,
+        "current-schema-id": 0, "schemas": [ice_schema], "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 0,
+                       "manifest-list": lpath, "schema-id": 0,
+                       "summary": {"operation": "append"}}],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    t._write_metadata(meta, 1)
+
+    t0 = _time.time()
+    files = t.data_files()
+    full_plan = _time.time() - t0
+    assert len(files) == n_files
+    t0 = _time.time()
+    pruned = t.data_files(partition_filter={"conv_id_bucket": 7})
+    pruned_plan = _time.time() - t0
+    assert len(pruned) == sum(1 for i in range(n_files) if i % 64 == 7)
+    assert t.record_count() == n_files * 20_000_000
+    # generous CI floor; typical is well under 2 s for 50k entries
+    assert full_plan < 30 and pruned_plan < 30, (full_plan, pruned_plan)
+    print(f"plan 50k files: full={full_plan:.2f}s pruned={pruned_plan:.2f}s")

@@ -476,7 +476,7 @@ def test_sample_frames_real(spark):
     for r in out:
         per_vid.setdefault(r.media_id, []).append(r.frame_idx)
         img = decode_bmp(bytes(r.payload))
-        assert img.shape == (6, 8, 3)
+        assert img.shape == (16, 16, 3)
     assert all(sorted(v) == [0, 2, 4] for v in per_vid.values())
 
 
