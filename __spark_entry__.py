@@ -1267,6 +1267,32 @@ def q_doc_iceberg_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, schema="bucket int, n_docs long")
 
 
+def q_doc_kenlm_ppl(spark, sf_dir):
+    """KenLM-style perplexity over the documents table: an interpolated
+    modified Kneser-Ney trigram LM is TRAINED distributed (one
+    map-side-combined groupBy over padded trigram windows), broadcast
+    ARPA-style, and scored with a vectorized Arrow UDF. Rows-only: the
+    backoff-chain smoothing arithmetic is not ANSI-SQL-expressible;
+    correctness is instead pinned in tests/test_kenlm.py by the
+    sum-to-one external invariant (every conditional distribution sums
+    to 1 over vocab ∪ {</s>, <unk>} at 1e-9), three-engine count parity
+    (Spark == pure-Python == DuckDB), and rtol-1e-12 equality between
+    the vectorized scorer and the straight-line per-token oracle.
+    North_star: the "KenLM-style n-gram perplexity scoring" stage
+    (reference ships CCNet ppl signals; scripts/redpajama_transfer.sh)."""
+    from redpajama_processor_spark.functions.kenlm import (
+        kn_perplexity_udf,
+        train_kneser_ney_spark,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = train_kneser_ney_spark(docs, order=3, text_col="text")
+    b = spark.sparkContext.broadcast(model)
+    return docs.select(
+        "doc_id", F.round(kn_perplexity_udf(b)("text"), 6).alias("kn_ppl")
+    )
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1351,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_vocab": q_doc_bpe_vocab,
         "doc_bpe_stats": q_doc_bpe_stats,
         "doc_iceberg_roundtrip": q_doc_iceberg_roundtrip,
+        "doc_kenlm_ppl": q_doc_kenlm_ppl,
     }
 
 

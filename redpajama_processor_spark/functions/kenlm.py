@@ -1,0 +1,548 @@
+"""Interpolated modified Kneser-Ney n-gram LM — the KenLM algorithm itself.
+
+The north_star asks for "KenLM-style n-gram perplexity scoring" as a
+pipeline stage. ``perplexity.py`` ships the operational shape (broadcast
+model + Arrow batch scorer) with a simple interpolated bigram; this module
+ships the actual statistics KenLM computes — interpolated MODIFIED
+Kneser-Ney smoothing (Chen & Goodman 1999, "An empirical study of smoothing
+techniques for language modeling"; Heafield 2011, "KenLM: Faster and Smaller
+Language Model Queries") — with the COUNTING done distributed in Spark:
+
+- ``ngram_counts_df``: the only pass over the corpus — pad, window, one
+  map-side-combined ``groupBy(gram).count()``. Everything else (lower-order
+  continuation counts, discounts, interpolation weights) derives from this
+  one table, the same factorization KenLM's own pipeline uses (count once
+  at the highest order; "adjusted counts" for lower orders are suffix
+  aggregations of it).
+- ``train_kneser_ney``: turns the collected count table into an ARPA-style
+  {order: {gram: (log10 p, log10 backoff)}} model. The model must fit on
+  the driver/executors REGARDLESS of engine — KenLM ships its .arpa/.bin
+  via --files the same way — so driver-side smoothing arithmetic over the
+  (already aggregated, optionally pruned) count table is the honest scale
+  design: corpus size only affects the distributed counting pass.
+- ``save_arpa`` / ``load_arpa``: the interchange format itself, so a model
+  trained here can be loaded by SRILM/KenLM and vice versa.
+- ``kenlm_perplexity_udf``: vectorized Arrow scorer over the broadcast
+  model (backoff-chain query vectorized per order — O(order) dict-lookup
+  sweeps per batch, no per-token Python in the interpolation arithmetic).
+
+Smoothing spec (modified KN, interpolated):
+
+  adjusted count a_k(g):   raw count for k = N and for any gram whose first
+                           token is BOS (nothing can precede <s>); else the
+                           continuation count |{v : v·g occurs}|
+  discounts per order:     Y = n1/(n1+2 n2); D1 = 1 - 2Y n2/n1;
+                           D2 = 2 - 3Y n3/n2; D3 = 3 - 4Y n4/n3
+                           (n_j = count of grams with a_k == j; fallback to
+                           0.75·min(j, ·) when degenerate — see _discounts)
+  p_k(w|h) = (a_k(hw) - D(a_k(hw)))_+ / S_k(h) + gamma_k(h) · p_{k-1}(w|h')
+  gamma_k(h) = (D1·N1(h·) + D2·N2(h·) + D3·N3plus(h·)) / S_k(h)
+  S_k(h) = sum_w a_k(hw)
+  p_1(w) interpolates with the uniform 1/(V+1) distribution (V seen types
+  plus one <unk> slot), so every conditional sums to EXACTLY 1 over
+  vocab ∪ {</s>, <unk>} — the external invariant the tests enforce.
+
+Tokens are the ``perplexity.tokenize`` spec (lowercase, \\s+ split); literal
+"<s>"/"</s>" tokens in text are remapped (KenLM errors on them; we keep the
+row) so the sentinels stay unambiguous.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from .perplexity import tokenize
+
+BOS = "<s>"
+EOS = "</s>"
+SEP = "\x00"
+DEFAULT_ORDER = 3
+#: log10 floor used instead of -inf for zero-probability events in ARPA
+#: files (SRILM convention).
+LOG10_ZERO = -99.0
+
+
+def _remap(tok: str) -> str:
+    # literal sentinel tokens in user text must not collide with padding
+    if tok == BOS:
+        return "<s_>"
+    if tok == EOS:
+        return "</s_>"
+    return tok
+
+
+def kn_tokens(text: str | None) -> list[str]:
+    return [_remap(t) for t in tokenize(text if text is not None else "")]
+
+
+# ---------------------------------------------------------------------------
+# Distributed counting (the only corpus-sized pass)
+# ---------------------------------------------------------------------------
+
+
+def ngram_counts_df(
+    docs: DataFrame, order: int = DEFAULT_ORDER, text_col: str = "text"
+) -> DataFrame:
+    """(gram string, count) for PADDED order-N windows over every document.
+
+    Each document is one sentence: (order-1)×<s> prefix + tokens + </s>.
+    Every predicted position therefore has a full left context, which is
+    what lets every lower-order table derive from this one by suffix
+    aggregation. One explode + one groupBy — map-side partial aggregation
+    keeps the shuffle at distinct-gram cardinality, keyed on the gram
+    string (high cardinality, no hot keys). Empty documents still emit the
+    "<s>.. </s>" window (an empty sentence predicts </s> from BOS context),
+    matching the driver-side trainer exactly.
+    """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    toks = F.transform(
+        toks,
+        lambda w: F.when(w == BOS, F.lit("<s_>"))
+        .when(w == EOS, F.lit("</s_>"))
+        .otherwise(w),
+    )
+    padded = F.concat(
+        F.array(*[F.lit(BOS)] * (order - 1)), toks, F.array(F.lit(EOS))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(padded) - order + 1),
+        lambda i: F.concat_ws(" ", F.slice(padded, i, order)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .count()
+    )
+
+
+def py_ngram_counts(corpus: list[str], order: int = DEFAULT_ORDER) -> Counter:
+    """Single-process oracle for ``ngram_counts_df`` (space-joined grams)."""
+    out: Counter = Counter()
+    for doc in corpus:
+        toks = [BOS] * (order - 1) + kn_tokens(doc) + [EOS]
+        for i in range(len(toks) - order + 1):
+            out[" ".join(toks[i : i + order])] += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Smoothing (driver-side, over the aggregated count table)
+# ---------------------------------------------------------------------------
+
+
+def _discounts(adj: dict) -> tuple[float, float, float]:
+    """Modified-KN discounts D1, D2, D3+ from the count-of-counts of the
+    adjusted-count distribution. Chen & Goodman's estimators assume n1..n4
+    are all positive and produce D_j in (0, j); on degenerate corpora
+    (tiny or near-uniform, where some n_j = 0 or an estimate leaves the
+    valid range) we fall back to absolute discounting with D_j =
+    min(0.75, max observed count - epsilon guardrail) — KenLM aborts here
+    ("could not calculate Kneser-Ney discounts"), but an engine stage must
+    stay total."""
+    n = Counter()
+    for c in adj.values():
+        if c <= 4:
+            n[c] += 1
+        else:
+            n[5] += 1  # only n1..n4 are used; bucket the tail
+    n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
+    if n1 and n2 and n3 and n4:
+        y = n1 / (n1 + 2.0 * n2)
+        d1 = 1.0 - 2.0 * y * n2 / n1
+        d2 = 2.0 - 3.0 * y * n3 / n2
+        d3 = 3.0 - 4.0 * y * n4 / n3
+        if 0.0 < d1 <= 1.0 and 0.0 < d2 <= 2.0 and 0.0 < d3 <= 3.0:
+            return d1, d2, d3
+    return 0.75, 0.75, 0.75
+
+
+def _d_for(count: float, d1: float, d2: float, d3: float) -> float:
+    if count >= 3:
+        return d3
+    if count >= 2:
+        return d2
+    if count >= 1:
+        return d1
+    return 0.0
+
+
+def train_kneser_ney(
+    counts: dict[str, int] | list[tuple[str, int]],
+    order: int = DEFAULT_ORDER,
+    prune_min_count: int | None = None,
+) -> dict:
+    """Interpolated modified-KN model from the order-N count table.
+
+    counts: the collected ``ngram_counts_df`` rows (or ``py_ngram_counts``).
+    Returns a broadcastable dict:
+      {"order": N, "vocab": V,
+       "prob":    [None, {gram: log10 p}, ... per order 1..N],
+       "backoff": [None, {context: log10 gamma}, ... per order 1..N-1]}
+
+    prune_min_count: drop HIGHEST-order grams with raw count below this
+    before smoothing (the 10^12-token path — ARPA-style entry pruning;
+    lower orders absorb the mass via the backoff chain, the standard
+    approximation KenLM's --prune makes).
+    """
+    if isinstance(counts, dict):
+        items = counts.items()
+    else:
+        items = counts
+    top: dict[tuple[str, ...], int] = {}
+    for gram, c in items:
+        key = tuple(gram.split(" "))
+        if len(key) != order:
+            raise ValueError(f"expected order-{order} gram, got {gram!r}")
+        if prune_min_count is not None and c < prune_min_count:
+            continue
+        top[key] = top.get(key, 0) + int(c)
+
+    # ---- per-order adjusted-count tables, derived by suffix aggregation --
+    # raw_k(g)  = sum of raw counts of order-N grams with suffix g
+    # cont_k(g) = |{v : v·g is an occurring (k+1)-gram}|
+    raw: list[dict] = [None] * (order + 1)
+    raw[order] = top
+    for k in range(order - 1, 0, -1):
+        rk: dict[tuple[str, ...], int] = defaultdict(int)
+        for g, c in raw[k + 1].items():
+            rk[g[1:]] += c
+        raw[k] = dict(rk)
+    adj: list[dict] = [None] * (order + 1)
+    adj[order] = top
+    for k in range(order - 1, 0, -1):
+        ak: dict[tuple[str, ...], int] = defaultdict(int)
+        for g in raw[k + 1]:
+            ak[g[1:]] += 1  # distinct preceding types
+        # BOS-initial grams cannot be continued into: use raw counts
+        for g, c in raw[k].items():
+            if g[0] == BOS:
+                ak[g] = c
+        adj[k] = dict(ak)
+
+    # predicted vocabulary: every unigram type (includes </s>, excludes <s>
+    # — <s> is context-only and never appears as a gram's last token except
+    # in all-BOS prefixes, which the padding never predicts)
+    vocab = {g[0] for g in adj[1] if g[0] != BOS}
+    v_unk = len(vocab) + 1  # one reserved <unk> slot
+    uniform = 1.0 / v_unk
+
+    # ---- interpolated probabilities, unigram up ---------------------------
+    prob: list[dict] = [None] * (order + 1)
+    backoff: list[dict] = [None] * (order + 1)
+    d1, d2, d3 = _discounts(adj[1])
+    s1 = float(sum(adj[1].values()))
+    gamma_mass = sum(
+        _d_for(c, d1, d2, d3) for c in adj[1].values()
+    )
+    gamma1 = gamma_mass / s1 if s1 else 1.0
+    p1: dict[tuple[str, ...], float] = {}
+    for g, c in adj[1].items():
+        p1[g] = max(c - _d_for(c, d1, d2, d3), 0.0) / s1 + gamma1 * uniform
+    prob[1] = p1
+    # unigram "backoff" is the unseen-word mass, kept separately
+    unk_p = gamma1 * uniform
+
+    for k in range(2, order + 1):
+        dk1, dk2, dk3 = _discounts(adj[k])
+        s_k: dict[tuple[str, ...], float] = defaultdict(float)
+        nstats: dict[tuple[str, ...], list] = defaultdict(lambda: [0, 0, 0])
+        for g, c in adj[k].items():
+            h = g[:-1]
+            s_k[h] += c
+            if c >= 3:
+                nstats[h][2] += 1
+            elif c >= 2:
+                nstats[h][1] += 1
+            elif c >= 1:
+                nstats[h][0] += 1
+        pk: dict[tuple[str, ...], float] = {}
+        bk: dict[tuple[str, ...], float] = {}
+        for h, s in s_k.items():
+            n1h, n2h, n3h = nstats[h]
+            bk[h] = (dk1 * n1h + dk2 * n2h + dk3 * n3h) / s
+        for g, c in adj[k].items():
+            h = g[:-1]
+            lower = prob[k - 1].get(g[1:], unk_p)
+            pk[g] = max(c - _d_for(c, dk1, dk2, dk3), 0.0) / s_k[h] + bk[
+                h
+            ] * lower
+        prob[k] = pk
+        backoff[k - 1] = bk
+
+    def _log10(x: float) -> float:
+        return math.log10(x) if x > 0.0 else LOG10_ZERO
+
+    model = {
+        "order": order,
+        "vocab": len(vocab),
+        "unk_log10": _log10(unk_p),
+        "prob": [None]
+        + [
+            {SEP.join(g): _log10(p) for g, p in prob[k].items()}
+            for k in range(1, order + 1)
+        ],
+        "backoff": [None]
+        + [
+            {SEP.join(h): _log10(b) for h, b in backoff[k].items()}
+            for k in range(1, order)
+        ]
+        + [None],
+    }
+    return model
+
+
+def train_kneser_ney_spark(
+    docs: DataFrame,
+    order: int = DEFAULT_ORDER,
+    text_col: str = "text",
+    prune_min_count: int | None = None,
+) -> dict:
+    """Distributed counting pass + driver-side smoothing. The collect is of
+    the AGGREGATED gram table (the object that must fit in a broadcast to
+    be scoreable at all), not of corpus rows."""
+    rows = ngram_counts_df(docs, order=order, text_col=text_col).collect()
+    return train_kneser_ney(
+        [(r["gram"], r["count"]) for r in rows],
+        order=order,
+        prune_min_count=prune_min_count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query + perplexity
+# ---------------------------------------------------------------------------
+
+
+def kn_logprob(model: dict, context: list[str], w: str) -> float:
+    """log10 p(w | context) via the ARPA backoff chain: the longest-match
+    probability entry, times the backoff weight of every longer context
+    that exists but lacks the full gram (missing backoff entries are 1)."""
+    order = model["order"]
+    ctx = context[-(order - 1) :] if order > 1 else []
+    lp = None
+    bo = 0.0
+    for k in range(min(len(ctx), order - 1) + 1, 0, -1):
+        g = SEP.join(ctx[len(ctx) - (k - 1) :] + [w])
+        hit = model["prob"][k].get(g)
+        if hit is not None:
+            lp = hit
+            break
+        if k >= 2:
+            h = SEP.join(ctx[len(ctx) - (k - 1) :])
+            b = model["backoff"][k - 1].get(h)
+            if b is not None:
+                bo += b
+    if lp is None:
+        lp = model["unk_log10"]
+    return lp + bo
+
+
+def py_kn_perplexity(text: str, model: dict) -> float:
+    """Straight-line per-token oracle: ppl = 10^(-mean log10 p)."""
+    toks = kn_tokens(text)
+    order = model["order"]
+    seq = [BOS] * (order - 1) + toks + [EOS]
+    lp = 0.0
+    n = 0
+    for i in range(order - 1, len(seq)):
+        lp += kn_logprob(model, seq[max(0, i - order + 1) : i], seq[i])
+        n += 1
+    return 10.0 ** (-lp / n)
+
+
+def kn_score_texts(texts, model: dict) -> "np.ndarray":
+    """Vectorized batch scorer (the pandas-UDF body). Builds flat per-order
+    gram-key columns once, then resolves the backoff chain with numpy masks
+    — O(order) dict-lookup sweeps per batch, one reduceat for the
+    per-document mean. Includes </s> as a predicted position, so empty
+    texts score the BOS→EOS event instead of inf (matching
+    ``py_kn_perplexity``)."""
+    import numpy as np
+
+    order = model["order"]
+    tok_lists = [
+        [BOS] * (order - 1) + kn_tokens(t) + [EOS] for t in texts
+    ]
+    n_docs = len(tok_lists)
+    # predicted positions per doc = len(toks) + 1
+    lens = np.fromiter(
+        (len(t) - order + 1 for t in tok_lists), dtype=np.int64, count=n_docs
+    )
+    n = int(lens.sum())
+    if n == 0:
+        return np.zeros(0)
+
+    # per-position suffix keys for k = 1..order (gram ending at position)
+    keys: list[list[str]] = [None] * (order + 1)
+    for k in range(1, order + 1):
+        col: list[str] = []
+        for toks in tok_lists:
+            for i in range(order - 1, len(toks)):
+                col.append(SEP.join(toks[i - k + 1 : i + 1]))
+        keys[k] = col
+
+    lp = np.full(n, np.nan)
+    bo = np.zeros(n)
+    unresolved = np.ones(n, dtype=bool)
+    for k in range(order, 0, -1):
+        probs_k = model["prob"][k]
+        pget = probs_k.get
+        idx = np.nonzero(unresolved)[0]
+        if idx.size == 0:
+            break
+        kk = keys[k]
+        vals = np.fromiter(
+            (pget(kk[i], np.nan) for i in idx), dtype=np.float64, count=idx.size
+        )
+        hit = ~np.isnan(vals)
+        lp[idx[hit]] = vals[hit]
+        unresolved[idx[hit]] = False
+        if k >= 2:
+            # accumulate the backoff weight of the (k-1)-context for
+            # positions still unresolved at this order
+            bget = model["backoff"][k - 1].get
+            idx2 = idx[~hit]
+            if idx2.size:
+                kk1 = keys[k - 1]
+                # context of the order-k query = the (k-1)-gram ending one
+                # position earlier is NOT kk1 of this position; the context
+                # is the FIRST k-1 tokens of the k-gram. Build it by
+                # stripping the last token from the k-gram key.
+                bvals = np.fromiter(
+                    (
+                        bget(kk[i][: kk[i].rfind(SEP)], 0.0)
+                        for i in idx2
+                    ),
+                    dtype=np.float64,
+                    count=idx2.size,
+                )
+                bo[idx2] += bvals
+    lp[unresolved] = model["unk_log10"]
+    logs = lp + bo
+
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    seg = np.add.reduceat(logs, starts)
+    return 10.0 ** (-(seg / lens))
+
+
+def kn_perplexity_udf(model_broadcast):
+    """Arrow pandas UDF over a broadcast KN model (the --files ship shape)."""
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(texts: pd.Series) -> pd.Series:
+        return pd.Series(kn_score_texts(texts.tolist(), model_broadcast.value))
+
+    return _ppl
+
+
+# ---------------------------------------------------------------------------
+# ARPA interchange
+# ---------------------------------------------------------------------------
+
+
+def save_arpa(model: dict, path: str) -> None:
+    """Write the model as a standard ARPA file (SRILM/KenLM-loadable).
+    Backoff weights ride the (order-1)-gram entries per the format; grams
+    that exist only as contexts (have a backoff but no probability — can't
+    happen here, every context is also a counted gram except pruned tails)
+    get the LOG10_ZERO probability floor."""
+    order = model["order"]
+    lines = ["\\data\\"]
+    entries: list[list[tuple[str, float, float | None]]] = []
+    for k in range(1, order + 1):
+        probs = model["prob"][k]
+        bks = model["backoff"][k] if k < order else None
+        grams = set(probs)
+        if bks:
+            grams |= set(bks)
+        rows = []
+        for g in sorted(grams):
+            p = probs.get(g, LOG10_ZERO)
+            b = bks.get(g) if bks else None
+            rows.append((g.replace(SEP, " "), p, b))
+        entries.append(rows)
+        # +1 on the unigram line for the <unk> entry (ARPA convention)
+        lines.append(f"ngram {k}={len(rows) + (1 if k == 1 else 0)}")
+    for k, rows in enumerate(entries, start=1):
+        lines.append("")
+        lines.append(f"\\{k}-grams:")
+        if k == 1:
+            lines.append(f"{model['unk_log10']:.7f}\t<unk>")
+        for g, p, b in rows:
+            if b is not None:
+                lines.append(f"{p:.7f}\t{g}\t{b:.7f}")
+            else:
+                lines.append(f"{p:.7f}\t{g}")
+    lines += ["", "\\end\\", ""]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+
+
+def load_arpa(path: str) -> dict:
+    """Load an ARPA file into the scorer's model dict."""
+    order = 0
+    counts: dict[int, int] = {}
+    with open(path, encoding="utf-8") as f:
+        txt = f.read()
+    lines = txt.splitlines()
+    i = 0
+    while i < len(lines) and lines[i].strip() != "\\data\\":
+        i += 1
+    if i == len(lines):
+        raise ValueError("not an ARPA file: missing \\data\\ header")
+    i += 1
+    while i < len(lines) and lines[i].strip().startswith("ngram "):
+        spec = lines[i].strip()[len("ngram ") :]
+        k, n = spec.split("=")
+        counts[int(k)] = int(n)
+        order = max(order, int(k))
+        i += 1
+    prob: list = [None] + [dict() for _ in range(order)]
+    backoff: list = [None] + [dict() for _ in range(order - 1)] + [None]
+    unk_log10 = LOG10_ZERO
+    k = 0
+    for ln in lines[i:]:
+        s = ln.strip()
+        if not s:
+            continue
+        if s == "\\end\\":
+            break
+        if s.startswith("\\") and s.endswith("-grams:"):
+            k = int(s[1 : s.index("-")])
+            continue
+        if k == 0:
+            continue
+        parts = s.split("\t")
+        if len(parts) == 2:
+            p, g = parts
+            b = None
+        else:
+            p, g, b = parts[0], parts[1], parts[2]
+        if k == 1 and g == "<unk>":
+            unk_log10 = float(p)
+            continue
+        key = g.replace(" ", SEP)
+        prob[k][key] = float(p)
+        if b is not None and k < order:
+            backoff[k][key] = float(b)
+    # vocab size = unigrams minus <s> context-only entry if present
+    vocab = sum(1 for g in prob[1] if g != BOS)
+    return {
+        "order": order,
+        "vocab": vocab,
+        "unk_log10": unk_log10,
+        "prob": prob,
+        "backoff": backoff,
+    }

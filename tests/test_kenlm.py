@@ -1,0 +1,234 @@
+"""Interpolated modified Kneser-Ney LM (functions/kenlm.py).
+
+Verification strategy (two-sided, no shared-bug path):
+- the SUM-TO-ONE invariant is an external oracle: for any context —
+  seen, unseen, BOS-padded — the queried conditional distribution over
+  vocab ∪ {</s>, <unk>} must sum to exactly 1; virtually any error in the
+  discount/γ/backoff arithmetic breaks it;
+- Spark-distributed counting is compared gram-for-gram against a
+  single-process Counter AND against a DuckDB SQL rendering (three
+  independent engines), and must be partition-count-invariant;
+- the vectorized batch scorer equals the straight-line per-token oracle at
+  rtol 1e-12; ARPA save/load round-trips scoring to float-print precision.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark.functions.kenlm import (
+    BOS,
+    EOS,
+    SEP,
+    kn_logprob,
+    kn_perplexity_udf,
+    kn_score_texts,
+    load_arpa,
+    ngram_counts_df,
+    py_kn_perplexity,
+    py_ngram_counts,
+    save_arpa,
+    train_kneser_ney,
+    train_kneser_ney_spark,
+)
+
+
+def _corpus(n=300, seed=1):
+    rng = random.Random(seed)
+    vocab = "the cat dog sat on mat a ran fast big red house in over under".split()
+    docs = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 12))) for _ in range(n)
+    ]
+    # repeated idiom, empties, literal-sentinel tokens
+    docs += ["the cat sat on the mat"] * 5 + ["", "   ", "a <s> b </s> c"]
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _corpus()
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return train_kneser_ney(py_ngram_counts(corpus, 3), 3)
+
+
+# ---------------------------------------------------------------------------
+# smoothing arithmetic
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4])
+def test_sum_to_one_all_context_kinds(corpus, order):
+    m = train_kneser_ney(py_ngram_counts(corpus, order), order)
+    words = sorted({g.split(SEP)[0] for g in m["prob"][1]})
+    assert EOS in words and BOS not in words
+    contexts = [
+        [BOS] * max(order - 1, 1),  # sentence start
+        ["the"],                     # seen short context
+        ["cat", "sat"],              # seen full context
+        ["zzz", "qqq"],              # fully unseen context
+        ["zzz", "the"],              # unseen prefix, seen suffix
+        ["on", "the"],
+    ]
+    for ctx in contexts:
+        c = ctx[-(order - 1) :] if order > 1 else []
+        tot = sum(10 ** kn_logprob(m, c, w) for w in words)
+        tot += 10 ** kn_logprob(m, c, "UNSEEN-token")
+        assert abs(tot - 1.0) < 1e-9, (order, c, tot)
+
+
+def test_discount_validity(corpus):
+    # Chen-Goodman discounts must land in (0, j] at every order
+    for order in (2, 3):
+        m = train_kneser_ney(py_ngram_counts(corpus, order), order)
+        assert m["order"] == order
+        # all probabilities are valid log10 values of (0, 1]
+        for k in range(1, order + 1):
+            vals = np.array(list(m["prob"][k].values()))
+            assert np.all(vals <= 1e-12), k
+            assert np.all(np.isfinite(vals))
+
+
+def test_degenerate_corpus_stays_total():
+    # a corpus where count-of-count estimators are undefined (all counts
+    # equal) must still train and score, via the documented 0.75 fallback
+    m = train_kneser_ney(py_ngram_counts(["a b", "c d", "e f"], 3), 3)
+    p = py_kn_perplexity("a b", m)
+    assert np.isfinite(p) and p > 1.0
+    words = sorted({g.split(SEP)[0] for g in m["prob"][1]})
+    tot = sum(10 ** kn_logprob(m, ["a"], w) for w in words)
+    tot += 10 ** kn_logprob(m, ["a"], "zz")
+    assert abs(tot - 1.0) < 1e-9
+
+
+def test_vectorized_equals_straightline(corpus, model):
+    texts = corpus[:60] + ["zzz unseen words here", "", "the cat"]
+    v = kn_score_texts(texts, model)
+    s = np.array([py_kn_perplexity(t, model) for t in texts])
+    assert np.allclose(v, s, rtol=1e-12)
+
+
+def test_higher_order_helps_on_seen_idiom(corpus):
+    m1 = train_kneser_ney(py_ngram_counts(corpus, 1), 1)
+    m3 = train_kneser_ney(py_ngram_counts(corpus, 3), 3)
+    idiom = "the cat sat on the mat"
+    assert py_kn_perplexity(idiom, m3) < py_kn_perplexity(idiom, m1)
+
+
+def test_empty_text_scores_bos_eos_event(model):
+    # one predicted position (</s> from BOS context) — finite, not inf
+    p = py_kn_perplexity("", model)
+    assert np.isfinite(p)
+    assert kn_score_texts([""], model)[0] == pytest.approx(p, rel=1e-12)
+
+
+def test_arpa_roundtrip(tmp_path, corpus, model):
+    path = str(tmp_path / "kn.arpa")
+    save_arpa(model, path)
+    m2 = load_arpa(path)
+    assert m2["order"] == model["order"]
+    assert m2["vocab"] == model["vocab"]
+    texts = corpus[:40] + ["unseen zz", ""]
+    a = kn_score_texts(texts, model)
+    b = kn_score_texts(texts, m2)
+    assert np.allclose(a, b, rtol=1e-5)
+    # header sanity: the file is plain ARPA a KenLM/SRILM reader accepts
+    txt = open(path).read()
+    assert txt.startswith("\\data\\")
+    assert "\\3-grams:" in txt and "\\end\\" in txt
+    assert "<unk>" in txt
+
+
+def test_pruning_shrinks_top_order(corpus):
+    counts = py_ngram_counts(corpus, 3)
+    full = train_kneser_ney(counts, 3)
+    pruned = train_kneser_ney(counts, 3, prune_min_count=2)
+    assert len(pruned["prob"][3]) < len(full["prob"][3])
+    # pruned model still scores finitely (backoff absorbs the mass)
+    assert np.isfinite(py_kn_perplexity("the cat sat on the mat", pruned))
+
+
+# ---------------------------------------------------------------------------
+# distributed counting
+# ---------------------------------------------------------------------------
+
+
+def test_spark_counts_equal_python_and_duckdb(spark, corpus):
+    import duckdb
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = {
+        r["gram"]: r["count"]
+        for r in ngram_counts_df(df, 3).collect()
+    }
+    want = py_ngram_counts(corpus, 3)
+    assert got == dict(want)
+
+    # third engine: DuckDB SQL over the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?)", [(t,) for t in corpus])
+    rows = con.execute(
+        """
+        WITH toks AS (
+          SELECT CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                 ELSE list_transform(
+                     regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> CASE t WHEN '<s>' THEN '<s_>'
+                                 WHEN '</s>' THEN '</s_>' ELSE t END)
+                 END AS w
+          FROM docs),
+        padded AS (
+          SELECT ['<s>', '<s>'] || w || ['</s>'] AS w FROM toks),
+        grams AS (
+          SELECT array_to_string(w[i : i + 2], ' ') AS gram
+          FROM padded, unnest(generate_series(1, len(w) - 2)) AS t(i))
+        SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram
+        """
+    ).fetchall()
+    # note duckdb slicing w[i : i+2] is INCLUSIVE -> 3 elements
+    assert {g: c for g, c in rows} == dict(want)
+    con.close()
+
+
+def test_counting_partition_invariant(spark, corpus):
+    df1 = spark.createDataFrame([(t,) for t in corpus], "text string").repartition(1)
+    df7 = spark.createDataFrame([(t,) for t in corpus], "text string").repartition(7)
+    a = sorted(ngram_counts_df(df1, 3).collect())
+    b = sorted(ngram_counts_df(df7, 3).collect())
+    assert a == b
+
+
+def test_train_spark_equals_train_local(spark, corpus):
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    m_spark = train_kneser_ney_spark(df, order=3)
+    m_local = train_kneser_ney(py_ngram_counts(corpus, 3), 3)
+    assert m_spark == m_local  # bit-identical dicts
+
+
+def test_udf_scores_match_oracle(spark, corpus, model):
+    b = spark.sparkContext.broadcast(model)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus[:80])], "id long, text string"
+    ).repartition(5)
+    rows = df.withColumn("ppl", kn_perplexity_udf(b)("text")).collect()
+    for r in rows:
+        assert r["ppl"] == pytest.approx(
+            py_kn_perplexity(corpus[r["id"]], model), rel=1e-12
+        )
+
+
+def test_registry_entry_runs(spark, sf_dir):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    assert "doc_kenlm_ppl" in q
+    out = q["doc_kenlm_ppl"](spark, sf_dir).collect()
+    assert len(out) > 0
+    assert {"doc_id", "kn_ppl"} <= set(out[0].asDict())
+    assert all(np.isfinite(r["kn_ppl"]) for r in out)
