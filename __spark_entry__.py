@@ -1293,6 +1293,42 @@ def q_doc_kenlm_ppl(spark, sf_dir):
     )
 
 
+def q_doc_quality_classifier(spark, sf_dir):
+    """Model-based quality filter, DISTILLED from the rule battery (the
+    FineWeb-Edu/DCLM/CCNet pattern: label a seed set, train a cheap linear
+    classifier, run the classifier over the corpus): the heuristic
+    keep/drop labels train a multinomial-NB bag-of-ngrams classifier
+    (closed-form, one map-side-combined groupBy — exactly deterministic,
+    unlike SGD), which then scores every document via a vectorized Arrow
+    UDF. Rows-only: training is a fixpoint-free aggregate but the scoring
+    argmax over a trained model is not reasonably ANSI-SQL-renderable at
+    registry scale; parity is instead proven in tests/test_textclf.py
+    (Spark training bit-identical to the pure-Python oracle, scoring
+    three-engine checked numpy == straight-line == DuckDB, held-out
+    accuracy floor vs the generating rule)."""
+    from redpajama_processor_spark.functions.textclf import (
+        nb_predict_udf,
+        train_nb_spark,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = S.spark_signal_cols(F.col("text"))
+    keep, _ = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    labeled = d.select(
+        "doc_id",
+        "text",
+        F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("y"),
+    )
+    model = train_nb_spark(labeled, "y", text_col="text")
+    b = spark.sparkContext.broadcast(model)
+    return labeled.withColumn("_c", nb_predict_udf(b)("text")).select(
+        "doc_id",
+        F.col("_c.pred").alias("pred"),
+        F.round("_c.margin", 6).alias("margin"),
+        F.col("y").alias("rule_label"),
+    )
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1378,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_stats": q_doc_bpe_stats,
         "doc_iceberg_roundtrip": q_doc_iceberg_roundtrip,
         "doc_kenlm_ppl": q_doc_kenlm_ppl,
+        "doc_quality_classifier": q_doc_quality_classifier,
     }
 
 

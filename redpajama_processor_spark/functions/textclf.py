@@ -1,0 +1,304 @@
+"""Model-based quality classification: multinomial Naive Bayes over word
+n-grams — the distilled-classifier quality filter.
+
+The production pattern (FineWeb-Edu, DCLM, CCNet's wiki-reference filter):
+label a seed corpus (by rules, an LLM judge, or reference pages), train a
+cheap linear text classifier on it, then run the CLASSIFIER over the
+100 TB corpus — model-based filtering generalizes past the rules that
+seeded it and costs one vectorized pass per document. fastText is the
+usual architecture; its scoring is linear in bag-of-ngram features, and so
+is multinomial NB's — NB is chosen here because its training is CLOSED
+FORM over integer counts, which makes the distributed trainer exactly
+deterministic (bit-identical across partitionings and vs the
+single-process oracle), something SGD pipelines cannot promise.
+
+Training = ONE map-side-combined ``groupBy(label, term).count()`` over
+exploded unigram+bigram terms plus a per-class row count — the same
+single-aggregation shape as the Kneser-Ney counting pass. Smoothing and
+logs happen driver-side over the collected (class, term) table: the model
+must fit in a broadcast to score at all (identical constraint to shipping
+a fastText .bin via --files), so corpus size only affects the distributed
+counting. ``hash_buckets`` caps the feature space on open-vocabulary
+corpora (the fastText hashing trick — xxhash64 mod B), trading exact
+terms for a bounded model.
+
+Scoring is a vectorized Arrow pandas UDF: per batch, one flat term walk
+(C-speed dict gets via np.fromiter) + one reduceat per class — no per-row
+Python in the arithmetic. Returns (pred, margin) where margin = top log
+posterior minus runner-up, a confidence signal thresholdable the way
+FineWeb-Edu thresholds its educational score.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .perplexity import tokenize
+
+DEFAULT_ALPHA = 1.0
+
+
+def nb_terms(text: str | None) -> list[str]:
+    """Unigrams + space-joined bigrams of the tokenize() spec."""
+    toks = tokenize(text if text is not None else "")
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _hash_term(term: str, buckets: int) -> str:
+    """pmod(xxhash64(term), buckets) — matches the Spark rendering exactly
+    (py_xxh64 is unsigned; Spark's xxhash64 is the same bits as signed
+    int64, and Python's % on the signed value equals F.pmod). String
+    bucket ids keep the model dict shape identical in both modes."""
+    from .hashing import py_xxh64
+
+    h = py_xxh64(term.encode("utf-8"))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return str(h % buckets)
+
+
+def terms_col(text: F.Column) -> F.Column:
+    """The Spark rendering of ``nb_terms`` (native, zero Python)."""
+    t = F.lower(F.trim(text))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    return F.concat(toks, bigrams)
+
+
+def train_nb_spark(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: float = DEFAULT_ALPHA,
+    hash_buckets: int | None = None,
+) -> dict:
+    """Distributed closed-form NB training. One exploded groupBy for term
+    counts (map-side combine; shuffle at distinct (class, term)
+    cardinality) + one tiny groupBy for priors; smoothing on the driver
+    over the collected aggregate."""
+    terms = docs.select(
+        F.col(label_col).cast("string").alias("_y"),
+        F.explode(terms_col(F.col(text_col))).alias("term"),
+    )
+    if hash_buckets is not None:
+        terms = terms.withColumn(
+            "term", (F.pmod(F.xxhash64("term"), F.lit(hash_buckets))).cast("string")
+        )
+    tc = terms.groupBy("_y", "term").count().collect()
+    pc = docs.groupBy(F.col(label_col).cast("string").alias("_y")).count().collect()
+    return _smooth(
+        [((r["_y"], r["term"]), r["count"]) for r in tc],
+        {r["_y"]: r["count"] for r in pc},
+        alpha=alpha,
+        hash_buckets=hash_buckets,
+    )
+
+
+def train_nb_py(
+    rows: list[tuple[str, str]],
+    alpha: float = DEFAULT_ALPHA,
+    hash_buckets: int | None = None,
+) -> dict:
+    """Single-process oracle: same model from (text, label) tuples."""
+    tc: Counter = Counter()
+    pc: Counter = Counter()
+    for text, y in rows:
+        y = str(y)
+        pc[y] += 1
+        for term in nb_terms(text):
+            if hash_buckets is not None:
+                term = _hash_term(term, hash_buckets)
+            tc[(y, term)] += 1
+    return _smooth(tc.items(), dict(pc), alpha=alpha, hash_buckets=hash_buckets)
+
+
+def _smooth(term_counts, prior_counts: dict, alpha: float, hash_buckets) -> dict:
+    """Closed-form multinomial NB from integer counts. All float math
+    happens HERE, in one place, in deterministic per-entry expressions —
+    the reason Spark and pure-Python training produce bit-identical
+    models."""
+    classes = sorted(prior_counts)
+    n_docs = sum(prior_counts.values())
+    by_class: dict[str, dict[str, int]] = {c: {} for c in classes}
+    vocab: set[str] = set()
+    for (y, term), c in term_counts:
+        by_class[str(y)][term] = by_class[str(y)].get(term, 0) + int(c)
+        vocab.add(term)
+    v = len(vocab) if hash_buckets is None else hash_buckets
+    log_prior = {c: math.log(prior_counts[c] / n_docs) for c in classes}
+    log_lik: dict[str, dict[str, float]] = {}
+    log_unseen: dict[str, float] = {}
+    for c in classes:
+        tot = sum(by_class[c].values())
+        denom = tot + alpha * (v + 1)  # +1: one reserved unseen slot
+        log_lik[c] = {
+            t: math.log((cnt + alpha) / denom) for t, cnt in by_class[c].items()
+        }
+        log_unseen[c] = math.log(alpha / denom)
+    return {
+        "classes": classes,
+        "vocab_size": v,
+        "alpha": alpha,
+        "hash_buckets": hash_buckets,
+        "log_prior": log_prior,
+        "log_lik": log_lik,
+        "log_unseen": log_unseen,
+    }
+
+
+def nb_score_texts(texts, model: dict):
+    """(pred, margin, per-class log posterior) for a batch — one flat term
+    walk per class, reduceat segment sums (order-stable float64)."""
+    import numpy as np
+
+    classes = model["classes"]
+    buckets = model["hash_buckets"]
+    term_lists = []
+    for t in texts:
+        ts = nb_terms(t)
+        if buckets is not None:
+            ts = [_hash_term(x, buckets) for x in ts]
+        term_lists.append(ts)
+    n_docs = len(term_lists)
+    lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=n_docs)
+    flat = [t for ts in term_lists for t in ts]
+    n = len(flat)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+
+    scores = np.zeros((len(classes), n_docs))
+    for ci, c in enumerate(classes):
+        lik = model["log_lik"][c]
+        unseen = model["log_unseen"][c]
+        get = lik.get
+        if n:
+            vals = np.fromiter(
+                (get(t, unseen) for t in flat), dtype=np.float64, count=n
+            )
+            # reduceat quirks: indices must stay < n (a zero-length doc at
+            # the END would put its start at n), and a zero-length segment
+            # yields vals[start] instead of 0 — clip, then mask by length
+            seg = np.add.reduceat(vals, np.minimum(starts, n - 1))
+            seg[lens == 0] = 0.0
+        else:
+            seg = np.zeros(n_docs)
+        scores[ci] = model["log_prior"][c] + seg
+
+    order = np.argsort(-scores, axis=0, kind="stable")
+    top = order[0]
+    second = order[1] if len(classes) > 1 else order[0]
+    pred = np.array([classes[i] for i in top], dtype=object)
+    margin = scores[top, np.arange(n_docs)] - scores[second, np.arange(n_docs)]
+    if len(classes) == 1:
+        margin = np.zeros(n_docs)
+    return pred, margin, scores
+
+
+def py_nb_predict(text: str, model: dict) -> tuple[str, float]:
+    """Straight-line per-term oracle for one document."""
+    terms = nb_terms(text)
+    if model["hash_buckets"] is not None:
+        terms = [_hash_term(t, model["hash_buckets"]) for t in terms]
+    best = []
+    for c in model["classes"]:
+        s = model["log_prior"][c]
+        for t in terms:
+            s += model["log_lik"][c].get(t, model["log_unseen"][c])
+        best.append((c, s))
+    ranked = sorted(best, key=lambda x: (-x[1], x[0]))
+    margin = (
+        ranked[0][1] - ranked[1][1] if len(ranked) > 1 else 0.0
+    )
+    return ranked[0][0], margin
+
+
+def nb_predict_udf(model_broadcast):
+    """Arrow pandas UDF: struct(pred string, margin double)."""
+    schema = StructType(
+        [
+            StructField("pred", StringType()),
+            StructField("margin", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _clf(texts: pd.Series) -> pd.DataFrame:
+        pred, margin, _ = nb_score_texts(texts.tolist(), model_broadcast.value)
+        return pd.DataFrame({"pred": pred, "margin": margin})
+
+    return _clf
+
+
+def duckdb_nb_ctes(
+    model: dict, src: str, key: str = "doc_id", text: str = "text",
+    prefix: str = "nb",
+) -> str:
+    """DuckDB rendering of NB scoring over exact (non-hashed) models:
+    {prefix}_pred({key}, pred) — the third-engine check used in tests.
+    Terms are rendered relationally (unnest + left join against the
+    likelihood table); per-class sums use ordered-list aggregation like the
+    perplexity oracle so float64 order matches numpy's reduceat."""
+    if model["hash_buckets"] is not None:
+        raise ValueError("SQL rendering covers the exact-vocabulary mode")
+    from .perplexity import duckdb_tokens_sql
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lik_rows = []
+    for c in model["classes"]:
+        for t, v in sorted(model["log_lik"][c].items()):
+            lik_rows.append(f"({_sq(c)}, {_sq(t)}, {v!r})")
+    cls_rows = ", ".join(
+        f"({_sq(c)}, {model['log_prior'][c]!r}, {model['log_unseen'][c]!r})"
+        for c in model["classes"]
+    )
+    toks = duckdb_tokens_sql(text)
+    return f"""{prefix}_lik(y, term, ll) AS (VALUES {", ".join(lik_rows)}),
+        {prefix}_cls(y, lp, lu) AS (VALUES {cls_rows}),
+        {prefix}_toks AS (
+          SELECT {key}, {toks} AS w FROM {src}),
+        {prefix}_terms AS (
+          SELECT {key}, i, w[i] AS term FROM {prefix}_toks,
+                 unnest(range(1, len(w) + 1)) AS t(i)
+          UNION ALL
+          SELECT {key}, len(w) + i, w[i] || ' ' || w[i + 1] AS term
+          FROM {prefix}_toks, unnest(range(1, len(w))) AS t(i)),
+        {prefix}_tsum AS (
+          SELECT t.{key}, c.y,
+                 list_sum(list(COALESCE(l.ll, c.lu) ORDER BY t.i)) AS s
+          FROM {prefix}_terms t
+          CROSS JOIN {prefix}_cls c
+          LEFT JOIN {prefix}_lik l ON l.y = c.y AND l.term = t.term
+          GROUP BY t.{key}, c.y),
+        {prefix}_scores AS (
+          -- anchored on toks so zero-term documents still score (= prior)
+          SELECT d.{key}, c.y, c.lp + COALESCE(ts.s, 0.0) AS score
+          FROM {prefix}_toks d
+          CROSS JOIN {prefix}_cls c
+          LEFT JOIN {prefix}_tsum ts ON ts.{key} = d.{key} AND ts.y = c.y),
+        {prefix}_pred AS (
+          SELECT {key}, y AS pred
+          FROM (SELECT {key}, y,
+                       row_number() OVER (PARTITION BY {key}
+                                          ORDER BY score DESC, y) AS rn
+                FROM {prefix}_scores)
+          WHERE rn = 1)"""

@@ -407,13 +407,68 @@ def verify_pairs_jaccard(
     return j
 
 
+#: Edge-count ceiling for the driver union-find fast path. 10^6 edges
+#: collect to ~100 MB of driver heap — far under any real driver size, and
+#: conservatively under the 10^9-edge regimes where only the distributed
+#: path is honest.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edge_rows) -> list[tuple]:
+    """Union-find with path compression; component = min id of the set.
+    Deterministic for any edge order (the final min-per-set relabel is
+    order-free)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    best: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in best or x < best[r]:
+            best[r] = x
+    return sorted((x, best[find(x)]) for x in parent)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     stage_dir: str | None = None,
+    driver_max_edges: int | None = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Hash-min label propagation + pointer jumping over an undirected
-    edge list.
+    edge list, with a driver union-find fast path for small edge sets.
+
+    THE SIZE REGIME IS BIMODAL. The edge list entering CC is the
+    post-verification near-dup graph — per-corpus it is orders of magnitude
+    smaller than the corpus itself (only verified duplicate PAIRS appear),
+    but adversarially it can be huge (a 30%-duplicate 10^12-turn corpus has
+    ~10^11 edges). So: when the (already lineage-cut) edge count is at most
+    ``driver_max_edges``, the component labels are computed with a single
+    union-find on the driver — one collect of the pair table, zero
+    iterative rounds — exactly the hybrid GraphFrames/graph engines use.
+    Above the threshold (or with driver_max_edges=None) the distributed
+    hash-min + pointer-jumping rounds below run unchanged. Both paths are
+    proven equal on chain/star/clique graphs in tests/test_dedup_operators.
+
+    Why it matters: each distributed round costs a fixed ~0.5 s of
+    scheduling even when the frontier is ONE node, and a length-k near-dup
+    chain needs ~log2(k) rounds — measured 12 rounds (~8 s) on the sf0.1
+    near-dup corpus vs ~0.3 s for the union-find on the same edges.
 
     Returns (id, component) where component = min id reachable. Each round
     takes the min over (own label, changed neighbors' labels, own label's
@@ -446,6 +501,24 @@ def connected_components(
     executor-local checkpoint blocks.
     """
     from .stage import cut
+
+    edges = cut(edges.select("src", "dst"), stage_dir, "cc_edges")
+    if driver_max_edges is not None and edges.count() <= driver_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        labels = _driver_union_find(
+            (r[0], r[1]) for r in edges.toLocalIterator()
+        )
+        id_type = edges.schema["src"].dataType
+        return edges.sparkSession.createDataFrame(
+            labels,
+            StructType(
+                [
+                    StructField("id", id_type, False),
+                    StructField("component", id_type, False),
+                ]
+            ),
+        )
 
     sym = cut(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(

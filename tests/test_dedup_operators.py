@@ -239,7 +239,12 @@ def test_cc_pointer_jumping_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
-    labels = {r.id: r.component for r in D.connected_components(edges, max_iter=20).collect()}
+    labels = {
+        r.id: r.component
+        for r in D.connected_components(
+            edges, max_iter=20, driver_max_edges=None
+        ).collect()
+    }
     assert len(labels) == n
     assert set(labels.values()) == {0}
 
@@ -249,7 +254,53 @@ def test_cc_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(29)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(edges, max_iter=2)
+        D.connected_components(edges, max_iter=2, driver_max_edges=None)
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    """The union-find fast path and the hash-min rounds must agree on
+    chains, stars, cliques, self-loops and singleton-free mixes — and on
+    string ids (the pipeline keys CC on conv#turn strings)."""
+    import random
+
+    rng = random.Random(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(80)],
+        "star": [(0, i) for i in range(1, 40)],
+        "clique": [(i, j) for i in range(12) for j in range(i + 1, 12)],
+        "selfloop": [(5, 5), (6, 7)],
+        "random": [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(300)
+        ],
+    }
+    for name, pairs in graphs.items():
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        fast = dict(
+            (r.id, r.component)
+            for r in D.connected_components(edges).collect()
+        )
+        slow = dict(
+            (r.id, r.component)
+            for r in D.connected_components(
+                edges, driver_max_edges=None
+            ).collect()
+        )
+        assert fast == slow, name
+    # string ids through the fast path
+    sedges = spark.createDataFrame(
+        [("b#1", "a#2"), ("a#2", "c#3"), ("x#9", "y#1")], "src string, dst string"
+    )
+    lab = dict(
+        (r.id, r.component) for r in D.connected_components(sedges).collect()
+    )
+    assert lab == {
+        "a#2": "a#2", "b#1": "a#2", "c#3": "a#2", "x#9": "x#9", "y#1": "x#9",
+    }
+
+
+def test_cc_driver_path_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert D.connected_components(edges).count() == 0
 
 
 def test_bands_per_pass_identical_components(spark):

@@ -1,0 +1,152 @@
+"""Model-based quality classifier (functions/textclf.py).
+
+Verification: distributed closed-form training is BIT-IDENTICAL to the
+single-process oracle (integer counts + one shared smoothing routine),
+partition-invariant, hashed mode matches a pure-Python rendering of the
+same xxhash64/pmod arithmetic, scoring is three-engine checked (vectorized
+numpy == straight-line Python == DuckDB SQL), and the distilled classifier
+actually learns the rule that labeled its training set (accuracy floor on
+held-out rows)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark.functions.textclf import (
+    duckdb_nb_ctes,
+    nb_predict_udf,
+    nb_score_texts,
+    nb_terms,
+    py_nb_predict,
+    train_nb_py,
+    train_nb_spark,
+)
+
+
+def _labeled_rows(n=400, seed=3):
+    """Deterministic two-class corpus: 'good' prose vs 'junk' symbol soup,
+    with noisy middle-ground rows."""
+    rng = random.Random(seed)
+    prose = "the quick brown fox jumps over a lazy dog near the old stone bridge".split()
+    junk = list("!@#$%^&*~~~ ||| ### $$$ %%% ^^^".split())
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            text = " ".join(rng.choices(prose, k=rng.randint(5, 20)))
+            y = "keep"
+        else:
+            text = " ".join(rng.choices(junk, k=rng.randint(3, 15)))
+            y = "drop"
+        if i % 17 == 0:  # contamination: a few mixed rows
+            text += " " + " ".join(rng.choices(prose + junk, k=4))
+        rows.append((text, y))
+    rows.append(("", "drop"))
+    rows.append(("   ", "keep"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return _labeled_rows()
+
+
+@pytest.fixture(scope="module")
+def model(rows):
+    return train_nb_py(rows)
+
+
+def test_terms_spec():
+    assert nb_terms("The  cat SAT") == ["the", "cat", "sat", "the cat", "cat sat"]
+    assert nb_terms("") == []
+    assert nb_terms(None) == []
+    assert nb_terms("solo") == ["solo"]
+
+
+def test_spark_training_bit_identical(spark, rows, model):
+    df = spark.createDataFrame(rows, "text string, y string").repartition(7)
+    m = train_nb_spark(df, "y")
+    assert m == model  # full dict equality, floats included
+
+
+def test_training_partition_invariant(spark, rows):
+    df1 = spark.createDataFrame(rows, "text string, y string").repartition(1)
+    df9 = spark.createDataFrame(rows, "text string, y string").repartition(9)
+    assert train_nb_spark(df1, "y") == train_nb_spark(df9, "y")
+
+
+def test_hashed_mode_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "text string, y string")
+    m_spark = train_nb_spark(df, "y", hash_buckets=512)
+    m_py = train_nb_py(rows, hash_buckets=512)
+    assert m_spark == m_py
+    # hashed model still classifies the obvious cases
+    pred, _, _ = nb_score_texts(
+        ["the quick brown fox", "~~~ ### $$$"], m_spark
+    )
+    assert list(pred) == ["keep", "drop"]
+
+
+def test_vectorized_equals_straightline(rows, model):
+    texts = [t for t, _ in rows[:80]] + ["", "unseen zz qq", "the ###"]
+    pred, margin, _ = nb_score_texts(texts, model)
+    for i, t in enumerate(texts):
+        p, m = py_nb_predict(t, model)
+        assert pred[i] == p
+        assert margin[i] == pytest.approx(m, rel=1e-12)
+
+
+def test_heldout_accuracy_floor(model):
+    held = _labeled_rows(n=200, seed=99)
+    pred, _, _ = nb_score_texts([t for t, _ in held], model)
+    acc = np.mean([p == y for p, (_, y) in zip(pred, held)])
+    assert acc >= 0.95, acc
+
+
+def test_udf_matches_oracle(spark, rows, model):
+    b = spark.sparkContext.broadcast(model)
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(rows[:60])], "id long, text string"
+    ).repartition(5)
+    out = df.withColumn("_c", nb_predict_udf(b)("text")).select(
+        "id", "_c.pred", "_c.margin"
+    )
+    for r in out.collect():
+        p, m = py_nb_predict(rows[r["id"]][0], model)
+        assert r["pred"] == p and r["margin"] == pytest.approx(m, rel=1e-12)
+
+
+def test_duckdb_scoring_parity(rows, model):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    sample = rows[:40] + [("", "x"), ("zz unseen", "x")]
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [(i, t) for i, (t, _) in enumerate(sample)],
+    )
+    sql = (
+        "WITH "
+        + duckdb_nb_ctes(model, "docs", key="doc_id", text="text")
+        + " SELECT doc_id, pred FROM nb_pred ORDER BY doc_id"
+    )
+    got = dict(con.execute(sql).fetchall())
+    con.close()
+    assert len(got) == len(sample)
+    for i, (t, _) in enumerate(sample):
+        assert got[i] == py_nb_predict(t, model)[0], (i, t)
+
+
+def test_registry_entry_runs(spark, sf_dir):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    assert "doc_quality_classifier" in q
+    out = q["doc_quality_classifier"](spark, sf_dir).collect()
+    assert len(out) > 0
+    cols = set(out[0].asDict())
+    assert {"doc_id", "pred", "margin"} <= cols
+    assert {r["pred"] for r in out} <= {"keep", "drop"}
