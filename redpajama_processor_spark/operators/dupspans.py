@@ -17,18 +17,25 @@ Spec (deterministic):
   n_windows     = max(n_words - n + 1, 0)
   dup_span_frac = duplicated positions / n_windows (0.0 when no windows)
 
-Scale plan: explode windows -> groupBy(gram) agg countDistinct-style (two
-map-side-combined aggregations: (gram, doc) dedup then gram count) -> semi
-join back on gram -> per-doc count. Shuffles are keyed on the gram string —
-high cardinality, no hot keys; the shared-gram table after aggregation is a
-small fraction of the corpus. At 10^12 scale replace the gram string with
-xxhash64(gram) to shrink shuffle bytes (collision odds ~ B(n,2)/2^64;
+Scale plan (reshaped round 5 after measuring both): ONE explode -> ONE
+map-side-combined groupBy(gram, doc) -> min/max doc over a gram window ->
+per-doc sum. The windows are computed ONCE and shuffled ONCE (the round-4
+shape computed the exploded gram table twice — once for the shared-gram
+aggregate, once for the semi join back — and shuffled it twice; measured
+2.0x slower at sf0.1 for identical results). The window partitions by the
+gram over ALREADY (gram, doc)-deduplicated rows, so a gram's partition is
+its distinct-document count; for corpora with ultra-hot grams (a
+boilerplate sentence in 10^8 documents) pass ``skew_safe=True`` to swap
+the window for a map-side-combined min/max aggregate + semi join (hot keys
+collapse per map partition; costs a lineage cut to avoid recompute). At
+10^12 scale additionally set hash_grams=True to replace the gram string
+with xxhash64(gram) on the shuffle key (collision odds ~ B(n,2)/2^64;
 documented tradeoff) — the entry keeps raw strings for oracle exactness.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.repetition import ngrams_col
@@ -43,11 +50,15 @@ def dup_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = False,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Per-document (n_windows, n_dup_spans, dup_span_frac).
 
     hash_grams=True swaps gram strings for xxhash64 on the shuffle key (the
-    10^12-row path; not oracle-exact only because DuckDB lacks xxhash64)."""
+    10^12-row path; not oracle-exact only because DuckDB lacks xxhash64).
+    skew_safe=True trades the single-sort window for a map-side-combined
+    aggregate + semi join (see module docstring) — identical results,
+    proven in tests."""
     words = words_col(F.col(text_col))
     grams = docs.select(
         F.col(id_col).alias("_id"),
@@ -56,20 +67,34 @@ def dup_span_stats(
     if hash_grams:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
 
-    # grams in >= 2 distinct docs in ONE map-side-combined aggregation:
-    # min(_id) != max(_id) <=> at least two documents carry the gram
-    # (replaces a distinct + second groupBy — two full gram shuffles saved)
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.min("_id").alias("_lo"), F.max("_id").alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select("gram")
-    )
-    dup_counts = (
-        grams.join(shared, "gram", "left_semi")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_dup_spans"))
-    )
+    # per-(gram, doc) position counts: ONE map-side-combined shuffle of the
+    # exploded windows; everything downstream works on this deduplicated
+    # table (a gram's row count = its distinct-document count)
+    gd = grams.groupBy("gram", "_id").agg(F.count("*").alias("c"))
+    if skew_safe:
+        # lineage cut so the two consumers below don't re-explode the corpus
+        gd = gd.localCheckpoint(eager=False)
+        # a gram is shared iff min(_id) != max(_id) — one combined agg
+        shared = (
+            gd.groupBy("gram")
+            .agg(F.min("_id").alias("_lo"), F.max("_id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("gram")
+        )
+        dup_counts = (
+            gd.join(shared, "gram", "left_semi")
+            .groupBy("_id")
+            .agg(F.sum("c").alias("n_dup_spans"))
+        )
+    else:
+        w = Window.partitionBy("gram")
+        dup_counts = (
+            gd.withColumn("_lo", F.min("_id").over(w))
+            .withColumn("_hi", F.max("_id").over(w))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .groupBy("_id")
+            .agg(F.sum("c").alias("n_dup_spans"))
+        )
     # n_windows is a NARROW per-row expression — no explode, no shuffle
     out = (
         docs.select(

@@ -202,6 +202,20 @@ def test_dup_span_hashed_path_matches(spark):
     assert plain == hashed
 
 
+def test_dup_span_skew_safe_path_matches(spark):
+    """The window default and the map-side-combined skew_safe shape must
+    agree, including within-doc repeats (multiplicity counted per
+    position) and hot grams shared by many docs."""
+    rows = [(i, "common boiler plate line here extra " + ("x%d " % i) * 3)
+            for i in range(20)]
+    rows += [(100, "repeat me repeat me repeat me repeat me"),
+             (101, "totally unique content with no overlap at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    a = dup_span_stats(df, n=5).orderBy("doc_id").collect()
+    b = dup_span_stats(df, n=5, skew_safe=True).orderBy("doc_id").collect()
+    assert a == b
+
+
 def test_snapshot_diff_null_text(spark):
     """md5(NULL) must not masquerade as row absence; null==null unchanged,
     null vs value changed (code-review regression)."""
