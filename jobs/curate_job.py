@@ -85,6 +85,28 @@ def main() -> None:
         help="annotate CCNet head/middle/tail perplexity buckets per language",
     )
     ap.add_argument(
+        "--with-kenlm",
+        type=int,
+        default=None,
+        metavar="ORDER",
+        help="annotate kn_ppl from an interpolated modified Kneser-Ney "
+        "LM of this order, trained on the reference corpus (keep "
+        "unchanged); see also --kenlm-arpa",
+    )
+    ap.add_argument(
+        "--kenlm-arpa",
+        default=None,
+        help="ARPA file (SRILM/KenLM format) to load instead of training; "
+        "ship via spark-submit --files like a fastText .bin",
+    )
+    ap.add_argument(
+        "--distill-classifier",
+        action="store_true",
+        help="after curation, train the NB quality classifier on the "
+        "run's own keep/drop labels and annotate (clf_pred, clf_margin); "
+        "agreement vs the rules lands in the metrics JSON",
+    )
+    ap.add_argument(
         "--storage",
         choices=["parquet", "iceberg"],
         default="parquet",
@@ -121,6 +143,21 @@ def main() -> None:
         if args.lm
         else train_bigram_lm(lm_corpus())
     )
+
+    kenlm_model = None
+    if args.kenlm_arpa:
+        from redpajama_processor_spark.functions.kenlm import load_arpa
+
+        kenlm_model = load_arpa(args.kenlm_arpa)
+    elif args.with_kenlm:
+        from redpajama_processor_spark.functions.kenlm import (
+            py_ngram_counts,
+            train_kneser_ney,
+        )
+
+        kenlm_model = train_kneser_ney(
+            py_ngram_counts(lm_corpus(), args.with_kenlm), args.with_kenlm
+        )
 
     if args.checkpoint_root:
         from redpajama_processor_spark.pipeline import dedup_labels_for
@@ -160,6 +197,7 @@ def main() -> None:
                 fasttext_model=args.fasttext_model,
                 with_repetition=args.with_repetition,
                 with_ppl_buckets=args.with_ppl_buckets,
+                kenlm_model=kenlm_model,
             ),
         )
         out = run.result()
@@ -173,8 +211,32 @@ def main() -> None:
             fasttext_model=args.fasttext_model,
             with_repetition=args.with_repetition,
             with_ppl_buckets=args.with_ppl_buckets,
+            kenlm_model=kenlm_model,
         )
         result = _write_output(spark, out, args)
+
+    clf_agreement = None
+    if args.distill_classifier:
+        from pyspark.sql import functions as F
+
+        from redpajama_processor_spark.functions.textclf import (
+            annotate_classifier,
+            distill_from_keep,
+        )
+
+        model = distill_from_keep(result)
+        b = spark.sparkContext.broadcast(model)
+        annotated = annotate_classifier(result, b)
+        agg = annotated.agg(
+            F.avg(
+                (
+                    F.col("clf_pred")
+                    == F.when(F.col("keep"), F.lit("keep")).otherwise(F.lit("drop"))
+                ).cast("double")
+            ).alias("agree")
+        ).collect()[0]
+        clf_agreement = round(agg["agree"], 6)
+        result = annotated
 
     census = {
         r["rule"]: r["count"] for r in rule_census(result).collect()
@@ -188,6 +250,8 @@ def main() -> None:
         "wall_sec": round(dt, 2),
         "turns_per_sec": round(n / dt, 1),
     }
+    if clf_agreement is not None:
+        meta["clf_rule_agreement"] = clf_agreement
     with open(os.path.join("/tmp", "curate_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     print(json.dumps(meta))

@@ -247,6 +247,33 @@ def nb_predict_udf(model_broadcast):
     return _clf
 
 
+def distill_from_keep(
+    curated: DataFrame,
+    text_col: str = "clean_text",
+    keep_col: str = "keep",
+    hash_buckets: int | None = None,
+) -> dict:
+    """Train the classifier on a CURATED corpus's own keep/drop labels —
+    the distillation flow: the rule battery labels the seed, the model
+    generalizes past it (and costs one narrow scoring pass instead of the
+    full battery on later corpora)."""
+    labeled = curated.select(
+        F.col(text_col).alias("text"),
+        F.when(F.col(keep_col), F.lit("keep")).otherwise(F.lit("drop")).alias("y"),
+    )
+    return train_nb_spark(labeled, "y", text_col="text", hash_buckets=hash_buckets)
+
+
+def annotate_classifier(
+    df: DataFrame, model_broadcast, text_col: str = "clean_text"
+) -> DataFrame:
+    """Add (clf_pred, clf_margin) — narrow, zero shuffle."""
+    c = nb_predict_udf(model_broadcast)(F.col(text_col))
+    return df.withColumn("_clf", c).withColumns(
+        {"clf_pred": F.col("_clf.pred"), "clf_margin": F.col("_clf.margin")}
+    ).drop("_clf")
+
+
 def duckdb_nb_ctes(
     model: dict, src: str, key: str = "doc_id", text: str = "text",
     prefix: str = "nb",

@@ -96,6 +96,7 @@ def curate(
     fasttext_model: str | None = None,
     with_repetition: bool = False,
     with_ppl_buckets: bool = False,
+    kenlm_model: dict | None = None,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,
     scrubbed text, keep and drop_rule. Never physically drops rows —
@@ -122,16 +123,24 @@ def curate(
     killed driver resumes with stage_reuse=True, skipping stages whose
     _SUCCESS marker exists).
 
-    with_repetition / with_ppl_buckets: ANNOTATION-ONLY extras (keep/drop
-    unchanged — the oracle-gated spec stays fixed): the Gopher n-gram
-    repetition battery (narrow Arrow pass over clean_text) and CCNet-style
-    head/middle/tail perplexity buckets per language (approx-percentile
-    cutoffs, broadcast join — no sort)."""
+    with_repetition / with_ppl_buckets / kenlm_model: ANNOTATION-ONLY
+    extras (keep/drop unchanged — the oracle-gated spec stays fixed): the
+    Gopher n-gram repetition battery (narrow Arrow pass over clean_text),
+    CCNet-style head/middle/tail perplexity buckets per language
+    (approx-percentile cutoffs, broadcast join — no sort), and a `kn_ppl`
+    column from an interpolated modified Kneser-Ney model
+    (functions/kenlm — train with train_kneser_ney_spark or load_arpa;
+    broadcast once, narrow Arrow scoring)."""
     if lm is None:
         from .datagen import lm_corpus
 
         lm = train_bigram_lm(lm_corpus())
     lm_b = spark.sparkContext.broadcast(lm)
+    kn_b = (
+        spark.sparkContext.broadcast(kenlm_model)
+        if kenlm_model is not None
+        else None
+    )
 
     df = turns.withColumn("_key", doc_key_col())
 
@@ -166,7 +175,7 @@ def curate(
                 "component": F.coalesce("component", F.col("_key")),
             }
         )
-        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets)
+        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b)
 
     # --- exact dedup among langid survivors (clusters-only min-join: a
     # boilerplate cluster map-side-combines instead of serializing into one
@@ -212,7 +221,7 @@ def curate(
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
-    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets)
+    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b)
 
 
 def _annotate_rest(
@@ -221,6 +230,7 @@ def _annotate_rest(
     use_native_scrub: bool = True,
     with_repetition: bool = False,
     with_ppl_buckets: bool = False,
+    kn_b=None,
 ) -> DataFrame:
     """Signals, conv-dup, perplexity, scrub, final keep/drop (narrow except
     the conv_dup partial-agg shuffles)."""
@@ -303,6 +313,10 @@ def _annotate_rest(
         df = quantile_buckets_approx(
             df, "perplexity", k=3, by="language", out_col="ppl_bucket"
         )
+    if kn_b is not None:
+        from .functions.kenlm import kn_perplexity_udf
+
+        df = df.withColumn("kn_ppl", kn_perplexity_udf(kn_b)(F.col("clean_text")))
     return df
 
 
