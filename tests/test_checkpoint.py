@@ -128,7 +128,10 @@ def test_stage_dir_lineage_cuts_and_resume(spark, tmp_path):
     staged = run(corpus, stage_dir=d)
     assert (plain["keep"] == staged["keep"]).all()
     assert (plain["drop_rule"].fillna("~") == staged["drop_rule"].fillna("~")).all()
-    for stage in ("base", "fz_pairs", "cc_sym"):
+    # cc_edges (not cc_sym) is the stage CC always cuts: small edge sets
+    # take the driver union-find fast path, which skips the distributed
+    # rounds (and their cc_sym/cc_labels stages) entirely
+    for stage in ("base", "fz_pairs", "cc_edges"):
         assert os.path.exists(os.path.join(d, stage, "_SUCCESS")), stage
 
     corrupted = corpus.copy()
