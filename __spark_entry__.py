@@ -1329,6 +1329,28 @@ def q_doc_quality_classifier(spark, sf_dir):
     )
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """Checksum-validated PII scrub over the documents table: Luhn credit
+    cards, mod-97 IBANs, structural SSNs, provider-prefixed API keys and
+    bearer/key=value secrets (functions/pii.py). Candidate regex +
+    arithmetic validator per rule — only validated spans are replaced, so
+    order ids / hashes that merely LOOK like card numbers survive. Narrow
+    (one Arrow batch pass, zero shuffle). Rows-only: per-occurrence
+    conditional replacement is not expressible as a regexp_replace chain
+    in ANSI SQL; parity vs the pure-Python oracle (plus published Luhn/
+    IBAN test vectors and hypothesis idempotence adversaries) is proven in
+    tests/test_pii.py."""
+    from redpajama_processor_spark.functions.pii import PII_RULES, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    out = scrub_pii(d, text_col="text", out_col="pii_text")
+    return out.select(
+        "doc_id",
+        "pii_text",
+        *[F.col(f"n_{name}") for name, _, _, _ in PII_RULES],
+    )
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1415,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_iceberg_roundtrip": q_doc_iceberg_roundtrip,
         "doc_kenlm_ppl": q_doc_kenlm_ppl,
         "doc_quality_classifier": q_doc_quality_classifier,
+        "doc_pii_scrub": q_doc_pii_scrub,
     }
 
 

@@ -75,6 +75,13 @@ def main() -> None:
         "(e.g. lid.176.bin); lexicon fallback when absent",
     )
     ap.add_argument(
+        "--with-pii",
+        action="store_true",
+        help="annotate checksum-validated PII pass (Luhn cards, mod-97 "
+        "IBAN, SSN, API keys/secrets) -> pii_text + counters (keep "
+        "unchanged)",
+    )
+    ap.add_argument(
         "--with-repetition",
         action="store_true",
         help="annotate Gopher n-gram repetition fractions (keep unchanged)",
@@ -198,6 +205,7 @@ def main() -> None:
                 with_repetition=args.with_repetition,
                 with_ppl_buckets=args.with_ppl_buckets,
                 kenlm_model=kenlm_model,
+                with_pii=args.with_pii,
             ),
         )
         out = run.result()
@@ -212,6 +220,7 @@ def main() -> None:
             with_repetition=args.with_repetition,
             with_ppl_buckets=args.with_ppl_buckets,
             kenlm_model=kenlm_model,
+            with_pii=args.with_pii,
         )
         result = _write_output(spark, out, args)
 
@@ -252,6 +261,18 @@ def main() -> None:
     }
     if clf_agreement is not None:
         meta["clf_rule_agreement"] = clf_agreement
+    if args.with_pii:
+        from pyspark.sql import functions as F
+
+        from redpajama_processor_spark.functions.pii import PII_RULES
+
+        row = result.agg(
+            *[
+                F.sum(f"n_{name}").alias(name)
+                for name, _, _, _ in PII_RULES
+            ]
+        ).collect()[0]
+        meta["pii_counts"] = {name: int(row[name] or 0) for name, _, _, _ in PII_RULES}
     with open(os.path.join("/tmp", "curate_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     print(json.dumps(meta))

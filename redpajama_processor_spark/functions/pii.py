@@ -1,0 +1,226 @@
+"""Extended PII scrubbing: checksum-validated identifiers + secrets.
+
+North_star axis extension (regex-driven PII scrub) past the core
+email/phone/ip/profanity battery in functions/scrub.py. These rules need
+more than a regex: a 16-digit run is only a credit card if it passes the
+Luhn checksum, and an IBAN-shaped token is only an IBAN if it passes the
+ISO 7064 mod-97 check — scrubbing every digit run would mangle order ids,
+timestamps and hashes, exactly the false-positive mode a curation pipeline
+at 10^12 turns cannot afford. So each rule is CANDIDATE REGEX + VALIDATOR:
+the regex finds spans, the validator (pure arithmetic, no I/O) accepts or
+rejects each span, and only accepted spans are replaced.
+
+Rules (fixed order, each applied to the previous rule's output, same
+determinism/idempotence contract as SCRUB_RULES — replacement tokens never
+match any rule):
+
+  credit_card  13-19 digit runs, optional single space/dash group
+               separators, Luhn-validated                     -> [CARD]
+  iban         2 letters + 2 digits + 11-30 alnum, mod-97 == 1 -> [IBAN]
+  ssn          US xxx-xx-xxxx with the SSA structural zeros/900
+               exclusions (no checksum exists; shape-only)     -> [SSN]
+  api_key      provider-prefixed secrets (AWS AKIA/ASIA, GitHub
+               ghp_/gho_/ghs_/github_pat_, Slack xox, Google
+               AIza, OpenAI-style sk-), shape-validated        -> [KEY]
+  bearer       'Bearer <token>' / 'Authorization: <token>' and
+               key=value secrets (api_key/token/secret/password
+               = 16+ chars)                                    -> [SECRET]
+
+Renderings:
+- ``py_scrub_pii``   — pure-Python oracle (text -> text, per-rule counts),
+- ``pii_scrub_udf``  — vectorized Arrow pandas UDF -> struct(pii_text,
+                       n_credit_card, n_iban, n_ssn, n_api_key, n_bearer);
+                       NARROW (zero shuffle, pipelines into the scan),
+- ``scrub_pii``      — DataFrame -> DataFrame annotation operator.
+
+No SQL rendering on purpose: per-occurrence conditional replacement
+(replace span i iff validator(span i)) is not expressible as a
+regexp_replace chain in either Spark or DuckDB, so parity is proven
+against the Python oracle in tests/test_pii.py (exact per-row equality on
+the synthetic corpus plus hypothesis adversaries), the same strategy as
+BPE/KenLM. Scale shape: one Arrow batch pass, O(len(text)) per row, model-
+free — no broadcast, no skew sensitivity.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# --------------------------------------------------------------------------
+# validators (pure arithmetic)
+# --------------------------------------------------------------------------
+
+
+def luhn_ok(digits: str) -> bool:
+    """Luhn mod-10 (ISO/IEC 7812 Annex B): double every second digit from
+    the right, subtract 9 from doubles > 9, total % 10 == 0."""
+    if not (13 <= len(digits) <= 19):
+        return False
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def iban_ok(token: str) -> bool:
+    """ISO 13616 / ISO 7064 mod-97-10: move the first 4 chars to the end,
+    map A..Z -> 10..35, the resulting integer mod 97 must equal 1."""
+    t = token.replace(" ", "").upper()
+    if not (15 <= len(t) <= 34):
+        return False
+    rearranged = t[4:] + t[:4]
+    rem = 0
+    for ch in rearranged:
+        if ch.isdigit():
+            rem = (rem * 10 + ord(ch) - 48) % 97
+        elif "A" <= ch <= "Z":
+            v = ord(ch) - 55  # A=10 .. Z=35
+            rem = (rem * 100 + v) % 97
+        else:
+            return False
+    return rem == 1
+
+
+def ssn_ok(token: str) -> bool:
+    """SSA structural rules (no checksum exists for SSNs): area not 000,
+    not 666, not 900-999; group not 00; serial not 0000."""
+    area, group, serial = token.split("-")
+    return (
+        area not in ("000", "666")
+        and not ("900" <= area <= "999")
+        and group != "00"
+        and serial != "0000"
+    )
+
+
+# --------------------------------------------------------------------------
+# rule table: (name, candidate pattern, validator(match) -> bool, replacement)
+# --------------------------------------------------------------------------
+
+# Candidate: 13-19 digits in groups joined by a CONSISTENT single space or
+# dash (or no separator). \b guards stop mid-number partial matches; the
+# validator strips separators before Luhn.
+_CARD_PAT = r"\b[0-9](?:[0-9]{12,18}|(?:[0-9]{3}[- ]){3}[0-9]{4}|[0-9]{3}(?:[- ][0-9]{4,6}){2,3})\b"
+_IBAN_PAT = r"\b[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]{2,4}){3,8}\b"
+_SSN_PAT = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_KEY_PAT = (
+    r"\b(?:"
+    r"(?:AKIA|ASIA)[A-Z0-9]{16}"  # AWS access key id
+    r"|gh[posu]_[A-Za-z0-9]{36,255}"  # GitHub token
+    r"|github_pat_[A-Za-z0-9_]{22,255}"  # GitHub fine-grained PAT
+    r"|xox[baprs]-[A-Za-z0-9-]{10,250}"  # Slack token
+    r"|AIza[A-Za-z0-9_-]{35}"  # Google API key
+    r"|sk-[A-Za-z0-9]{20,}"  # OpenAI-style secret key
+    r")\b"
+)
+_BEARER_PAT = (
+    r"(?i)(?:\bbearer[ \t]+[A-Za-z0-9._~+/=-]{16,}"
+    r"|\b(?:api[_-]?key|secret|token|passwd|password)"
+    r"[ \t]*[:=][ \t]*['\"]?[A-Za-z0-9._~+/=-]{16,}['\"]?)"
+)
+
+
+def _card_valid(m: re.Match) -> bool:
+    return luhn_ok(re.sub(r"[- ]", "", m.group(0)))
+
+
+def _iban_valid(m: re.Match) -> bool:
+    return iban_ok(m.group(0))
+
+
+def _ssn_valid(m: re.Match) -> bool:
+    return ssn_ok(m.group(0))
+
+
+def _always(m: re.Match) -> bool:
+    return True
+
+
+PII_RULES: list[tuple[str, str, object, str]] = [
+    ("credit_card", _CARD_PAT, _card_valid, "[CARD]"),
+    ("iban", _IBAN_PAT, _iban_valid, "[IBAN]"),
+    ("ssn", _SSN_PAT, _ssn_valid, "[SSN]"),
+    ("api_key", _KEY_PAT, _always, "[KEY]"),
+    ("bearer", _BEARER_PAT, _always, "[SECRET]"),
+]
+
+_COMPILED = [(n, re.compile(p), v, r) for n, p, v, r in PII_RULES]
+
+PII_SCHEMA = StructType(
+    [StructField("pii_text", StringType(), False)]
+    + [
+        StructField(f"n_{name}", IntegerType(), False)
+        for name, _, _, _ in PII_RULES
+    ]
+)
+
+
+def py_scrub_pii(text: str) -> tuple[str, dict[str, int]]:
+    """Oracle: sequential rule application; each rule replaces only the
+    candidate spans its validator accepts."""
+    counts: dict[str, int] = {}
+    for name, rx, valid, repl in _COMPILED:
+        n = 0
+
+        def _sub(m: re.Match) -> str:
+            nonlocal n
+            if valid(m):
+                n += 1
+                return repl
+            return m.group(0)
+
+        text = rx.sub(_sub, text)
+        counts[name] = n
+    return text, counts
+
+
+def pii_scrub_udf():
+    """Vectorized pandas UDF -> struct(pii_text, n_<rule>...)."""
+
+    @F.pandas_udf(PII_SCHEMA)
+    def _pii(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            s, c = py_scrub_pii(t if t is not None else "")
+            rows.append([s] + [c[n] for n, _, _, _ in PII_RULES])
+        return pd.DataFrame(
+            rows,
+            columns=["pii_text"] + [f"n_{n}" for n, _, _, _ in PII_RULES],
+        )
+
+    return _pii
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "scrubbed_text", out_col: str = "pii_text"
+) -> DataFrame:
+    """Annotate df with the checksum-validated PII pass: out_col plus one
+    n_<rule> counter per rule. Narrow (one Arrow batch pass, no shuffle);
+    composes after the core scrub — run it on scrubbed_text so core tokens
+    ([EMAIL] etc.) are already out of the way and cannot alias a candidate."""
+    struct = pii_scrub_udf()(F.col(text_col))
+    out = df.withColumn("_pii", struct).withColumns(
+        {
+            out_col: F.col("_pii.pii_text"),
+            **{
+                f"n_{name}": F.col(f"_pii.n_{name}")
+                for name, _, _, _ in PII_RULES
+            },
+        }
+    )
+    return out.drop("_pii")

@@ -97,6 +97,7 @@ def curate(
     with_repetition: bool = False,
     with_ppl_buckets: bool = False,
     kenlm_model: dict | None = None,
+    with_pii: bool = False,
 ) -> DataFrame:
     """Annotate every turn with language, dedup flags, signals, perplexity,
     scrubbed text, keep and drop_rule. Never physically drops rows —
@@ -130,7 +131,10 @@ def curate(
     (approx-percentile cutoffs, broadcast join — no sort), and a `kn_ppl`
     column from an interpolated modified Kneser-Ney model
     (functions/kenlm — train with train_kneser_ney_spark or load_arpa;
-    broadcast once, narrow Arrow scoring)."""
+    broadcast once, narrow Arrow scoring). with_pii adds the
+    checksum-validated PII pass (functions/pii: Luhn cards, mod-97 IBAN,
+    SSN, API keys/secrets) over scrubbed_text -> pii_text + n_<rule>
+    counters — also narrow."""
     if lm is None:
         from .datagen import lm_corpus
 
@@ -175,7 +179,7 @@ def curate(
                 "component": F.coalesce("component", F.col("_key")),
             }
         )
-        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b)
+        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b, with_pii)
 
     # --- exact dedup among langid survivors (clusters-only min-join: a
     # boilerplate cluster map-side-combines instead of serializing into one
@@ -221,7 +225,7 @@ def curate(
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
-    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b)
+    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b, with_pii)
 
 
 def _annotate_rest(
@@ -231,6 +235,7 @@ def _annotate_rest(
     with_repetition: bool = False,
     with_ppl_buckets: bool = False,
     kn_b=None,
+    with_pii: bool = False,
 ) -> DataFrame:
     """Signals, conv-dup, perplexity, scrub, final keep/drop (narrow except
     the conv_dup partial-agg shuffles)."""
@@ -317,6 +322,12 @@ def _annotate_rest(
         from .functions.kenlm import kn_perplexity_udf
 
         df = df.withColumn("kn_ppl", kn_perplexity_udf(kn_b)(F.col("clean_text")))
+    if with_pii:
+        from .functions.pii import scrub_pii
+
+        # after the core scrub so [EMAIL]/[PHONE] tokens are already out of
+        # the way; validated spans only (Luhn/mod-97 reject lookalikes)
+        df = scrub_pii(df, text_col="scrubbed_text", out_col="pii_text")
     return df
 
 
