@@ -1351,6 +1351,42 @@ def q_doc_pii_scrub(spark, sf_dir):
     )
 
 
+def q_doc_url_filter(spark, sf_dir):
+    """URL/domain blocklist filter (RefinedWeb / UT1-blacklist stage) over
+    the documents table, with a deterministic URL seeded per doc so every
+    branch (clean host, blocked host, blocked-by-parent subdomain, no URL)
+    is exercised: doc_id mod 4 picks the appended URL. Runs the SCALE path
+    (functions/urlfilter.flag_blocked_domains): hosts explode -> bounded
+    suffix-chain explode -> ONE broadcast semi-join -> per-doc agg; the
+    corpus never shuffles. Rows-only in the driver window; full parity
+    (python oracle == column rendering == DuckDB == broadcast-join path)
+    is proven in tests/test_urlfilter.py."""
+    from redpajama_processor_spark.functions.urlfilter import flag_blocked_domains
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.element_at(
+                F.array(
+                    F.lit(" https://ok.example.org/a"),
+                    F.lit(" http://badsite.example/x"),
+                    F.lit(" https://cdn.tracker.net:443/px"),
+                    F.lit(""),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    bl = spark.createDataFrame(
+        [("badsite.example",), ("tracker.net",)], "domain string"
+    )
+    return flag_blocked_domains(seeded, bl).select(
+        "doc_id", "n_urls", "n_blocked_urls", "url_blocked"
+    )
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1438,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kenlm_ppl": q_doc_kenlm_ppl,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_url_filter": q_doc_url_filter,
     }
 
 

@@ -1,0 +1,160 @@
+"""URL/domain blocklist filter: oracle, column rendering, DuckDB parity,
+broadcast-join scale path equivalence, plan audits."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions.urlfilter import (
+    duckdb_url_sql,
+    flag_blocked_domains,
+    py_hosts,
+    py_suffix_chain,
+    py_url_signals,
+    url_signal_cols,
+)
+
+BLOCKLIST = ["badsite.example", "tracker.net", "spam.co.uk"]
+
+
+# ---------------------------------------------------------------------------
+# python oracle
+
+
+def test_host_extraction():
+    assert py_hosts("see https://www.Foo.COM/path?q=1 and www.bar.org.") == [
+        "foo.com",
+        "bar.org.",  # trailing dot kept: spec is mechanical, not a validator
+    ]
+    assert py_hosts("http://a.b.c:8080/x") == ["a.b.c"]
+    assert py_hosts("no urls here") == []
+    assert py_hosts("") == []
+
+
+def test_suffix_chain():
+    assert py_suffix_chain("ads.tracker.net") == ["ads.tracker.net", "tracker.net"]
+    assert py_suffix_chain("a.b.c.d") == ["a.b.c.d", "b.c.d", "c.d"]
+    assert py_suffix_chain("localhost") == ["localhost"]
+
+
+def test_subdomain_blocking():
+    bl = set(BLOCKLIST)
+    n, b, f = py_url_signals(
+        "x https://ads.tracker.net/px http://ok.org http://spam.co.uk", bl
+    )
+    assert (n, b, f) == (3, 2, True)
+    # co.uk itself is NOT blocked by spam.co.uk
+    assert py_url_signals("http://other.co.uk", bl)[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus shared by the engine-parity tests
+
+
+@pytest.fixture(scope="module")
+def url_corpus():
+    rows = [
+        ("d00", "plain text, no urls"),
+        ("d01", "visit https://badsite.example/deal now"),
+        ("d02", "sub https://shop.badsite.example/x and http://ok.org"),
+        ("d03", "www.tracker.net pixel plus https://cdn.tracker.net/a.js"),
+        ("d04", "http://spam.co.uk http://spam.co.uk/twice"),
+        ("d05", "not blocked: http://example.com www.fine.io"),
+        ("d06", "bare co.uk mention and http://other.co.uk"),
+        ("d07", "ports http://badsite.example:8443/x"),
+        ("d08", ""),
+        ("d09", "UPPER https://WWW.BADSITE.EXAMPLE/SHOUT"),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_column_rendering_matches_oracle(spark, url_corpus):
+    cols = url_signal_cols(F.col("text"), BLOCKLIST)
+    out = (
+        spark.createDataFrame(url_corpus)
+        .withColumns(cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, row in url_corpus.iterrows():
+        n, b, f = py_url_signals(row["text"], set(BLOCKLIST))
+        got = out.loc[i]
+        assert (got["n_urls"], got["n_blocked_urls"], got["url_blocked"]) == (
+            n, b, f,
+        ), row["text"]
+
+
+def test_duckdb_parity(spark, url_corpus):
+    cols = url_signal_cols(F.col("text"), BLOCKLIST)
+    s = (
+        spark.createDataFrame(url_corpus)
+        .withColumns(cols)
+        .select("doc_id", "n_urls", "n_blocked_urls", "url_blocked")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", url_corpus)
+    sql = duckdb_url_sql("text", BLOCKLIST)
+    d = con.execute(
+        f"SELECT doc_id, {sql['n_urls']} AS n_urls, "
+        f"{sql['n_blocked_urls']} AS n_blocked_urls, "
+        f"{sql['url_blocked']} AS url_blocked FROM docs ORDER BY doc_id"
+    ).df()
+    assert (s["n_urls"].values == d["n_urls"].values).all()
+    assert (s["n_blocked_urls"].values == d["n_blocked_urls"].values).all()
+    assert (s["url_blocked"].values == d["url_blocked"].values).all()
+
+
+def test_scale_path_matches_column_rendering(spark, url_corpus):
+    df = spark.createDataFrame(url_corpus)
+    col_out = (
+        df.withColumns(url_signal_cols(F.col("text"), BLOCKLIST))
+        .select("doc_id", "n_urls", "n_blocked_urls", "url_blocked")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bl = spark.createDataFrame(
+        pd.DataFrame({"domain": BLOCKLIST + ["BADSITE.EXAMPLE"]})  # dup+case
+    )
+    join_out = (
+        flag_blocked_domains(df, bl)
+        .select("doc_id", "n_urls", "n_blocked_urls", "url_blocked")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (col_out.values == join_out.values).all()
+
+
+def test_scale_path_plan_shape(spark, url_corpus):
+    """Blocklist side must broadcast; the corpus must not UDF."""
+    df = spark.createDataFrame(url_corpus)
+    bl = spark.createDataFrame(pd.DataFrame({"domain": BLOCKLIST}))
+    plan = flag_blocked_domains(df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_column_rendering_is_narrow(spark, url_corpus):
+    plan = (
+        spark.createDataFrame(url_corpus)
+        .withColumns(url_signal_cols(F.col("text"), BLOCKLIST))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=100))
+def test_oracle_total(t):
+    n, b, f = py_url_signals(t, set(BLOCKLIST))
+    assert n >= b >= 0 and f == (b >= 1)
