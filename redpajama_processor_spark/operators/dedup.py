@@ -449,6 +449,7 @@ def connected_components(
     max_iter: int = 20,
     stage_dir: str | None = None,
     driver_max_edges: int | None = DRIVER_CC_MAX_EDGES,
+    edges_cut: bool = False,
 ) -> DataFrame:
     """Hash-min label propagation + pointer jumping over an undirected
     edge list, with a driver union-find fast path for small edge sets.
@@ -502,7 +503,13 @@ def connected_components(
     """
     from .stage import cut
 
-    edges = cut(edges.select("src", "dst"), stage_dir, "cc_edges")
+    # edges_cut=True: the caller already materialized a lineage-free edge
+    # table (fuzzy_dedup's pairs stage) — re-cutting it here would add one
+    # full extra job per pipeline run for nothing
+    if not edges_cut:
+        edges = cut(edges.select("src", "dst"), stage_dir, "cc_edges")
+    else:
+        edges = edges.select("src", "dst")
     if driver_max_edges is not None and edges.count() <= driver_max_edges:
         from pyspark.sql.types import StructField, StructType
 
@@ -675,7 +682,7 @@ def fuzzy_dedup(
         # re-executes per iteration)
         pairs = cut(pairs, stage_dir, "fz_pairs")
     t0 = _tick("minhash+lsh+edges+verify (pairs ckpt)", t0)
-    comp = connected_components(pairs, stage_dir=stage_dir)
+    comp = connected_components(pairs, stage_dir=stage_dir, edges_cut=True)
     t0 = _tick("connected components", t0)
     out = df.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"

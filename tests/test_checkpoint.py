@@ -128,11 +128,13 @@ def test_stage_dir_lineage_cuts_and_resume(spark, tmp_path):
     staged = run(corpus, stage_dir=d)
     assert (plain["keep"] == staged["keep"]).all()
     assert (plain["drop_rule"].fillna("~") == staged["drop_rule"].fillna("~")).all()
-    # cc_edges (not cc_sym) is the stage CC always cuts: small edge sets
-    # take the driver union-find fast path, which skips the distributed
-    # rounds (and their cc_sym/cc_labels stages) entirely
-    for stage in ("base", "fz_pairs", "cc_edges"):
+    # fz_pairs IS the edge table CC consumes: fuzzy_dedup passes
+    # edges_cut=True so CC neither re-cuts it (no cc_edges stage) nor —
+    # for small edge sets, via the driver union-find fast path — writes
+    # the distributed rounds' cc_sym/cc_labels stages
+    for stage in ("base", "fz_pairs"):
         assert os.path.exists(os.path.join(d, stage, "_SUCCESS")), stage
+    assert not os.path.exists(os.path.join(d, "cc_edges"))
 
     corrupted = corpus.copy()
     corrupted["text"] = "zzz qqq corrupted replacement text"
