@@ -1387,6 +1387,68 @@ def q_doc_url_filter(spark, sf_dir):
     )
 
 
+def q_doc_c4_filter(spark, sf_dir):
+    """C4/RefinedWeb line-level filtering over the documents table
+    (functions/c4filters.py): keep prose-looking lines (terminal
+    punctuation, >=5 words, no javascript/cookie-policy boilerplate),
+    rebuild the page from kept lines, then apply the C4 document rules
+    (brace / lorem-ipsum / min-kept-lines). Entirely narrow — split +
+    higher-order array filters + array_join, zero UDF, zero shuffle
+    (plan-audited in tests/test_c4filters.py). Rows-only in the driver
+    window; full parity (python oracle == Spark columns == DuckDB lambda
+    pipeline) plus hypothesis idempotence is proven in
+    tests/test_c4filters.py."""
+    from redpajama_processor_spark.functions.c4filters import c4_cols
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.withColumns(c4_cols(F.col("text"))).select(
+        "doc_id", "c4_text", "n_lines", "n_kept_lines", "c4_keep", "c4_drop_rule"
+    )
+
+
+def q_agent_tool_hygiene(spark, sf_dir):
+    """Agent-transcript tool hygiene (operators/agenthygiene.py) over the
+    synthetic turn view, with role and failure modes seeded
+    deterministically from doc_id so every rule fires: turn_idx%3 picks
+    the role; tool turns gain an error marker (doc_id%5==0), a 200-char
+    base64 blob (doc_id%7==0) or a repeat of the previous tool output
+    (doc_id%11==0 via constant text). Blob masking is narrow; the conv
+    aggregate is one map-side-combined groupBy; the repeat flag one
+    lag-window over (conv_id, role) — plan-audited in
+    tests/test_agenthygiene.py. Rows-only in the driver window; full
+    parity (python oracle == Spark == DuckDB window SQL) is proven in
+    tests/test_agenthygiene.py."""
+    from redpajama_processor_spark.operators.agenthygiene import (
+        OUT_COLS,
+        agent_hygiene,
+    )
+
+    t = _doc_turns(spark, sf_dir)
+    d = t.withColumn(
+        "role",
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("turn_idx") % 3 + 1).cast("int"),
+        ),
+    ).withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "tool") & (F.col("turn_idx") % 11 == 0),
+            F.lit("polling... no change"),
+        )
+        .when(
+            (F.col("role") == "tool") & (F.col("turn_idx") % 5 == 0),
+            F.concat(F.lit("Error: step failed. "), F.col("text")),
+        )
+        .when(
+            (F.col("role") == "tool") & (F.col("turn_idx") % 7 == 0),
+            F.concat(F.col("text"), F.lit(" " + "QUJD" * 50)),
+        )
+        .otherwise(F.col("text")),
+    )
+    return agent_hygiene(d).select("conv_id", "turn_idx", *OUT_COLS)
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1475,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_url_filter": q_doc_url_filter,
+        "doc_c4_filter": q_doc_c4_filter,
+        "agent_tool_hygiene": q_agent_tool_hygiene,
     }
 
 

@@ -1,0 +1,196 @@
+"""C4 / RefinedWeb line-level filtering — single spec, rendered three ways.
+
+The C4 cleaning recipe (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning", §2.2) filters WITHIN a page at line granularity before
+any document heuristic runs: keep only lines that look like prose
+(terminal punctuation, a minimum word count, no boilerplate markers), then
+drop pages that keep too few lines or carry code/placeholder text.
+RefinedWeb (Penedo et al. 2023, §3.1 "Line-wise corrections") extends the
+marker list with cookie/policy boilerplate. The reference repo has no
+line-level stage — its DuplicateLineFilter (step7_quality_filtering.py:
+87-92) only *scores* duplicate lines — so this module is a north-star
+addition, specced from the published recipes, not a port of either.
+
+Like functions/signals.py, the semantics are FIXED here and implemented
+identically in three engines:
+
+  1. ``c4_cols``          — native Spark column expressions (split /
+     transform / filter / array_join; zero UDF, zero shuffle — the whole
+     pass stays inside whole-stage codegen and pipelines into the scan),
+  2. ``duckdb_c4_sql``    — the same lambda pipeline as DuckDB SQL
+     (list_filter / list_transform), the correctness oracle,
+  3. ``py_c4``            — straight-line pure Python.
+
+Spec (deterministic, engine-portable — trim strips 0x20 only, the same
+portability rule as operators/convdup.py):
+
+  raw lines       = split(text, '\\n')
+  t               = trim(line, ' ')           (each raw line, space-trimmed)
+  candidate       = t != ''                   (blank lines never count)
+  keep_line(t)    = candidate
+                    AND last char of t in TERMINAL_PUNCT  {. ! ? " ”}
+                    AND n_words(t) >= MIN_LINE_WORDS (5); words = split on \\s+
+                    AND lower(t) contains none of LINE_MARKERS
+                       {javascript, cookie policy, privacy policy,
+                        terms of use, uses cookies, all rights reserved}
+  c4_text         = kept trimmed lines joined with '\\n'  ('' if none kept)
+  n_lines         = number of candidate (non-blank) lines
+  n_kept_lines    = number of kept lines
+
+  document rules (a doc KEEPS a rule when the condition holds; drop_rule is
+  the FIRST failing rule in this order):
+    c4_brace      '{' does not occur in text          (code page)
+    c4_lorem      lower(text) does not contain 'lorem ipsum'
+    c4_min_lines  n_kept_lines >= MIN_KEPT_LINES (3)
+  c4_keep         = all three hold
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TERMINAL_PUNCT = (".", "!", "?", '"', "”")
+MIN_LINE_WORDS = 5
+MIN_KEPT_LINES = 3
+LINE_MARKERS = (
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "uses cookies",
+    "all rights reserved",
+)
+#: document-rule precedence (first failing wins)
+C4_RULES = ("c4_brace", "c4_lorem", "c4_min_lines")
+
+
+# ---------------------------------------------------------------------------
+# pure-python oracle
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+
+
+def py_keep_line(t: str) -> bool:
+    """Oracle line predicate over an already-trimmed, non-empty line."""
+    if t[-1] not in TERMINAL_PUNCT:
+        return False
+    if len(_WS_RE.split(t)) < MIN_LINE_WORDS:
+        return False
+    low = t.lower()
+    return not any(m in low for m in LINE_MARKERS)
+
+
+def py_c4(text: str) -> dict:
+    """Oracle: the full per-document C4 line-filter result."""
+    cand = [t for t in (ln.strip(" ") for ln in (text or "").split("\n")) if t]
+    kept = [t for t in cand if py_keep_line(t)]
+    res = {
+        "c4_text": "\n".join(kept),
+        "n_lines": len(cand),
+        "n_kept_lines": len(kept),
+    }
+    low = (text or "").lower()
+    fails = []
+    if "{" in (text or ""):
+        fails.append("c4_brace")
+    if "lorem ipsum" in low:
+        fails.append("c4_lorem")
+    if len(kept) < MIN_KEPT_LINES:
+        fails.append("c4_min_lines")
+    res["c4_keep"] = not fails
+    res["c4_drop_rule"] = fails[0] if fails else None
+    return res
+
+
+# ---------------------------------------------------------------------------
+# spark rendering (pure columns)
+# ---------------------------------------------------------------------------
+
+
+def _keep_line_expr(ln: Column) -> Column:
+    """The line predicate over a trimmed, non-empty array element."""
+    last = F.substring(ln, -1, 1)
+    ok = last.isin(*TERMINAL_PUNCT)
+    ok = ok & (F.size(F.split(ln, r"\s+")) >= MIN_LINE_WORDS)
+    low = F.lower(ln)
+    for m in LINE_MARKERS:
+        ok = ok & (F.instr(low, m) == 0)
+    return ok
+
+
+def c4_cols(text: Column) -> dict[str, Column]:
+    """name -> Column dict of the C4 line-filter outputs.
+
+    Narrow: one split + two array filters + array_join, all built-in
+    higher-order functions — no UDF, no shuffle, whole-stage codegen.
+    (The ``lambda ln: F.trim(ln)`` wrapper is load-bearing — see
+    operators/convdup.py on F.trim's optional second parameter.)
+    """
+    cand = F.filter(
+        F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    kept = F.filter(cand, _keep_line_expr)
+    n_kept = F.size(kept)
+    brace_ok = F.instr(text, "{") == 0
+    lorem_ok = F.instr(F.lower(text), "lorem ipsum") == 0
+    lines_ok = n_kept >= MIN_KEPT_LINES
+    return {
+        "c4_text": F.array_join(kept, "\n"),
+        "n_lines": F.size(cand),
+        "n_kept_lines": n_kept,
+        "c4_keep": brace_ok & lorem_ok & lines_ok,
+        "c4_drop_rule": (
+            F.when(~brace_ok, F.lit("c4_brace"))
+            .when(~lorem_ok, F.lit("c4_lorem"))
+            .when(~lines_ok, F.lit("c4_min_lines"))
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# duckdb rendering (the SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def duckdb_c4_sql(text_expr: str = "text") -> dict[str, str]:
+    """name -> SQL-expression dict computing the same spec in DuckDB.
+
+    Mirrors c4_cols exactly: trim(x, ' ') (0x20 only — DuckDB's one-arg
+    trim strips Unicode spaces and would drift), right(x, 1) set test,
+    regexp word split, position() marker tests.
+    """
+    punct_list = ", ".join(
+        "'" + p.replace("'", "''") + "'" for p in TERMINAL_PUNCT
+    )
+    marker_tests = " AND ".join(
+        f"position('{m}' IN lower(x)) = 0" for m in LINE_MARKERS
+    )
+    cand = (
+        f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
+        "x -> trim(x, ' ')), x -> x <> '')"
+    )
+    kept = (
+        f"list_filter({cand}, x -> right(x, 1) IN ({punct_list}) "
+        f"AND len(regexp_split_to_array(x, '\\s+')) >= {MIN_LINE_WORDS} "
+        f"AND {marker_tests})"
+    )
+    brace_ok = f"position('{{' IN {text_expr}) = 0"
+    lorem_ok = f"position('lorem ipsum' IN lower({text_expr})) = 0"
+    lines_ok = f"len({kept}) >= {MIN_KEPT_LINES}"
+    return {
+        # COALESCE: duckdb renders the empty kept-list join as NULL
+        "c4_text": f"COALESCE(array_to_string({kept}, chr(10)), '')",
+        "n_lines": f"len({cand})",
+        "n_kept_lines": f"len({kept})",
+        "c4_keep": f"({brace_ok}) AND ({lorem_ok}) AND ({lines_ok})",
+        "c4_drop_rule": (
+            f"CASE WHEN NOT ({brace_ok}) THEN 'c4_brace' "
+            f"WHEN NOT ({lorem_ok}) THEN 'c4_lorem' "
+            f"WHEN NOT ({lines_ok}) THEN 'c4_min_lines' END"
+        ),
+    }

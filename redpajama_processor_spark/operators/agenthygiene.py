@@ -1,0 +1,283 @@
+"""Agent-transcript hygiene: tool-turn quality rules for the north-rule
+transcript schema (conv_id, turn_idx, role, text, tool, ts).
+
+The reference pipeline (and the published web recipes it encodes) is
+document-oriented; agent transcripts add failure modes none of its stages
+see, all driven by the ROLE structure:
+
+  - tool outputs carrying giant base64 / hex payloads (screenshots, file
+    bodies) that swamp token budgets without adding trainable signal,
+  - conversations dominated by failing tool calls (error/traceback loops),
+  - the same tool output repeated verbatim turn after turn (retry loops,
+    polling) — the cross-turn analog of C4's duplicate lines, but scoped
+    to the tool subsequence.
+
+No reference analog exists (step7's filters are text-only); semantics are
+FIXED here and rendered three ways, like functions/signals.py:
+``agent_hygiene`` (Spark), ``duckdb_agent_sql`` (the SQL oracle) and
+``py_agent_hygiene`` (pure Python).
+
+Spec (deterministic, engine-portable; trim strips 0x20 only):
+
+  blob masking (any role, narrow):
+    b64 blob   = regex [A-Za-z0-9+/]{160,}={0,2}   (>=160 base64 chars)
+    hex blob   = regex [0-9a-fA-F]{128,}           (applied AFTER b64
+                 masking — long hex runs are base64-alphabet too, so the
+                 b64 rule claims them first; order is part of the spec)
+    hygiene_text = text with each match replaced by '<BLOB>'
+    n_blob_b64 / n_blob_hex = match counts, in the same order
+
+  tool-turn structure:
+    is_tool        = role = 'tool'
+    is_tool_error  = is_tool AND lower(text) contains any ERROR_MARKER
+    per conversation: n_tool_turns, n_tool_errors,
+    tool_error_ratio = n_tool_errors / n_tool_turns  (0.0 when no tool
+                       turns; int/int -> one double division everywhere)
+    is_tool_repeat = is_tool AND trim(text,' ') equals the trim of the
+                     PREVIOUS tool turn of the same conversation (previous
+                     in turn_idx order within the tool subsequence —
+                     interleaved user/assistant turns don't reset it)
+
+  keep/drop (drop_rule = first failing in this order):
+    agent_tool_errors  (conv-level)  tool_error_ratio > 0.5 AND
+                                     n_tool_turns >= 4
+    agent_tool_repeat  (turn-level)  is_tool_repeat
+
+Scale shape: blob masking is narrow (regexp only, whole-stage codegen).
+The conversation aggregate is ONE groupBy(conv_id) with map-side partial
+aggregation — a 10^6-turn conversation contributes one row to the reduce —
+joined back on conv_id (hash join, AQE-planned). The repeat flag is ONE
+window over (conv_id, role) ordered by turn_idx; lag(1) holds a single
+row of state, so even the Zipf-head conversation streams through its
+partition without buffering. Total: one shuffle for the agg + one for the
+window (same key family), corpus never shuffles for the blob pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+B64_RE = r"[A-Za-z0-9+/]{160,}={0,2}"
+HEX_RE = r"[0-9a-fA-F]{128,}"
+BLOB_TOKEN = "<BLOB>"
+ERROR_MARKERS = ("error", "exception", "traceback", "timed out", "failed")
+MAX_TOOL_ERROR_RATIO = 0.5
+MIN_TOOL_TURNS = 4
+AGENT_RULES = ("agent_tool_errors", "agent_tool_repeat")
+
+OUT_COLS = [
+    "hygiene_text",
+    "n_blob_b64",
+    "n_blob_hex",
+    "n_tool_turns",
+    "n_tool_errors",
+    "tool_error_ratio",
+    "is_tool_repeat",
+    "agent_keep",
+    "agent_drop_rule",
+]
+
+
+# ---------------------------------------------------------------------------
+# pure-python oracle
+# ---------------------------------------------------------------------------
+
+_B64_C = re.compile(B64_RE)
+_HEX_C = re.compile(HEX_RE)
+
+
+def py_blob_mask(text: str) -> tuple[str, int, int]:
+    t = text or ""
+    t, n_b64 = _B64_C.subn(BLOB_TOKEN, t)
+    t, n_hex = _HEX_C.subn(BLOB_TOKEN, t)
+    return t, n_b64, n_hex
+
+
+def py_is_tool_error(text: str) -> bool:
+    low = (text or "").lower()
+    return any(m in low for m in ERROR_MARKERS)
+
+
+def py_agent_hygiene(rows: list[tuple]) -> dict[tuple, dict]:
+    """rows: (conv_id, turn_idx, role, text) -> {(conv_id, turn_idx): cols}.
+
+    Straight-line single-process rendering of the spec above.
+    """
+    by_conv: dict[str, list[tuple]] = {}
+    for conv_id, turn_idx, role, text in rows:
+        by_conv.setdefault(conv_id, []).append((turn_idx, role, text))
+    out: dict[tuple, dict] = {}
+    for conv_id, turns in by_conv.items():
+        turns.sort()
+        n_tool = sum(1 for _, r, _t in turns if r == "tool")
+        n_err = sum(
+            1 for _, r, t in turns if r == "tool" and py_is_tool_error(t)
+        )
+        ratio = (n_err / n_tool) if n_tool else 0.0
+        conv_bad = ratio > MAX_TOOL_ERROR_RATIO and n_tool >= MIN_TOOL_TURNS
+        prev_tool: str | None = None
+        for turn_idx, role, text in turns:
+            rec = {
+                "n_tool_turns": n_tool,
+                "n_tool_errors": n_err,
+                "tool_error_ratio": ratio,
+            }
+            (
+                rec["hygiene_text"],
+                rec["n_blob_b64"],
+                rec["n_blob_hex"],
+            ) = py_blob_mask(text)
+            rep = False
+            if role == "tool":
+                t = (text or "").strip(" ")
+                rep = prev_tool is not None and t == prev_tool
+                prev_tool = t
+            rec["is_tool_repeat"] = rep
+            rule = None
+            if conv_bad:
+                rule = "agent_tool_errors"
+            elif rep:
+                rule = "agent_tool_repeat"
+            rec["agent_keep"] = rule is None
+            rec["agent_drop_rule"] = rule
+            out[(conv_id, turn_idx)] = rec
+    return out
+
+
+# ---------------------------------------------------------------------------
+# spark rendering
+# ---------------------------------------------------------------------------
+
+
+def blob_mask_cols(text: Column) -> dict[str, Column]:
+    """Narrow blob-masking columns (regexp only, zero UDF, zero shuffle)."""
+    masked_b64 = F.regexp_replace(text, B64_RE, BLOB_TOKEN)
+    return {
+        "hygiene_text": F.regexp_replace(masked_b64, HEX_RE, BLOB_TOKEN),
+        "n_blob_b64": F.regexp_count(text, F.lit(B64_RE)),
+        "n_blob_hex": F.regexp_count(masked_b64, F.lit(HEX_RE)),
+    }
+
+
+def _is_tool_error_expr(text: Column) -> Column:
+    low = F.lower(text)
+    ok = F.lit(False)
+    for m in ERROR_MARKERS:
+        ok = ok | (F.instr(low, m) > 0)
+    return ok
+
+
+def agent_hygiene(
+    df: DataFrame,
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """Annotate every turn with the agent-hygiene columns (OUT_COLS).
+
+    Never drops rows — consumers filter on ``agent_keep`` (the same
+    contract as pipeline.curate)."""
+    is_tool = F.col(role_col) == "tool"
+
+    conv = (
+        df.groupBy("conv_id")
+        .agg(
+            F.sum(is_tool.cast("int")).cast("long").alias("n_tool_turns"),
+            F.sum(
+                (is_tool & _is_tool_error_expr(F.col(text_col))).cast("int")
+            )
+            .cast("long")
+            .alias("n_tool_errors"),
+        )
+        .withColumn(
+            "tool_error_ratio",
+            F.when(
+                F.col("n_tool_turns") > 0,
+                F.col("n_tool_errors").cast("double") / F.col("n_tool_turns"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+    w = Window.partitionBy("conv_id", role_col).orderBy("turn_idx")
+    trimmed = F.trim(F.col(text_col))
+    out = (
+        df.withColumns(blob_mask_cols(F.col(text_col)))
+        .withColumn(
+            "is_tool_repeat",
+            is_tool
+            & (trimmed == F.lag(trimmed).over(w))
+            & F.lag(trimmed).over(w).isNotNull(),
+        )
+        .withColumn(
+            "is_tool_repeat", F.coalesce("is_tool_repeat", F.lit(False))
+        )
+        .join(conv, "conv_id", "left")
+    )
+    conv_bad = (F.col("tool_error_ratio") > MAX_TOOL_ERROR_RATIO) & (
+        F.col("n_tool_turns") >= MIN_TOOL_TURNS
+    )
+    rule = F.when(conv_bad, F.lit("agent_tool_errors")).when(
+        F.col("is_tool_repeat"), F.lit("agent_tool_repeat")
+    )
+    return out.withColumn("agent_drop_rule", rule).withColumn(
+        "agent_keep", rule.isNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# duckdb rendering (SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def duckdb_agent_sql(turns_table: str = "turns") -> str:
+    """Full SELECT computing the spec over (conv_id, turn_idx, role, text)."""
+    err = " OR ".join(
+        f"position('{m}' IN lower(text)) > 0" for m in ERROR_MARKERS
+    )
+    return f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, text,
+         regexp_replace(regexp_replace(text, '{B64_RE}', '{BLOB_TOKEN}', 'g'),
+                        '{HEX_RE}', '{BLOB_TOKEN}', 'g') AS hygiene_text,
+         len(regexp_extract_all(text, '{B64_RE}')) AS n_blob_b64,
+         len(regexp_extract_all(
+             regexp_replace(text, '{B64_RE}', '{BLOB_TOKEN}', 'g'),
+             '{HEX_RE}')) AS n_blob_hex,
+         (role = 'tool' AND ({err})) AS is_err,
+         CASE WHEN role = 'tool' THEN
+           trim(text, ' ') = lag(trim(text, ' ')) OVER
+             (PARTITION BY conv_id, role ORDER BY turn_idx)
+         END AS rep0
+  FROM {turns_table}
+), conv AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_turns,
+         CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_errors
+  FROM base GROUP BY conv_id
+), j AS (
+  SELECT b.conv_id, b.turn_idx, b.hygiene_text, b.n_blob_b64, b.n_blob_hex,
+         c.n_tool_turns, c.n_tool_errors,
+         CASE WHEN c.n_tool_turns > 0
+              THEN CAST(c.n_tool_errors AS DOUBLE) / c.n_tool_turns
+              ELSE 0.0 END AS tool_error_ratio,
+         COALESCE(b.rep0, FALSE) AS is_tool_repeat
+  FROM base b JOIN conv c USING (conv_id)
+)
+SELECT conv_id, turn_idx, hygiene_text, n_blob_b64, n_blob_hex,
+       n_tool_turns, n_tool_errors, tool_error_ratio, is_tool_repeat,
+       (CASE WHEN tool_error_ratio > {MAX_TOOL_ERROR_RATIO}
+                  AND n_tool_turns >= {MIN_TOOL_TURNS}
+             THEN 'agent_tool_errors'
+             WHEN is_tool_repeat THEN 'agent_tool_repeat' END IS NULL)
+         AS agent_keep,
+       CASE WHEN tool_error_ratio > {MAX_TOOL_ERROR_RATIO}
+                 AND n_tool_turns >= {MIN_TOOL_TURNS}
+            THEN 'agent_tool_errors'
+            WHEN is_tool_repeat THEN 'agent_tool_repeat' END
+         AS agent_drop_rule
+FROM j
+"""

@@ -1,0 +1,210 @@
+"""Agent-transcript hygiene: python oracle, Spark rendering, DuckDB parity,
+hypothesis totality, plan shape."""
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.agenthygiene import (
+    BLOB_TOKEN,
+    OUT_COLS,
+    agent_hygiene,
+    blob_mask_cols,
+    duckdb_agent_sql,
+    py_agent_hygiene,
+    py_blob_mask,
+)
+
+B64 = "QUJD" * 50  # 200 base64 chars
+HEX = "deadbeef" * 20  # 160 hex chars
+
+
+# ---------------------------------------------------------------------------
+# python oracle
+
+
+def test_blob_mask_oracle():
+    t, nb, nh = py_blob_mask(f"before {B64} after")
+    assert t == f"before {BLOB_TOKEN} after" and (nb, nh) == (1, 0)
+    # long hex is base64-alphabet too -> claimed by the b64 rule (spec order)
+    t, nb, nh = py_blob_mask(HEX)
+    assert t == BLOB_TOKEN and (nb, nh) == (1, 0)
+    # hex shorter than the b64 floor but over the hex floor -> hex rule
+    short_hex = "ab" * 70  # 140 chars: >=128, <160
+    t, nb, nh = py_blob_mask(f"x {short_hex} y")
+    assert t == f"x {BLOB_TOKEN} y" and (nb, nh) == (0, 1)
+    assert py_blob_mask("short text.") == ("short text.", 0, 0)
+    assert py_blob_mask("") == ("", 0, 0)
+
+
+def _conv(conv_id, items):
+    return [(conv_id, i, role, text) for i, (role, text) in enumerate(items)]
+
+
+def test_tool_error_conversation():
+    rows = _conv(
+        "c1",
+        [
+            ("user", "run the thing"),
+            ("tool", "Error: no such file"),
+            ("assistant", "retrying"),
+            ("tool", "Traceback (most recent call last): boom"),
+            ("tool", "timed out after 30s"),
+            ("tool", "ok done"),
+        ],
+    )
+    out = py_agent_hygiene(rows)
+    r = out[("c1", 1)]
+    assert (r["n_tool_turns"], r["n_tool_errors"]) == (4, 3)
+    assert r["tool_error_ratio"] == 0.75
+    assert r["agent_drop_rule"] == "agent_tool_errors"
+    # conv-level rule marks EVERY turn of the conversation
+    assert all(out[("c1", i)]["agent_drop_rule"] == "agent_tool_errors"
+               for i in range(6))
+
+
+def test_tool_repeat_skips_interleaved_roles():
+    rows = _conv(
+        "c2",
+        [
+            ("tool", "same output"),
+            ("assistant", "hmm"),
+            ("tool", "  same output  "),  # trimmed-equal across the gap
+            ("tool", "different"),
+            ("user", "same output"),  # non-tool never repeats
+        ],
+    )
+    out = py_agent_hygiene(rows)
+    assert not out[("c2", 0)]["is_tool_repeat"]
+    assert out[("c2", 2)]["is_tool_repeat"]
+    assert out[("c2", 2)]["agent_drop_rule"] == "agent_tool_repeat"
+    assert not out[("c2", 3)]["is_tool_repeat"]
+    assert not out[("c2", 4)]["is_tool_repeat"]
+    assert out[("c2", 0)]["agent_keep"]
+
+
+def test_below_min_tool_turns_is_kept():
+    rows = _conv("c3", [("tool", "error"), ("tool", "failed")])
+    out = py_agent_hygiene(rows)
+    assert out[("c3", 0)]["tool_error_ratio"] == 1.0
+    assert out[("c3", 0)]["agent_keep"]  # n_tool_turns < 4
+
+
+# ---------------------------------------------------------------------------
+# engine parity corpus
+
+
+def _corpus():
+    rows = []
+    rows += _conv(
+        "c1",
+        [
+            ("user", "please fetch"),
+            ("tool", f"payload {B64} trailer"),
+            ("tool", f"payload {B64} trailer"),
+            ("assistant", "done, see above."),
+        ],
+    )
+    rows += _conv(
+        "c2",
+        [
+            ("user", "go"),
+            ("tool", "Error: boom"),
+            ("tool", "exception raised"),
+            ("tool", "Traceback follows"),
+            ("tool", "failed again"),
+            ("assistant", "giving up"),
+        ],
+    )
+    rows += _conv("c3", [("tool", "ab" * 70), ("user", ""), ("tool", "ok.")])
+    rows += _conv("c4", [("assistant", "no tools at all here.")])
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+
+
+def _norm(df):
+    df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["agent_drop_rule"] = df["agent_drop_rule"].fillna("__none__")
+    return df
+
+
+def test_spark_matches_oracle(spark):
+    pdf = _corpus()
+    out = _norm(
+        agent_hygiene(spark.createDataFrame(pdf))
+        .select("conv_id", "turn_idx", *OUT_COLS)
+        .toPandas()
+    )
+    exp = py_agent_hygiene([tuple(r) for r in pdf.itertuples(index=False)])
+    for i, row in out.iterrows():
+        e = exp[(row["conv_id"], row["turn_idx"])]
+        for c in OUT_COLS:
+            g = row[c]
+            want = e[c]
+            if c == "agent_drop_rule":
+                want = want or "__none__"
+            assert g == want, (row["conv_id"], row["turn_idx"], c, g, want)
+
+
+def test_duckdb_parity(spark):
+    pdf = _corpus()
+    s = _norm(
+        agent_hygiene(spark.createDataFrame(pdf))
+        .select("conv_id", "turn_idx", *OUT_COLS)
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    d = _norm(con.execute(duckdb_agent_sql("turns")).df())
+    for c in ["conv_id", "turn_idx", *OUT_COLS]:
+        assert (s[c].values == d[c].values).all(), c
+
+
+# ---------------------------------------------------------------------------
+# properties + plan
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from(["user", "assistant", "tool"]),
+            st.text(max_size=40),
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_oracle_totality(items):
+    rows = [
+        (conv, i, role, text) for i, (conv, role, text) in enumerate(items)
+    ]
+    out = py_agent_hygiene(rows)
+    assert len(out) == len(rows)
+    for rec in out.values():
+        assert 0.0 <= rec["tool_error_ratio"] <= 1.0
+        assert rec["agent_keep"] == (rec["agent_drop_rule"] is None)
+        # masking never leaves a blob-sized run behind
+        assert py_blob_mask(rec["hygiene_text"])[1:] == (0, 0)
+
+
+def test_blob_pass_is_narrow(spark):
+    df = spark.createDataFrame(_corpus()).withColumns(
+        blob_mask_cols(F.col("text"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_full_plan_shuffle_budget(spark):
+    """One agg + one window + the join-back — no Python, bounded Exchanges."""
+    plan = (
+        agent_hygiene(spark.createDataFrame(_corpus()))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -1,0 +1,172 @@
+"""C4/RefinedWeb line filters: python oracle, Spark column rendering,
+DuckDB parity, hypothesis invariants, plan audit."""
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions.c4filters import (
+    MIN_KEPT_LINES,
+    c4_cols,
+    duckdb_c4_sql,
+    py_c4,
+    py_keep_line,
+)
+
+OUT_COLS = ["c4_text", "n_lines", "n_kept_lines", "c4_keep", "c4_drop_rule"]
+
+PROSE = "This is a perfectly reasonable sentence of prose."
+
+
+# ---------------------------------------------------------------------------
+# python oracle
+
+
+def test_line_predicate():
+    assert py_keep_line(PROSE)
+    assert py_keep_line("Is this fine? Yes it is!")
+    assert not py_keep_line("no terminal punctuation here")
+    assert not py_keep_line("Too short.")  # < 5 words
+    assert not py_keep_line("Enable JavaScript to view this page.")
+    assert not py_keep_line("Read our Cookie Policy before you continue.")
+    assert not py_keep_line("Copyright 2024, all rights reserved by us.")
+    assert py_keep_line('He said "this counts as prose."')
+    assert py_keep_line("Curly close quote also terminates lines.”")
+
+
+def test_doc_rules_and_precedence():
+    good = "\n".join([PROSE] * 3)
+    r = py_c4(good)
+    assert r["c4_keep"] and r["c4_drop_rule"] is None
+    assert r["c4_text"] == good
+    assert r["n_lines"] == r["n_kept_lines"] == 3
+
+    r = py_c4(good + "\nvar x = {a: 1} and Lorem Ipsum filler.")
+    assert r["c4_drop_rule"] == "c4_brace"  # brace outranks lorem
+    r = py_c4(good + "\nLorem ipsum dolor sit amet, consectetur.")
+    assert r["c4_drop_rule"] == "c4_lorem"
+    r = py_c4(PROSE)
+    assert r["c4_drop_rule"] == "c4_min_lines"
+    assert r["n_kept_lines"] == 1
+
+
+def test_blank_and_whitespace_lines():
+    r = py_c4("   \n\n  " + PROSE + "  \n")
+    assert r["n_lines"] == 1  # blanks are not candidates
+    assert r["c4_text"] == PROSE  # kept line is the trimmed line
+    r = py_c4("")
+    assert r["n_lines"] == 0 and r["c4_text"] == ""
+    assert r["c4_drop_rule"] == "c4_min_lines"
+
+
+# ---------------------------------------------------------------------------
+# shared corpus
+
+
+def _corpus():
+    good3 = "\n".join(
+        [
+            "The first line is long enough to pass.",
+            "A second line also makes the cut!",
+            'Someone asked, "does this one count?"',
+        ]
+    )
+    rows = [
+        ("d00", good3),
+        ("d01", good3 + "\nshort line\nnot punctuated either"),
+        ("d02", good3 + "\nfunction f() { return 1; }"),
+        ("d03", good3 + "\nLorem ipsum dolor sit amet, consectetur adipiscing."),
+        ("d04", PROSE),
+        ("d05", ""),
+        ("d06", "   \n \n"),
+        ("d07", good3 + "\nPlease review our privacy policy before continuing."),
+        ("d08", "One.\nTwo.\nThree.\nFour words are not five."),
+        ("d09", good3 + "\n" + good3),
+        ("d10", "Ends with curly quote and enough words.”\n" + good3),
+        ("d11", "Tabs\tseparate\twords\tin\tthis line."),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_spark_matches_oracle(spark):
+    pdf = _corpus()
+    out = (
+        spark.createDataFrame(pdf)
+        .withColumns(c4_cols(F.col("text")))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, row in pdf.iterrows():
+        exp = py_c4(row["text"])
+        got = out.loc[i]
+        for c in OUT_COLS:
+            g = got[c]
+            if c == "c4_drop_rule" and pd.isna(g):
+                g = None
+            assert g == exp[c], (row["doc_id"], c, g, exp[c])
+
+
+def test_duckdb_parity(spark):
+    pdf = _corpus()
+    s = (
+        spark.createDataFrame(pdf)
+        .withColumns(c4_cols(F.col("text")))
+        .select("doc_id", *OUT_COLS)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = duckdb_c4_sql("text")
+    d = con.execute(
+        "SELECT doc_id, "
+        + ", ".join(f"{sql[c]} AS {c}" for c in OUT_COLS)
+        + " FROM docs ORDER BY doc_id"
+    ).df()
+    for c in OUT_COLS:
+        sv, dv = s[c], d[c]
+        if c == "c4_drop_rule":
+            sv, dv = sv.fillna("__none__"), dv.fillna("__none__")
+        assert (sv.values == dv.values).all(), c
+
+
+# ---------------------------------------------------------------------------
+# properties
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=60,
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_oracle_totality_and_idempotence(lines):
+    text = "\n".join(lines)
+    r = py_c4(text)
+    assert 0 <= r["n_kept_lines"] <= r["n_lines"]
+    # every kept line satisfies the line predicate verbatim
+    if r["c4_text"]:
+        for t in r["c4_text"].split("\n"):
+            assert t == t.strip(" ") and t and py_keep_line(t)
+    # line filtering is idempotent on its own output
+    r2 = py_c4(r["c4_text"])
+    assert r2["c4_text"] == r["c4_text"]
+    assert r2["n_kept_lines"] == r["n_kept_lines"] == r2["n_lines"]
+
+
+def test_plan_is_narrow(spark):
+    """Zero UDF, zero Exchange — the pass must pipeline into the scan."""
+    df = spark.createDataFrame(_corpus()).withColumns(c4_cols(F.col("text")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
