@@ -1449,6 +1449,25 @@ def q_agent_tool_hygiene(spark, sf_dir):
     return agent_hygiene(d).select("conv_id", "turn_idx", *OUT_COLS)
 
 
+def q_doc_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    fit hashed-ngram bucket models on the English slice (target) and the
+    whole corpus (raw), weight every document by the log-likelihood
+    ratio, select 100 without replacement via gumbel top-k. Fitting is
+    two bounded-cardinality aggregations; weighting is narrow (zero
+    shuffle, plan-audited); selection is a TakeOrdered. Rows-only in the
+    driver window (xxhash64 feature hashing is not ANSI-SQL-expressible);
+    bitwise parity with the single-process oracle is proven in
+    tests/test_dsir.py."""
+    from redpajama_processor_spark.operators.dsir import dsir_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_resample(d, target, k=100, buckets=2048).select(
+        "doc_id", "lang", "dsir_logw", "dsir_key"
+    )
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1539,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_filter": q_doc_url_filter,
         "doc_c4_filter": q_doc_c4_filter,
         "agent_tool_hygiene": q_agent_tool_hygiene,
+        "doc_dsir_sample": q_doc_dsir_sample,
     }
 
 

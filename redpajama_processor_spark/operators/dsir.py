@@ -1,0 +1,269 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al.,
+NeurIPS 2023, arXiv:2302.03169) over hashed n-gram features.
+
+The production pattern for domain-targeted pre-training data selection:
+given a small TARGET corpus (the distribution you want — e.g. wiki-like
+prose) and the RAW 100 TB crawl, fit cheap bag-of-hashed-ngram unigram
+models ``p_target`` and ``p_raw``, weight every raw document by the
+log-likelihood ratio
+
+    log w(z) = sum_b  c_b(z) * ( log p_target(b) - log p_raw(b) )
+
+and sample k documents WITHOUT replacement proportionally to w via the
+Gumbel-top-k trick (add an independent Gumbel(0,1) to each log-weight and
+take the k largest keys).  Gumbel-top-k is the distributed-sampling
+primitive here: it turns "weighted sample without replacement from 10^10
+rows" into a bounded TakeOrdered — no sequential draws, no rejection
+loop, no driver-side state.
+
+Single spec, rendered once per engine (the repo's parity discipline):
+
+- feature spec  = unigrams + space-joined bigrams of ``tokenize()``
+  (shared verbatim with the NB classifier via ``textclf.terms_col`` /
+  ``textclf.nb_terms``), hashed into ``buckets`` slots with
+  ``pmod(xxhash64(term), buckets)`` — Spark's JVM xxhash64 and the
+  pure-python ``py_xxh64`` produce the same bits (proven in
+  tests/test_textclf.py and re-asserted here).
+- fitting       = one exploded map-side-combined groupBy per corpus,
+  shuffle cardinality <= buckets (10k rows, KB-scale), Laplace-smoothed
+  log-probs computed driver-side in fixed bucket order (deterministic).
+- weighting     = NARROW, zero shuffle: a JVM ``transform`` hashes the
+  term array in whole-stage codegen, then ONE Arrow pandas UDF does
+  ``np.bincount(buckets) @ log_ratio`` per batch — no per-term Python.
+- gumbel keys   = u drawn from ``pmod(xxhash64('dsir:<seed>:' || id),
+  2^53)`` (JVM-side; every value < 2^53 is exactly representable in a
+  double, so Spark and python produce bit-identical u), then
+  ``-log(-log(u))`` in numpy on BOTH engines — same libm, bit-identical
+  keys, so selection is reproducible across partitionings, core counts
+  and engines.
+- selection     = ``orderBy(key desc).limit(k)`` — Spark plans a
+  TakeOrdered (bounded per-partition heap + driver merge), never a full
+  sort; plan-audited in tests/test_dsir.py.
+
+At 100 TB: the two fits each read their corpus once and shuffle <=
+``buckets`` rows; the scoring pass is embarrassingly parallel and
+pipelines into the scan; the only other wide op is the bounded top-k.
+Nothing scales with corpus size except the narrow passes.
+
+Reference analog: the reference pipeline has no learned data-selection
+stage (rule filters only, /root/reference/step4_quality_filtering.py);
+DSIR is part of the "what a large-scale training-data pipeline needs"
+surface, built from the public paper.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import py_xxh64
+from ..functions.textclf import nb_terms, terms_col
+
+DEFAULT_BUCKETS = 10_000
+DEFAULT_ALPHA = 1.0
+_U_MOD = 1 << 53  # largest power of two whose residues are all exact doubles
+
+
+# ---------------------------------------------------------------------------
+# feature spec — hashed n-gram buckets
+
+
+def hashed_buckets_col(text: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """array<int> of hashed term buckets — JVM-side, narrow."""
+    return F.transform(
+        terms_col(text),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(buckets)).cast("int"),
+    )
+
+
+def py_hashed_buckets(text: str | None, buckets: int = DEFAULT_BUCKETS) -> list[int]:
+    """Oracle rendering of the same spec (signed xxhash64 % buckets ==
+    F.pmod, see textclf._hash_term)."""
+    out = []
+    for term in nb_terms(text):
+        h = py_xxh64(term.encode("utf-8"))
+        if h >= 1 << 63:
+            h -= 1 << 64
+        out.append(h % buckets)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fitting — bucket unigram models
+
+
+def _smooth_logprobs(counts: np.ndarray, alpha: float) -> np.ndarray:
+    """Laplace-smoothed log p(b) in fixed bucket order — the single place
+    float math happens during fitting, shared by both engines."""
+    total = float(counts.sum()) + alpha * len(counts)
+    return np.log((counts + alpha) / total)
+
+
+def fit_bucket_logprobs(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+) -> np.ndarray:
+    """Distributed fit: one exploded groupBy(bucket).count() (map-side
+    combined, shuffle <= ``buckets`` rows), smoothing driver-side."""
+    rows = (
+        df.select(F.explode(hashed_buckets_col(F.col(text_col), buckets)).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    counts = np.zeros(buckets, dtype=np.float64)
+    for r in rows:
+        counts[r["b"]] = float(r["count"])
+    return _smooth_logprobs(counts, alpha)
+
+
+def py_fit_bucket_logprobs(
+    texts: list[str | None],
+    buckets: int = DEFAULT_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+) -> np.ndarray:
+    """Single-process oracle of the same fit."""
+    counts = np.zeros(buckets, dtype=np.float64)
+    for t in texts:
+        for b in py_hashed_buckets(t, buckets):
+            counts[b] += 1.0
+    return _smooth_logprobs(counts, alpha)
+
+
+# ---------------------------------------------------------------------------
+# weighting + gumbel keys
+
+
+def _logw_udf(log_ratio_bc, buckets: int):
+    @F.pandas_udf("double")
+    def _logw(bs: pd.Series) -> pd.Series:
+        lr = log_ratio_bc.value
+        out = np.zeros(len(bs), dtype=np.float64)
+        for i, arr in enumerate(bs):
+            if arr is not None and len(arr):
+                out[i] = np.bincount(
+                    np.asarray(arr, dtype=np.int64), minlength=buckets
+                ).astype(np.float64) @ lr
+        return pd.Series(out)
+
+    return _logw
+
+
+def _gumbel_udf():
+    # built lazily — pandas_udf parses its DDL against the active session,
+    # so decorating at module import would require one to exist
+    @F.pandas_udf("double")
+    def _g(u: pd.Series) -> pd.Series:
+        # -log(-log(u)) in numpy on BOTH engines: the JVM never evaluates
+        # a transcendental here, so keys are bit-identical to the oracle's.
+        return pd.Series(-np.log(-np.log(u.to_numpy(dtype=np.float64))))
+
+    return _g
+
+
+def gumbel_u_col(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic uniform in (0,1): pmod(xxhash64, 2^53) is exact in a
+    double, +0.5 keeps u strictly inside the open interval."""
+    h = F.xxhash64(F.concat(F.lit(f"dsir:{seed}:"), id_col.cast("string")))
+    return (F.pmod(h, F.lit(_U_MOD)).cast("double") + F.lit(0.5)) / F.lit(
+        float(_U_MOD)
+    )
+
+
+def py_gumbel_key(doc_id, seed: int = 42) -> float:
+    """Oracle gumbel noise for one id (add to log w for the key)."""
+    h = py_xxh64(f"dsir:{seed}:{doc_id}".encode("utf-8"))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    u = (float(h % _U_MOD) + 0.5) / float(_U_MOD)
+    return float(-np.log(-np.log(u)))
+
+
+def py_dsir_logw(
+    text: str | None, log_ratio: np.ndarray, buckets: int = DEFAULT_BUCKETS
+) -> float:
+    """Oracle log-weight for one document (bincount @ ratio, same
+    accumulation order as the UDF)."""
+    bs = py_hashed_buckets(text, buckets)
+    if not bs:
+        return 0.0
+    return float(
+        np.bincount(np.asarray(bs, dtype=np.int64), minlength=buckets).astype(
+            np.float64
+        )
+        @ log_ratio
+    )
+
+
+def dsir_annotate(
+    df: DataFrame,
+    target_logp: np.ndarray,
+    raw_logp: np.ndarray,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    seed: int = 42,
+) -> DataFrame:
+    """Add ``dsir_logw`` (importance log-weight) and ``dsir_key`` (gumbel
+    top-k sampling key). Entirely narrow — zero shuffle (plan-audited)."""
+    if len(target_logp) != buckets or len(raw_logp) != buckets:
+        raise ValueError(
+            f"distribution length {len(target_logp)}/{len(raw_logp)} != "
+            f"buckets={buckets}"
+        )
+    lr = np.asarray(target_logp, dtype=np.float64) - np.asarray(
+        raw_logp, dtype=np.float64
+    )
+    bc = df.sparkSession.sparkContext.broadcast(lr)
+    return df.withColumn(
+        "dsir_logw",
+        _logw_udf(bc, buckets)(hashed_buckets_col(F.col(text_col), buckets)),
+    ).withColumn(
+        "dsir_key",
+        F.col("dsir_logw") + _gumbel_udf()(gumbel_u_col(F.col(id_col), seed)),
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end DSIR: fit both distributions, annotate, gumbel top-k.
+    Returns the k selected rows of ``raw`` plus (dsir_logw, dsir_key),
+    ordered by key descending — ``orderBy().limit(k)`` plans a bounded
+    TakeOrdered, never a full sort."""
+    t_lp = fit_bucket_logprobs(target, text_col, buckets, alpha)
+    r_lp = fit_bucket_logprobs(raw, text_col, buckets, alpha)
+    ann = dsir_annotate(raw, t_lp, r_lp, text_col, id_col, buckets, seed)
+    return ann.orderBy(F.desc("dsir_key"), F.col(id_col)).limit(k)
+
+
+def py_dsir_resample(
+    raw_rows: list[tuple],
+    target_texts: list[str | None],
+    k: int,
+    buckets: int = DEFAULT_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+    seed: int = 42,
+) -> list[tuple]:
+    """Single-process oracle: raw_rows = [(id, text), ...] -> the k
+    (id, logw, key) selections in the same order as the Spark plan."""
+    t_lp = py_fit_bucket_logprobs(target_texts, buckets, alpha)
+    r_lp = py_fit_bucket_logprobs([t for _, t in raw_rows], buckets, alpha)
+    lr = t_lp - r_lp
+    scored = []
+    for doc_id, text in raw_rows:
+        lw = py_dsir_logw(text, lr, buckets)
+        scored.append((doc_id, lw, lw + py_gumbel_key(doc_id, seed)))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    return scored[:k]

@@ -1,0 +1,167 @@
+"""DSIR importance resampling: hash/fit/weight/key parity vs the
+single-process oracle, bit-identical selection across partitionings,
+plan shape (narrow annotate, TakeOrdered selection), and the
+statistical sanity check that target-like documents outweigh junk."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.dsir import (
+    dsir_annotate,
+    dsir_resample,
+    fit_bucket_logprobs,
+    gumbel_u_col,
+    hashed_buckets_col,
+    py_dsir_logw,
+    py_dsir_resample,
+    py_fit_bucket_logprobs,
+    py_gumbel_key,
+    py_hashed_buckets,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+B = 512  # small bucket count keeps collisions exercised
+
+WIKI = [
+    "the history of the roman empire spans centuries of law and culture.",
+    "photosynthesis converts light energy into chemical energy in plants.",
+    "the treaty was signed after years of careful diplomatic negotiation.",
+    "astronomers measured the distance to the galaxy with cepheid stars.",
+]
+JUNK = [
+    "BUY NOW!!! click click click free free free $$$ winner winner",
+    "xz qq zz vv kk jj pp xx yy ww qq zz xz qq zz",
+    "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj",
+]
+TEXTS = WIKI + JUNK + ["", "   ", "one two", "Unicode café naïve Ω text here."]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# parity: hashing, fitting, u
+
+
+def test_hashed_buckets_parity(spark):
+    df = _docs(spark, TEXTS).select(
+        "doc_id", hashed_buckets_col(F.col("text"), B).alias("bs")
+    )
+    got = {r["doc_id"]: list(r["bs"]) for r in df.collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == py_hashed_buckets(t, B), f"doc {i}"
+
+
+def test_fit_parity_bit_identical(spark):
+    sp = fit_bucket_logprobs(_docs(spark, TEXTS), buckets=B)
+    py = py_fit_bucket_logprobs(TEXTS, buckets=B)
+    assert np.array_equal(sp, py)  # exact: same ints, same numpy math
+
+
+def test_gumbel_u_parity(spark):
+    df = _docs(spark, TEXTS).select(
+        "doc_id", gumbel_u_col(F.col("doc_id"), seed=7).alias("u")
+    )
+    for r in df.collect():
+        key = py_gumbel_key(r["doc_id"], seed=7)
+        # reconstruct u from the oracle key to compare the raw uniform
+        u = float(np.exp(-np.exp(-key)))
+        assert abs(r["u"] - u) < 1e-15 and 0.0 < r["u"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end parity + partition invariance
+
+
+def test_resample_matches_oracle_bitwise(spark):
+    raw = _docs(spark, TEXTS)
+    target = _docs(spark, WIKI)
+    got = dsir_resample(raw, target, k=6, buckets=B, seed=3).select(
+        "doc_id", "dsir_logw", "dsir_key"
+    ).collect()
+    want = py_dsir_resample(
+        [(i, t) for i, t in enumerate(TEXTS)], WIKI, k=6, buckets=B, seed=3
+    )
+    assert [(r["doc_id"], r["dsir_logw"], r["dsir_key"]) for r in got] == want
+
+
+def test_resample_partition_invariant(spark):
+    raw = _docs(spark, TEXTS)
+    target = _docs(spark, WIKI)
+
+    def run(df):
+        return [
+            (r["doc_id"], r["dsir_key"])
+            for r in dsir_resample(df, target, k=5, buckets=B).collect()
+        ]
+
+    assert run(raw) == run(raw.repartition(7)) == run(raw.coalesce(1))
+
+
+def test_target_like_outweighs_junk(spark):
+    raw = _docs(spark, WIKI + JUNK)
+    t_lp = fit_bucket_logprobs(_docs(spark, WIKI), buckets=B)
+    r_lp = fit_bucket_logprobs(raw, buckets=B)
+    ann = dsir_annotate(raw, t_lp, r_lp, buckets=B).select("doc_id", "dsir_logw")
+    w = {r["doc_id"]: r["dsir_logw"] for r in ann.collect()}
+    wiki_mean = np.mean([w[i] for i in range(len(WIKI))])
+    junk_mean = np.mean([w[i] for i in range(len(WIKI), len(WIKI) + len(JUNK))])
+    assert wiki_mean > junk_mean + 1.0, (wiki_mean, junk_mean)
+
+
+def test_empty_text_zero_weight(spark):
+    raw = _docs(spark, ["", "   "])
+    lp = py_fit_bucket_logprobs(WIKI, buckets=B)
+    ann = dsir_annotate(raw, lp, lp, buckets=B)
+    assert all(r["dsir_logw"] == 0.0 for r in ann.collect())
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+
+
+def test_annotate_is_narrow(spark):
+    raw = _docs(spark, TEXTS)
+    lp = py_fit_bucket_logprobs(WIKI, buckets=B)
+    a = audit_plan(dsir_annotate(raw, lp, lp, buckets=B))
+    assert a["n_exchanges"] == 0, a["plan"]
+
+
+def test_selection_is_take_ordered(spark):
+    raw = _docs(spark, TEXTS)
+    lp = py_fit_bucket_logprobs(WIKI, buckets=B)
+    sel = dsir_annotate(raw, lp, lp, buckets=B).orderBy(
+        F.desc("dsir_key"), "doc_id"
+    ).limit(4)
+    a = audit_plan(sel)
+    assert "TakeOrderedAndProject" in a["plan"], "top-k degraded to a full sort"
+
+
+def test_length_mismatch_raises(spark):
+    raw = _docs(spark, TEXTS)
+    lp = py_fit_bucket_logprobs(WIKI, buckets=B)
+    try:
+        dsir_annotate(raw, lp[:-1], lp, buckets=B)
+    except ValueError as e:
+        assert "buckets" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+# ---------------------------------------------------------------------------
+# totality
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_logw_total_and_finite(text):
+    lp = py_fit_bucket_logprobs(WIKI, buckets=B)
+    lr = lp - py_fit_bucket_logprobs(JUNK, buckets=B)
+    w = py_dsir_logw(text, lr, buckets=B)
+    assert np.isfinite(w)
