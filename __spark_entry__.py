@@ -1468,6 +1468,24 @@ def q_doc_dsir_sample(spark, sf_dir):
     )
 
 
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py, Abbas et al. 2023): k-means the
+    embeddings table (deterministic seed draw + 2 Lloyd rounds), then
+    prune, inside each cluster, every vector whose cosine to an
+    already-kept member >= 0.99 — the kept representative is the member
+    farthest from its centroid. Assignment is narrow (broadcast-literal
+    codebook); the only corpus shuffle is the cluster-key groupBy
+    (plan-audited). Rows-only in the driver window (greedy pruning is
+    order-dependent and not ANSI-SQL-expressible); bitwise parity with
+    the single-process oracle is proven in tests/test_semdedup.py."""
+    from redpajama_processor_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup(
+        emb, sim_threshold=0.99, n_clusters=8, lloyd_rounds=2
+    ).select("vec_id", "sem_cell", "sem_keep", "sem_dup_of")
+
+
 def q_transcript_census(spark, sf_dir):
     """Per-rule kept/dropped census over the ENTIRE flagship chain (the
     transcript_full query: langid -> clean -> exact -> fuzzy -> heuristics
@@ -1559,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": q_doc_c4_filter,
         "agent_tool_hygiene": q_agent_tool_hygiene,
         "doc_dsir_sample": q_doc_dsir_sample,
+        "emb_semdedup": q_emb_semdedup,
     }
 
 

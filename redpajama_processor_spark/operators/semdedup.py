@@ -1,0 +1,321 @@
+"""SemDeDup — semantic deduplication over an embedding column (Abbas et
+al. 2023, arXiv:2303.09540).
+
+Exact/MinHash dedup catches copies of the same BYTES; SemDeDup catches
+semantic duplicates — paraphrases, boilerplate rewrites, templated spam —
+by clustering embeddings with k-means and pruning, inside each cluster,
+every vector whose cosine similarity to an already-kept cluster member
+exceeds a threshold. The paper's convention is followed for which
+duplicate survives: cluster members are visited in INCREASING similarity
+to their centroid (ties by id), so the kept representative of each
+duplicate group is the one farthest from the centroid — the most extreme
+/ least redundant exemplar (Abbas et al. §3.1).
+
+Distributed shape (the reason this scales where all-pairs cannot):
+
+- centroids: a tiny deterministic seed draw (smallest md5('sem-cent-'||id),
+  the same unbiased-draw trick as ivf_topk's 'sample' mode) refined by
+  ``lloyd_rounds`` distributed Lloyd iterations — each round is one narrow
+  argmax assignment plus one (n_clusters x dims)-row aggregate. The
+  codebook is collected to the driver and broadcast as literals, so the
+  assignment pass is NARROW: no shuffle of the corpus.
+- assignment: per-row argmax over n_clusters JVM cosine expressions
+  (``cosine_col`` — sequential fold, deterministic), ties toward the
+  smallest cluster id; zero-norm vectors are unassignable by cosine and
+  go to the reserved cell 0, always kept.
+- pruning: ONE groupBy(cell).applyInPandas — the corpus shuffles once, on
+  the cluster key; inside each cluster the greedy scan is vectorized
+  numpy (kept-matrix @ candidate, O(cluster^2 * dims) worst case). A
+  ``max_cluster`` width guard raises before an adversarial cluster can
+  quadratic-blow the executor — the same guard discipline as the LSH
+  star-edge cap. Pairwise work is bounded per cluster, never corpus-wide.
+
+Correctness: the per-cluster greedy is ONE shared numpy function
+(`_greedy_prune`) called by both the pandas UDF and the single-process
+oracle, and the oracle's assignment mirrors cosine_col's fold order —
+so Spark output is bit-identical to the oracle and invariant to
+partitioning (tests/test_semdedup.py).
+
+Reference analog: the reference dedups byte-identically only
+(/root/reference/step2_dedupe_minhash.py); SemDeDup is part of the
+LLM-pipeline surface built from the public paper.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ann import cosine_col
+
+DEFAULT_SIM = 0.95
+DEFAULT_CLUSTERS = 16
+DEFAULT_LLOYD = 3
+DEFAULT_MAX_CLUSTER = 100_000
+
+
+# ---------------------------------------------------------------------------
+# shared core — one implementation, both engines
+
+
+def _greedy_prune(
+    ids: np.ndarray, vecs: np.ndarray, cent_sims: np.ndarray, thr: float
+):
+    """Greedy duplicate pruning within one cluster. Visits members by
+    (centroid_sim ASC, id ASC); keeps a member iff its max cosine to the
+    kept set is < thr, else records (dup_of, max_sim). Returns
+    (order, keep, dup_of, max_sim) aligned to the VISIT order."""
+    n = len(ids)
+    order = np.lexsort((ids, cent_sims))  # centroid_sim asc, id asc
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    unit = np.divide(
+        vecs, norms[:, None], out=np.zeros_like(vecs), where=norms[:, None] != 0
+    )
+    keep = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, None, dtype=object)
+    max_sim = np.full(n, np.nan)
+    kept_mat = np.empty_like(unit)  # rows 0..m-1 = kept unit vectors
+    kept_ids = np.empty(n, dtype=np.int64)
+    m = 0
+    for pos in order:
+        if norms[pos] == 0:
+            keep[pos] = True  # unassignable by cosine: always kept
+            continue
+        if m:
+            sims = kept_mat[:m] @ unit[pos]  # vectorized, first-max ties
+            j = int(np.argmax(sims))
+            max_sim[pos] = sims[j]
+            if sims[j] >= thr:
+                dup_of[pos] = kept_ids[j]
+                continue
+        keep[pos] = True
+        kept_mat[m] = unit[pos]
+        kept_ids[m] = ids[pos]
+        m += 1
+    return order, keep, dup_of, max_sim
+
+
+def py_cosine(a, b) -> float | None:
+    """Sequential-fold cosine mirroring cosine_col's operand order
+    (bit-identical to the JVM rendering)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom != 0 else None
+
+
+def py_assign(vec, centroids) -> int:
+    """Oracle of the argmax assignment: 1-based cell of the max cosine,
+    first (smallest cell id) on ties; 0 if no cosine is defined."""
+    best_cell, best = 0, None
+    for i, c in enumerate(centroids):
+        cos = py_cosine(vec, c)
+        if cos is not None and (best is None or cos > best):
+            best_cell, best = i + 1, cos
+    return best_cell
+
+
+# ---------------------------------------------------------------------------
+# centroids
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_clusters: int = DEFAULT_CLUSTERS,
+    lloyd_rounds: int = DEFAULT_LLOYD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic seed draw (smallest md5('sem-cent-'||id), re-sorted by
+    id) + distributed Lloyd refinement: per round, one narrow argmax
+    assignment and one (n_clusters x dims)-row mean aggregate."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn(
+            "_ck", F.md5(F.concat(F.lit("sem-cent-"), F.col(id_col).cast("string")))
+        )
+        .orderBy("_ck", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r[id_col])
+    cvecs = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(max(0, lloyd_rounds)):
+        asg = df.select(
+            vec_col, assign_cell_col(F.col(vec_col), cvecs).alias("_cell")
+        ).filter(F.col("_cell") > 0)
+        means = (
+            asg.select("_cell", F.posexplode(vec_col).alias("_d", "_v"))
+            .groupBy("_cell", "_d")
+            .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_d"]] = r["_m"]
+        dims = len(cvecs[0])
+        cvecs = [
+            [by_cell[c + 1].get(d, cvecs[c][d]) for d in range(dims)]
+            if (c + 1) in by_cell
+            else cvecs[c]
+            for c in range(len(cvecs))
+        ]
+    return cvecs
+
+
+def assign_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based argmax-cosine cell (ties -> smallest cell), 0 when every
+    cosine is NULL (zero-norm vector). Narrow — all literals."""
+    cos = F.array(
+        *[cosine_col(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    pos = F.element_at(
+        F.transform(
+            F.array(cos),
+            lambda a: F.array_position(a, F.array_max(a)).cast("int"),
+        ),
+        1,
+    )
+    return F.coalesce(pos, F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# the operator
+
+
+def semdedup(
+    df: DataFrame,
+    sim_threshold: float = DEFAULT_SIM,
+    n_clusters: int = DEFAULT_CLUSTERS,
+    lloyd_rounds: int = DEFAULT_LLOYD,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = DEFAULT_MAX_CLUSTER,
+) -> DataFrame:
+    """Annotate every row with (sem_cell, centroid_sim, sem_keep,
+    sem_dup_of, sem_max_sim). One corpus shuffle (the cluster key);
+    everything else narrow or driver-side KB-scale."""
+    if centroids is None:
+        centroids = kmeans_centroids(df, n_clusters, lloyd_rounds, id_col, vec_col)
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_cell", assign_cell_col(F.col("_vec"), centroids))
+    base = base.withColumn(
+        "_csim",
+        F.when(
+            F.col("_cell") > 0,
+            # cosine to the assigned centroid, JVM fold order (oracle
+            # mirrors with py_cosine)
+            F.element_at(
+                F.array(
+                    *[
+                        cosine_col(F.col("_vec"), F.array(*[F.lit(x) for x in c]))
+                        for c in centroids
+                    ]
+                ),
+                F.col("_cell"),
+            ),
+        ),
+    )
+
+    out_schema = (
+        f"{id_col} long, sem_cell int, centroid_sim double, "
+        "sem_keep boolean, sem_dup_of long, sem_max_sim double"
+    )
+    thr = float(sim_threshold)
+    cap = int(max_cluster)
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['_cell'].iloc[0])} has {n} members "
+                f"> max_cluster={cap}; raise max_cluster or n_clusters "
+                "(quadratic prune would blow the executor)"
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]], dtype=np.float64
+        )
+        csim = pdf["_csim"].to_numpy(dtype=np.float64)  # NaN for cell 0
+        cell = int(pdf["_cell"].iloc[0])
+        if cell == 0:
+            # unassignable vectors: all kept, no comparisons possible
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "sem_cell": cell,
+                    "centroid_sim": np.nan,
+                    "sem_keep": True,
+                    "sem_dup_of": pd.array([None] * n, dtype="Int64"),
+                    "sem_max_sim": np.nan,
+                }
+            )
+        order, keep, dup_of, max_sim = _greedy_prune(ids, vecs, csim, thr)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "sem_cell": cell,
+                "centroid_sim": csim,
+                "sem_keep": keep,
+                "sem_dup_of": pd.array(
+                    [None if d is None else int(d) for d in dup_of], dtype="Int64"
+                ),
+                "sem_max_sim": max_sim,
+            }
+        )
+
+    return base.groupBy("_cell").applyInPandas(_prune, out_schema)
+
+
+def py_semdedup(
+    rows: list[tuple],
+    centroids: list[list[float]],
+    sim_threshold: float = DEFAULT_SIM,
+) -> dict:
+    """Single-process oracle: rows = [(id, vec), ...] ->
+    {id: (cell, centroid_sim, keep, dup_of, max_sim)}. Assignment mirrors
+    cosine_col's fold; pruning calls the SAME _greedy_prune."""
+    by_cell: dict[int, list[tuple]] = {}
+    csims: dict = {}
+    for rid, vec in rows:
+        cell = py_assign(vec, centroids)
+        cs = py_cosine(vec, centroids[cell - 1]) if cell > 0 else None
+        csims[rid] = (cell, cs)
+        by_cell.setdefault(cell, []).append((rid, vec))
+    out: dict = {}
+    for cell, members in by_cell.items():
+        ids = np.asarray([m[0] for m in members], dtype=np.int64)
+        vecs = np.asarray(
+            [np.asarray(m[1], dtype=np.float64) for m in members], dtype=np.float64
+        )
+        if cell == 0:
+            for rid in ids:
+                out[int(rid)] = (0, None, True, None, None)
+            continue
+        cs = np.asarray([csims[int(i)][1] for i in ids], dtype=np.float64)
+        _, keep, dup_of, max_sim = _greedy_prune(
+            ids, vecs, cs, float(sim_threshold)
+        )
+        for i, rid in enumerate(ids):
+            out[int(rid)] = (
+                cell,
+                float(cs[i]),
+                bool(keep[i]),
+                None if dup_of[i] is None else int(dup_of[i]),
+                None if np.isnan(max_sim[i]) else float(max_sim[i]),
+            )
+    return out

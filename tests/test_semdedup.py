@@ -1,0 +1,146 @@
+"""SemDeDup: bitwise parity with the single-process oracle (fixed
+centroids), partition invariance, keep-the-farthest-from-centroid
+convention, zero-vector handling, the cluster width guard, plan shape,
+and an end-to-end kmeans run on the embeddings fixture."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.semdedup import (
+    _greedy_prune,
+    assign_cell_col,
+    kmeans_centroids,
+    py_assign,
+    py_cosine,
+    py_semdedup,
+    semdedup,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+# two well-separated directions in 4-d, plus near-duplicates of each
+C0 = [1.0, 0.0, 0.0, 0.0]
+C1 = [0.0, 1.0, 0.0, 0.0]
+ROWS = [
+    (0, [1.0, 0.01, 0.0, 0.0]),     # cluster A
+    (1, [1.0, 0.02, 0.0, 0.0]),     # near-dup of 0
+    (2, [0.9, 0.3, 0.0, 0.0]),      # cluster A, farther out
+    (3, [0.0, 1.0, 0.05, 0.0]),     # cluster B
+    (4, [0.0, 1.0, 0.06, 0.0]),     # near-dup of 3
+    (5, [0.1, 0.9, 0.3, 0.0]),      # cluster B, farther out
+    (6, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> cell 0, always kept
+]
+CENTS = [C0, C1]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _run(spark, df, **kw):
+    out = semdedup(df, centroids=CENTS, sim_threshold=0.98, **kw).collect()
+    return {
+        r["vec_id"]: (
+            r["sem_cell"],
+            r["centroid_sim"],
+            r["sem_keep"],
+            r["sem_dup_of"],
+            r["sem_max_sim"],
+        )
+        for r in out
+    }
+
+
+def test_matches_oracle_bitwise(spark):
+    got = _run(spark, _df(spark))
+    want = py_semdedup([(i, v) for i, v in ROWS], CENTS, sim_threshold=0.98)
+    assert set(got) == set(want)
+    for k in want:
+        gc, gs, gk, gd, gm = got[k]
+        wc, ws, wk, wd, wm = want[k]
+        assert gc == wc and gk == wk and gd == wd, (k, got[k], want[k])
+        # float fields bit-identical (None/NaN normalized)
+        assert (gs is None and ws is None) or gs == ws, k
+        gm = None if gm is None or (isinstance(gm, float) and np.isnan(gm)) else gm
+        assert gm == wm, k
+
+
+def test_partition_invariant(spark):
+    a = _run(spark, _df(spark))
+    b = _run(spark, _df(spark).repartition(5))
+    c = _run(spark, _df(spark).coalesce(1))
+    assert a == b == c
+
+
+def test_keeps_farthest_from_centroid(spark):
+    got = _run(spark, _df(spark))
+    # cluster A: visit order by centroid_sim asc -> 2 (farthest) first;
+    # 0 and 1 are near-dups of each other but NOT of 2 at thr=0.98
+    assert got[2][2] is True
+    # 0 vs 1: whichever has lower centroid cosine is visited first and kept
+    s0, s1 = got[0][1], got[1][1]
+    first = 0 if (s0, 0) < (s1, 1) else 1
+    other = 1 - first
+    assert got[first][2] is True
+    assert got[other][2] is False and got[other][3] == first
+
+
+def test_zero_vector_cell0_kept(spark):
+    got = _run(spark, _df(spark))
+    assert got[6] == (0, None, True, None, None)
+    assert py_assign([0.0, 0.0, 0.0, 0.0], CENTS) == 0
+
+
+def test_assignment_parity(spark):
+    df = _df(spark).select(
+        "vec_id", assign_cell_col(F.col("embedding"), CENTS).alias("cell")
+    )
+    got = {r["vec_id"]: r["cell"] for r in df.collect()}
+    for i, v in ROWS:
+        assert got[i] == py_assign(v, CENTS), i
+
+
+def test_width_guard(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    with pytest.raises(Exception) as e:
+        semdedup(
+            _df(spark, rows), centroids=CENTS, max_cluster=10
+        ).collect()
+    assert "max_cluster" in str(e.value)
+
+
+def test_plan_one_exchange(spark):
+    a = audit_plan(semdedup(_df(spark), centroids=CENTS))
+    assert a["n_exchanges"] == 1, a["plan"]  # only the cluster-key shuffle
+
+
+def test_greedy_threshold_boundary():
+    # sims exactly at thr are duplicates (>=); just below are kept
+    ids = np.array([10, 11], dtype=np.int64)
+    v = np.array([[1.0, 0.0], [1.0, 0.0]])
+    cs = np.array([0.5, 0.6])
+    _, keep, dup_of, _ = _greedy_prune(ids, v, cs, 1.0)  # cos==1.0 == thr
+    assert keep.tolist() == [True, False] and dup_of[1] == 10
+
+
+def test_py_cosine_matches_numpy_direction():
+    a, b = [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]
+    c = py_cosine(a, b)
+    ref = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert abs(c - ref) < 1e-12
+    assert py_cosine([0.0, 0.0], [1.0, 0.0]) is None
+
+
+def test_kmeans_end_to_end_fixture(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_clusters=8, lloyd_rounds=2)
+    out = semdedup(emb, centroids=cents, sim_threshold=0.99)
+    pdf = out.toPandas()
+    assert len(pdf) == emb.count()  # annotation, not a filter
+    assert pdf["sem_keep"].any()
+    assert set(pdf.loc[pdf["sem_cell"] > 0, "sem_cell"]) <= set(range(1, 9))
+    # every dropped row names a kept representative in the same cell
+    dropped = pdf[~pdf["sem_keep"]]
+    kept_ids = set(pdf.loc[pdf["sem_keep"], "vec_id"])
+    assert dropped["sem_dup_of"].notna().all()
+    assert set(dropped["sem_dup_of"].astype(int)) <= kept_ids
