@@ -1468,6 +1468,34 @@ def q_doc_dsir_sample(spark, sf_dir):
     )
 
 
+def q_transcript_conv_filter(spark, sf_dir):
+    """Conversation-level verdicts (operators/convfilter.py) over the
+    transcript_core per-turn labels: aggregate each conversation's
+    keep/drop decisions to one row and apply the conv-level battery
+    (min-turns, gapped turn index, one-sided, keep-ratio) — one
+    map-side-combined groupBy(conv_id) (plan-audited). Role is derived
+    user/assistant from turn parity, as in the agent-hygiene view.
+    Rows-only in the driver window (the 50 oracled slots are taken);
+    python-oracle AND DuckDB parity are proven in
+    tests/test_convfilter.py."""
+    from redpajama_processor_spark.operators.convfilter import (
+        conversation_filter,
+    )
+
+    core = q_transcript_core(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("core_keep").alias("keep"),
+    )
+    return conversation_filter(core).select(
+        "conv_id", "n_turns", "n_kept", "keep_ratio", "contiguous",
+        "conv_keep", "conv_drop_rule",
+    )
+
+
 def q_emb_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py, Abbas et al. 2023): k-means the
     embeddings table (deterministic seed draw + 2 Lloyd rounds), then
@@ -1578,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_tool_hygiene": q_agent_tool_hygiene,
         "doc_dsir_sample": q_doc_dsir_sample,
         "emb_semdedup": q_emb_semdedup,
+        "transcript_conv_filter": q_transcript_conv_filter,
     }
 
 

@@ -1,0 +1,174 @@
+"""Conversation-level filtering over per-turn keep/drop labels.
+
+The flagship pipeline judges TURNS; training-data curation also needs a
+CONVERSATION verdict — a multi-turn transcript where most turns were
+dropped, the roles never alternate, or the turn index sequence has holes
+is worthless as a dialogue example even if a few surviving turns look
+fine individually. This operator aggregates per-turn labels to one row
+per conversation and applies a rule battery with fixed precedence:
+
+    conv_min_turns   fewer than ``min_turns`` total turns
+    conv_gapped      turn_idx is not the contiguous range 0..n-1
+                     (an upstream filter or a lossy ingest dropped turns
+                     SILENTLY — distinct from turns we dropped ourselves
+                     and can account for)
+    conv_one_sided   fewer than 2 distinct roles among kept turns
+    conv_keep_ratio  kept/total below ``min_keep_ratio``
+
+Shape: ONE map-side-combined groupBy(conv_id) — count/sum/min/max plus
+two bounded collect_sets (distinct roles: bounded by the role vocabulary;
+NOT the turn texts). ``annotate=True`` joins the verdict back onto the
+turn rows; AQE broadcasts the conversation table when it is small, and
+the join key is the partitioning the pipeline already uses, so no new
+skew surface appears. Everything is ANSI-SQL-expressible — DuckDB parity
+is asserted in tests/test_convfilter.py (rows-only in the driver window,
+which is capped at the 50 existing oracled entries).
+
+Reference analog: the reference filters documents independently
+(/root/reference/step4_quality_filtering.py); conversation-level
+verdicts are part of the transcript-tier surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MIN_TURNS = 2
+DEFAULT_MIN_KEEP_RATIO = 0.5
+
+CONV_RULES = ("conv_min_turns", "conv_gapped", "conv_one_sided", "conv_keep_ratio")
+
+
+def conversation_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    keep_col: str = "keep",
+    role_col: str = "role",
+) -> DataFrame:
+    """One row per conversation: n_turns, n_kept, keep_ratio, contiguity
+    of the turn index, and distinct role counts (total / among kept)."""
+    return turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.col(keep_col).cast("int")).cast("long").alias("n_kept"),
+        (F.sum(F.col(keep_col).cast("int")) / F.count(F.lit(1))).alias("keep_ratio"),
+        F.min(idx_col).cast("long").alias("min_idx"),
+        F.max(idx_col).cast("long").alias("max_idx"),
+        # size(collect_set) instead of count_distinct: a DISTINCT aggregate
+        # alongside plain ones plans a two-phase Expand (two Exchanges);
+        # collect_set partial-aggregates map-side, keeping the single
+        # conv_id shuffle. Buffer is bounded by the conversation's distinct
+        # turn count — the same per-conversation bound every conv-level agg
+        # in the pipeline already carries.
+        F.size(F.collect_set(F.col(idx_col))).cast("long").alias("n_distinct_idx"),
+        F.size(F.collect_set(role_col)).cast("long").alias("n_roles"),
+        F.size(
+            F.collect_set(F.when(F.col(keep_col), F.col(role_col)))
+        ).cast("long").alias("n_kept_roles"),
+    ).withColumn(
+        "contiguous",
+        (F.col("min_idx") == 0)
+        & (F.col("max_idx") == F.col("n_turns") - 1)
+        & (F.col("n_distinct_idx") == F.col("n_turns")),
+    )
+
+
+def conversation_filter(
+    turns: DataFrame,
+    min_turns: int = DEFAULT_MIN_TURNS,
+    min_keep_ratio: float = DEFAULT_MIN_KEEP_RATIO,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    keep_col: str = "keep",
+    role_col: str = "role",
+    annotate: bool = False,
+) -> DataFrame:
+    """Conversation verdicts (conv_keep, conv_drop_rule) with the fixed
+    rule precedence above. ``annotate=True`` returns the TURN rows with
+    the verdict columns joined back (equi-join on conv_id; AQE
+    broadcast-eligible)."""
+    stats = conversation_stats(turns, conv_col, idx_col, keep_col, role_col)
+    verdict = stats.withColumn(
+        "conv_drop_rule",
+        F.when(F.col("n_turns") < min_turns, F.lit("conv_min_turns"))
+        .when(~F.col("contiguous"), F.lit("conv_gapped"))
+        .when(F.col("n_kept_roles") < 2, F.lit("conv_one_sided"))
+        .when(F.col("keep_ratio") < min_keep_ratio, F.lit("conv_keep_ratio")),
+    ).withColumn("conv_keep", F.col("conv_drop_rule").isNull())
+    if not annotate:
+        return verdict
+    v = verdict.select("conv_id", "conv_keep", "conv_drop_rule")
+    return turns.join(
+        v.withColumnRenamed("conv_id", conv_col), conv_col, "left"
+    )
+
+
+def duckdb_conversation_sql(
+    src: str,
+    min_turns: int = DEFAULT_MIN_TURNS,
+    min_keep_ratio: float = DEFAULT_MIN_KEEP_RATIO,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    keep_col: str = "keep",
+    role_col: str = "role",
+) -> str:
+    """DuckDB rendering of the same spec (the third-engine check)."""
+    return f"""
+    SELECT conv_id, n_turns, n_kept, keep_ratio, contiguous, n_roles,
+           n_kept_roles, conv_drop_rule, conv_drop_rule IS NULL AS conv_keep
+    FROM (
+      SELECT *,
+        CASE
+          WHEN n_turns < {min_turns} THEN 'conv_min_turns'
+          WHEN NOT contiguous THEN 'conv_gapped'
+          WHEN n_kept_roles < 2 THEN 'conv_one_sided'
+          WHEN keep_ratio < {min_keep_ratio!r} THEN 'conv_keep_ratio'
+        END AS conv_drop_rule
+      FROM (
+        SELECT {conv_col} AS conv_id,
+               COUNT(*)::BIGINT AS n_turns,
+               SUM({keep_col}::INT)::BIGINT AS n_kept,
+               SUM({keep_col}::INT)::DOUBLE / COUNT(*) AS keep_ratio,
+               (MIN({idx_col}) = 0 AND MAX({idx_col}) = COUNT(*) - 1
+                AND COUNT(DISTINCT {idx_col}) = COUNT(*)) AS contiguous,
+               COUNT(DISTINCT {role_col})::BIGINT AS n_roles,
+               COUNT(DISTINCT CASE WHEN {keep_col} THEN {role_col} END)::BIGINT
+                 AS n_kept_roles
+        FROM {src} GROUP BY {conv_col}))
+    """
+
+
+def py_conversation_filter(
+    rows: list[tuple],
+    min_turns: int = DEFAULT_MIN_TURNS,
+    min_keep_ratio: float = DEFAULT_MIN_KEEP_RATIO,
+) -> dict:
+    """Single-process oracle: rows = [(conv_id, turn_idx, role, keep)] ->
+    {conv_id: (n_turns, n_kept, keep_ratio, contiguous, conv_keep,
+    conv_drop_rule)}."""
+    by_conv: dict = {}
+    for conv_id, idx, role, keep in rows:
+        by_conv.setdefault(conv_id, []).append((idx, role, bool(keep)))
+    out = {}
+    for conv_id, ts in by_conv.items():
+        n = len(ts)
+        kept = sum(1 for _, _, k in ts if k)
+        idxs = [i for i, _, _ in ts]
+        contiguous = (
+            min(idxs) == 0 and max(idxs) == n - 1 and len(set(idxs)) == n
+        )
+        kept_roles = {r for _, r, k in ts if k}
+        ratio = kept / n
+        if n < min_turns:
+            rule = "conv_min_turns"
+        elif not contiguous:
+            rule = "conv_gapped"
+        elif len(kept_roles) < 2:
+            rule = "conv_one_sided"
+        elif ratio < min_keep_ratio:
+            rule = "conv_keep_ratio"
+        else:
+            rule = None
+        out[conv_id] = (n, kept, ratio, contiguous, rule is None, rule)
+    return out

@@ -1,0 +1,114 @@
+"""Conversation-level filtering: oracle parity, DuckDB parity, rule
+precedence, annotate join-back, plan shape (one map-side-combined
+aggregation), and an end-to-end run over the curated flagship output."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.convfilter import (
+    conversation_filter,
+    conversation_stats,
+    duckdb_conversation_sql,
+    py_conversation_filter,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+ROWS = [
+    # good conversation: contiguous, both roles kept, ratio 1.0
+    ("good", 0, "user", True),
+    ("good", 1, "assistant", True),
+    # too short
+    ("short", 0, "user", True),
+    # gapped: missing idx 1
+    ("gap", 0, "user", True),
+    ("gap", 2, "assistant", True),
+    # one-sided: assistant turns all dropped
+    ("oneside", 0, "user", True),
+    ("oneside", 1, "assistant", False),
+    ("oneside", 2, "user", True),
+    # low keep ratio: 1/4 kept (but both roles kept? no - only user kept)
+    ("lowkeep", 0, "user", True),
+    ("lowkeep", 1, "assistant", True),
+    ("lowkeep", 2, "user", False),
+    ("lowkeep", 3, "assistant", False),
+    ("lowkeep", 4, "user", False),
+    ("lowkeep", 5, "assistant", False),
+    # duplicate turn_idx -> not contiguous
+    ("dupidx", 0, "user", True),
+    ("dupidx", 0, "assistant", True),
+]
+SCHEMA = "conv_id string, turn_idx int, role string, keep boolean"
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_matches_oracle(spark):
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_kept"], r["keep_ratio"], r["contiguous"],
+            r["conv_keep"], r["conv_drop_rule"],
+        )
+        for r in conversation_filter(_df(spark)).collect()
+    }
+    want = py_conversation_filter(ROWS)
+    assert got == want
+    assert want["good"][5] is None
+    assert want["short"][5] == "conv_min_turns"
+    assert want["gap"][5] == "conv_gapped"
+    assert want["oneside"][5] == "conv_one_sided"
+    assert want["lowkeep"][5] == "conv_keep_ratio"
+    assert want["dupidx"][5] == "conv_gapped"
+
+
+def test_duckdb_parity(spark):
+    con = duckdb.connect()
+    con.register("turns", pd.DataFrame(ROWS, columns=["conv_id", "turn_idx", "role", "keep"]))
+    d = con.sql(duckdb_conversation_sql("turns")).df()
+    want = py_conversation_filter(ROWS)
+    assert len(d) == len(want)
+    for _, r in d.iterrows():
+        n, k, ratio, cont, keep, rule = want[r["conv_id"]]
+        assert (r["n_turns"], r["n_kept"]) == (n, k)
+        assert abs(r["keep_ratio"] - ratio) < 1e-15
+        assert bool(r["contiguous"]) == cont and bool(r["conv_keep"]) == keep
+        assert (None if pd.isna(r["conv_drop_rule"]) else r["conv_drop_rule"]) == rule
+
+
+def test_precedence_min_turns_beats_gapped(spark):
+    # a single turn at idx 5 is both short AND gapped -> min_turns wins
+    df = spark.createDataFrame([("c", 5, "user", True)], SCHEMA)
+    r = conversation_filter(df).collect()[0]
+    assert r["conv_drop_rule"] == "conv_min_turns"
+
+
+def test_annotate_joins_back(spark):
+    out = conversation_filter(_df(spark), annotate=True)
+    assert out.count() == len(ROWS)
+    rows = {(r["conv_id"], r["turn_idx"]): r["conv_keep"] for r in out.collect()}
+    assert rows[("good", 0)] is True and rows[("lowkeep", 3)] is False
+
+
+def test_plan_one_aggregation(spark):
+    a = audit_plan(conversation_filter(_df(spark)))
+    # one shuffle for the groupBy; partial aggregation map-side
+    assert a["n_exchanges"] == 1, a["plan"]
+    assert "HashAggregate" in a["plan"] or "ObjectHashAggregate" in a["plan"]
+
+
+def test_over_curated_pipeline(spark):
+    from redpajama_processor_spark.datagen import gen_turns_pandas, lm_corpus
+    from redpajama_processor_spark.functions.perplexity import train_bigram_lm
+    from redpajama_processor_spark.pipeline import curate
+
+    turns = gen_turns_pandas(20)
+    lm = train_bigram_lm(lm_corpus())
+    cur = curate(spark, spark.createDataFrame(turns), lm, run_fuzzy=False)
+    v = conversation_filter(cur.select("conv_id", "turn_idx", "role", "keep"))
+    pdf = v.toPandas()
+    assert len(pdf) == turns["conv_id"].nunique()
+    assert set(pdf.loc[~pdf["conv_keep"], "conv_drop_rule"]) <= {
+        "conv_min_turns", "conv_gapped", "conv_one_sided", "conv_keep_ratio"
+    }
