@@ -59,7 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redpajama_processor_spark import gif, jpeg, tiff
+from redpajama_processor_spark import gif, jpeg, tiff, webp
 
 JPEG_MAGIC = b"\xff\xd8"
 
@@ -404,8 +404,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         if img.shape[2] == 4:
             return img[:, :, :3].copy()
         return img
+    if payload[:4] == webp.WEBP_RIFF and payload[8:12] == webp.WEBP_FOURCC:
+        # lossless (VP8L) decodes pure-python; lossy (VP8) dispatches to
+        # the system libwebp inside decode_webp and raises when absent
+        return webp.decode_webp(payload)[:, :, :3].copy()
     raise NotImplementedError(
-        f"unsupported image format (magic {payload[:8]!r}); WebP/AVIF etc. "
+        f"unsupported image format (magic {payload[:8]!r}); AVIF etc. "
         "need PIL — plug in via the lazy-init pattern in langid.py"
     )
 
@@ -540,10 +544,10 @@ def _audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
 def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: batch-in, batch-out, payload dropped.
 
-    fake=False (default) runs the REAL codecs: BMP/PNG/JPEG/GIF/TIFF
+    fake=False (default) runs the REAL codecs: BMP/PNG/JPEG/GIF/TIFF/WebP
     images -> 4x4 gray mean-pool patch; WAV audio -> per-segment log-RMS;
     RAWBMPV video -> image feature of the first frame. Genuinely-external
-    payloads (WebP/AVIF, MP3, MP4...) raise NotImplementedError naming
+    payloads (AVIF, MP3, MP4 video codecs...) raise NotImplementedError naming
     the missing lib (PIL/ffmpeg — plug in via the lazy-init pattern in
     functions/langid.py). fake=True keeps the md5-seeded deterministic
     vectors for plumbing tests on arbitrary bytes.
@@ -613,6 +617,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                         bytearray(jpeg.encode_jpeg(img[..., 0] if
                                                    img.shape[2] == 1 else img))
                     )
+                elif p[:4] == webp.WEBP_RIFF and p[8:12] == webp.WEBP_FOURCC:
+                    img = resize_nearest(webp.decode_webp(p), width, height)
+                    payloads.append(bytearray(webp.encode_webp(img)))
                 else:
                     img = resize_nearest(decode_image(p), width, height)
                     payloads.append(bytearray(encode_bmp(img)))

@@ -1,0 +1,1009 @@
+"""WebP codec: a pure-python/numpy VP8L (lossless) decoder implementing
+the public "WebP Lossless Bitstream Specification", a fixture-grade VP8L
+encoder, and a ctypes binding to the system ``libwebp.so`` used two ways:
+as an EXTERNAL ORACLE in tests (cross-validation in BOTH directions — an
+oracle that no shared encoder/decoder bug can satisfy, the same strategy
+as the Iceberg Murmur3 spec vectors), and as the decode path for LOSSY
+VP8 frames, whose intra-predictor + DCT stack is out of scope for the
+pure-python surface.
+
+Decoder coverage (the full lossless spec):
+- canonical prefix codes: simple (1-2 symbol) and normal (code-length
+  codes with repeats 16/17/18 and the max_symbol short-circuit),
+  including the 0-bit single-symbol degenerate code;
+- colour cache (the 0x1e35a7bd multiplicative hash), LZ77 backward
+  references with the 120-entry 2D distance-plane mapping, meta prefix
+  codes selected per pixel block via the entropy image;
+- all four transforms, inverted in reverse order: PREDICTOR (14 modes,
+  per-block, with the spec's border rules), COLOR (signed 3.5 fixed-point
+  cross-channel deltas), SUBTRACT_GREEN, COLOR_INDEXING (with sub-byte
+  pixel bundling at palette sizes <= 16).
+
+The distance-plane table below was RECOVERED EMPIRICALLY by probing the
+system libwebp with single-back-reference streams built by this module's
+own bit-writer (tests/test_webp.py re-runs a sample of the probes), so
+the table cannot silently disagree with the reference implementation.
+
+Encoder (fixture-grade, like the BMP/GIF/TIFF encoders): literal coding
+under fixed complete prefix codes (232x8-bit + 48x9-bit greens — the
+Kraft sum is exactly 1), optional run-length LZ77 back-references
+(distance 1), optional SUBTRACT_GREEN, RGB and RGBA. libwebp decodes its
+output bit-for-bit (asserted in tests), so the fixtures are real WebP.
+
+Throughput shape: entropy decoding is inherently sequential and runs in
+python (same stance as the JPEG Huffman stage — measured and
+floor-tested there); everything after it — transform inverses, palette
+expansion, bundling — is vectorized numpy, with the predictor inverse
+vectorizing whole block-row segments for the 6 modes that do not depend
+on the in-row left neighbour.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+
+import numpy as np
+
+WEBP_RIFF = b"RIFF"
+WEBP_FOURCC = b"WEBP"
+_VP8L_MAGIC = 0x2F
+
+# transform types (spec §3)
+_PREDICTOR = 0
+_COLOR = 1
+_SUBTRACT_GREEN = 2
+_COLOR_INDEXING = 3
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# populated at module bottom (recovered from libwebp probes; see
+# tests/test_webp.py::test_distance_plane_probe)
+_CODE_TO_PLANE: list[int] = []
+
+
+# ---------------------------------------------------------------------------
+# bit IO — VP8L packs bits LSB-first within bytes; prefix-code bits are
+# written/read most-significant code bit first
+
+
+class _BitReader:
+    __slots__ = ("d", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data + b"\x00\x00\x00"  # peek pad; n guards real length
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        p = self.pos
+        if p + nbits > self.n:
+            raise ValueError("VP8L bitstream truncated")
+        b = p >> 3
+        v = (
+            int.from_bytes(self.d[b : b + ((nbits + (p & 7) + 7) >> 3) + 1], "little")
+            >> (p & 7)
+        ) & ((1 << nbits) - 1)
+        self.pos = p + nbits
+        return v
+
+    def read_bit(self) -> int:
+        p = self.pos
+        if p >= self.n:
+            raise ValueError("VP8L bitstream truncated")
+        self.pos = p + 1
+        return (self.d[p >> 3] >> (p & 7)) & 1
+
+    def peek10(self) -> int:
+        """Next 10 bits LSB-first (zero-padded past the end)."""
+        p = self.pos
+        b = p >> 3
+        return (int.from_bytes(self.d[b : b + 3], "little") >> (p & 7)) & 1023
+
+    def skip(self, nbits: int) -> None:
+        self.pos += nbits
+        if self.pos > self.n:
+            raise ValueError("VP8L bitstream truncated")
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nacc")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        """LSB-first append of the low nbits of value."""
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nacc
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nacc -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits, MSB of the code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nacc:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length); codes assigned in (length, symbol) order
+    (the deflate/VP8L canonical convention)."""
+    pairs = sorted(
+        (l, s) for s, l in enumerate(lengths) if l > 0
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code, prev_len = 0, 0
+    for l, s in pairs:
+        code <<= l - prev_len
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+_ROOT_BITS = 10
+_REV10 = [int(f"{i:010b}"[::-1], 2) for i in range(1 << _ROOT_BITS)]
+
+
+class _Tree:
+    """Prefix-code decoder. Codes of <= 10 bits resolve with ONE indexed
+    lookup into a 1024-entry root table keyed by the next 10 stream bits
+    (the stream is LSB-first, so entries sit at the bit-reversed code —
+    the same LUT strategy as the JPEG decoder's 16-bit-prefix table);
+    longer codes continue with a (code, length) map walk. A single-symbol
+    code reads ZERO bits (spec degenerate case)."""
+
+    __slots__ = ("single", "root", "map", "max_len")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise ValueError("prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][0]
+            self.root = None
+            self.map = None
+            self.max_len = 0
+            return
+        self.single = None
+        codes = _canonical_codes(lengths)
+        # completeness (Kraft == 1) — an over/under-subscribed code is a
+        # corrupt stream, and an incomplete one would loop past the buffer
+        kraft = sum(1 << (15 - l) for _, l in codes.values())
+        if kraft != 1 << 15:
+            raise ValueError(f"incomplete/oversubscribed prefix code ({kraft})")
+        root: list = [None] * (1 << _ROOT_BITS)
+        long_map: dict[tuple[int, int], int] = {}
+        for s, (c, l) in codes.items():
+            if l <= _ROOT_BITS:
+                # stream bits arrive MSB-of-code first; as an LSB-first
+                # integer that is the bit-reversed code in the low l bits
+                base = int(f"{c:0{l}b}"[::-1], 2)
+                for j in range(1 << (_ROOT_BITS - l)):
+                    root[base | (j << l)] = (s, l)
+            else:
+                long_map[(c, l)] = s
+        self.root = root
+        self.map = long_map
+        self.max_len = max(l for _, l in codes.values())
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        # inlined peek10/skip — this is THE hot path (one call per coded
+        # symbol), so attribute reads are hoisted and bounds are checked
+        # once on the advance
+        p = br.pos
+        b = p >> 3
+        idx = (int.from_bytes(br.d[b : b + 3], "little") >> (p & 7)) & 1023
+        e = self.root[idx]
+        if e is not None:
+            np_ = p + e[1]
+            if np_ > br.n:
+                raise ValueError("VP8L bitstream truncated")
+            br.pos = np_
+            return e[0]
+        # long code: the first 10 bits are a prefix of it
+        br.skip(_ROOT_BITS)
+        code, length = _REV10[idx], _ROOT_BITS
+        m = self.map
+        while length <= self.max_len:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            s = m.get((code, length))
+            if s is not None:
+                return s
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
+    """One prefix code: simple (spec §5.2.1) or normal (§5.2.2)."""
+    if br.read_bit():  # simple
+        num_symbols = br.read(1) + 1
+        if br.read_bit():  # first symbol is 8 bits
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        else:
+            lengths[sym0] = 1
+        return _Tree(lengths)
+    # normal: code-length code, then symbol lengths
+    num_cl = br.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_tree = _Tree(cl_lengths)
+    if br.read_bit():  # max_symbol short-circuit
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_tree.decode(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                if symbol >= alphabet_size:
+                    raise ValueError("repeat past alphabet")
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+    if symbol > alphabet_size:
+        raise ValueError("code lengths overrun alphabet")
+    return _Tree(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 helpers
+
+
+def _prefix_value(br: _BitReader, prefix: int) -> int:
+    """Length/distance prefix coding (spec §4.2.1)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value -> (prefix_symbol, extra_bits_value, extra_bits_count)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    p = 4
+    while True:
+        extra = (p - 2) >> 1
+        offset = (2 + (p & 1)) << extra
+        if offset < value <= offset + (1 << extra):
+            return p, value - offset - 1, extra
+        p += 1
+
+
+def _plane_to_dist(plane_code: int, xsize: int) -> int:
+    if plane_code > len(_CODE_TO_PLANE):
+        return plane_code - len(_CODE_TO_PLANE)
+    packed = _CODE_TO_PLANE[plane_code - 1]
+    yoffset = packed >> 4
+    xoffset = 8 - (packed & 0xF)
+    dist = yoffset * xsize + xoffset
+    return dist if dist >= 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# image-stream decoding (spec §5.3) — shared by the ARGB image and every
+# sub-resolution image (entropy/predictor/colour images, palette)
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _decode_image_stream(
+    br: _BitReader, xsize: int, ysize: int, is_level0: bool
+):
+    """Returns (argb uint32 array of length xsize*ysize, transforms,
+    adjusted_xsize). Transforms only at level 0."""
+    transforms = []
+    seen = set()
+    adjusted_x = xsize
+    if is_level0:
+        while br.read_bit():
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError(f"duplicate VP8L transform {ttype}")
+            seen.add(ttype)
+            if ttype in (_PREDICTOR, _COLOR):
+                bits = br.read(3) + 2
+                bw = _subsample_size(adjusted_x, bits)
+                bh = _subsample_size(ysize, bits)
+                data, _, _ = _decode_image_stream(br, bw, bh, False)
+                transforms.append((ttype, bits, data))
+            elif ttype == _SUBTRACT_GREEN:
+                transforms.append((ttype, 0, None))
+            else:  # COLOR_INDEXING
+                n_colors = br.read(8) + 1
+                pal, _, _ = _decode_image_stream(br, n_colors, 1, False)
+                # palette entries are delta-coded componentwise
+                pal = pal.view(np.uint8).reshape(-1, 4)
+                pal = np.cumsum(pal.astype(np.int64), axis=0).astype(
+                    np.uint8
+                ).reshape(-1).view(np.uint32)
+                if n_colors <= 2:
+                    pbits = 3
+                elif n_colors <= 4:
+                    pbits = 2
+                elif n_colors <= 16:
+                    pbits = 1
+                else:
+                    pbits = 0
+                transforms.append((ttype, pbits, pal))
+                adjusted_x = _subsample_size(adjusted_x, pbits)
+
+    # colour cache
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad colour-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # meta prefix codes (recursion allowed only at level 0)
+    entropy = None
+    ebits = 0
+    num_groups = 1
+    if is_level0 and br.read_bit():
+        ebits = br.read(3) + 2
+        ew = _subsample_size(adjusted_x, ebits)
+        eh = _subsample_size(ysize, ebits)
+        edata, _, _ = _decode_image_stream(br, ew, eh, False)
+        entropy = ((edata >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(entropy.max()) + 1
+
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+
+    # pixel decoding — python-list pixel buffer (scalar stores into a
+    # numpy array cost more than the entropy decode itself); converted to
+    # uint32 numpy once at the end
+    n = adjusted_x * ysize
+    argb: list[int] = [0] * n
+    cache: list[int] | None = [0] * cache_size if cache_size else None
+    shift = 32 - cache_bits if cache_bits else 0
+    ew = _subsample_size(adjusted_x, ebits) if entropy is not None else 0
+    entropy_l = entropy.tolist() if entropy is not None else None
+    pos = 0
+    x = 0
+    y = 0
+    group = groups[0]
+    g_tree, r_tree, b_tree, a_tree, d_tree = group
+    last_meta = -1
+    while pos < n:
+        if entropy_l is not None:
+            meta = entropy_l[(y >> ebits) * ew + (x >> ebits)]
+            if meta != last_meta:
+                g_tree, r_tree, b_tree, a_tree, d_tree = groups[meta]
+                last_meta = meta
+        s = g_tree.decode(br)
+        if s < 256:
+            red = r_tree.decode(br)
+            blue = b_tree.decode(br)
+            alpha = a_tree.decode(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            argb[pos] = px
+            if cache is not None:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+            pos += 1
+            x += 1
+            if x == adjusted_x:
+                x = 0
+                y += 1
+        elif s < 280:
+            length = _prefix_value(br, s - 256)
+            dist_prefix = d_tree.decode(br)
+            dist = _plane_to_dist(_prefix_value(br, dist_prefix), adjusted_x)
+            if dist > pos:
+                raise ValueError("VP8L back-reference before image start")
+            if pos + length > n:
+                raise ValueError("VP8L back-reference past image end")
+            if cache is None and dist >= length:
+                # non-overlapping, no cache bookkeeping: bulk copy
+                argb[pos : pos + length] = argb[pos - dist : pos - dist + length]
+                pos += length
+            else:
+                for _ in range(length):
+                    px = argb[pos - dist]
+                    argb[pos] = px
+                    if cache is not None:
+                        cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+                    pos += 1
+            x = pos % adjusted_x
+            y = pos // adjusted_x
+            last_meta = -1  # force re-lookup after a copy
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without colour cache")
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("colour-cache index out of range")
+            px = cache[idx]
+            argb[pos] = px
+            pos += 1
+            x += 1
+            if x == adjusted_x:
+                x = 0
+                y += 1
+    return np.asarray(argb, dtype=np.uint32), transforms, adjusted_x
+
+
+# ---------------------------------------------------------------------------
+# transform inverses (vectorized numpy; predictor falls back to a scalar
+# walk only for the left-dependent modes)
+
+
+def _inv_subtract_green(ch: np.ndarray) -> None:
+    """ch: (h, w, 4) uint8 [a, r, g, b] in place."""
+    g = ch[:, :, 2].astype(np.uint16)
+    ch[:, :, 1] = ((ch[:, :, 1] + g) & 0xFF).astype(np.uint8)
+    ch[:, :, 3] = ((ch[:, :, 3] + g) & 0xFF).astype(np.uint8)
+
+
+def _inv_color_transform(
+    ch: np.ndarray, bits: int, data: np.ndarray, xsize: int
+) -> None:
+    h, w = ch.shape[:2]
+    bw = _subsample_size(w, bits)
+    elem = data.reshape(_subsample_size(h, bits), bw)
+    by = np.arange(h) >> bits
+    bx = np.arange(w) >> bits
+    e = elem[by][:, bx]  # (h, w) uint32 transform elements
+    g2r = ((e & 0xFF).astype(np.int32) ^ 0x80) - 0x80  # int8 of blue chan
+    g2b = (((e >> 8) & 0xFF).astype(np.int32) ^ 0x80) - 0x80
+    r2b = (((e >> 16) & 0xFF).astype(np.int32) ^ 0x80) - 0x80
+    green = ((ch[:, :, 2].astype(np.int32)) ^ 0x80) - 0x80
+    red = ch[:, :, 1].astype(np.int32)
+    red = (red + ((g2r * green) >> 5)) & 0xFF
+    red_s = (red ^ 0x80) - 0x80
+    blue = ch[:, :, 3].astype(np.int32)
+    blue = (blue + ((g2b * green) >> 5) + ((r2b * red_s) >> 5)) & 0xFF
+    ch[:, :, 1] = red.astype(np.uint8)
+    ch[:, :, 3] = blue.astype(np.uint8)
+
+
+def _addpix(a: int, b: int) -> int:
+    """Per-byte-lane addition mod 256 of two packed ARGB ints."""
+    return (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00) | (
+        ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    )
+
+
+def _avg2i(a: int, b: int) -> int:
+    """Per-byte-lane floor average (the (a^b)>>1 + (a&b) identity)."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _inv_predictor(argb: np.ndarray, w: int, h: int, bits: int, data) -> np.ndarray:
+    """Flat uint32 ARGB residuals -> pixels. Inherently sequential (every
+    pixel's predictor consumes the just-decoded left/top neighbours), so
+    it runs as a packed-int python walk — per-byte-lane adds and the
+    (a^b)>>1+(a&b) floor-average identity keep it a few int ops per
+    pixel, the same approach the reference C uses word-wise. Border
+    rules per spec: (0,0) uses black; row 0 left; column 0 top; the
+    top-right of the last column is the current row's first pixel."""
+    px: list[int] = argb.tolist()
+    bw = _subsample_size(w, bits)
+    modes = ((data >> 8) & 0xFF).tolist()
+    # row 0: (0,0) black, then left
+    px[0] = _addpix(px[0], 0xFF000000)
+    for x in range(1, w):
+        px[x] = _addpix(px[x], px[x - 1])
+    for y in range(1, h):
+        row = y * w
+        mrow_off = (y >> bits) * bw
+        px[row] = _addpix(px[row], px[row - w])  # column 0: top
+        wm1 = w - 1
+        for x in range(1, w):
+            i = row + x
+            t = i - w
+            mode = modes[mrow_off + (x >> bits)]
+            if mode == 2:
+                pred = px[t]
+            elif mode == 1:
+                pred = px[i - 1]
+            elif mode == 7:
+                pred = _avg2i(px[i - 1], px[t])
+            elif mode == 0:
+                pred = 0xFF000000
+            elif mode == 3:
+                pred = px[t + 1] if x < wm1 else px[row]
+            elif mode == 4:
+                pred = px[t - 1]
+            elif mode == 5:
+                tr = px[t + 1] if x < wm1 else px[row]
+                pred = _avg2i(_avg2i(px[i - 1], tr), px[t])
+            elif mode == 6:
+                pred = _avg2i(px[i - 1], px[t - 1])
+            elif mode == 8:
+                pred = _avg2i(px[t - 1], px[t])
+            elif mode == 9:
+                tr = px[t + 1] if x < wm1 else px[row]
+                pred = _avg2i(px[t], tr)
+            elif mode == 10:
+                tr = px[t + 1] if x < wm1 else px[row]
+                pred = _avg2i(
+                    _avg2i(px[i - 1], px[t - 1]), _avg2i(px[t], tr)
+                )
+            elif mode == 11:
+                # Select(T, L, TL): Σ_ch (|L-TL| - |T-TL|) <= 0 -> T else L
+                L, T, TL = px[i - 1], px[t], px[t - 1]
+                d = 0
+                for sh in (24, 16, 8, 0):
+                    l_c = (L >> sh) & 0xFF
+                    t_c = (T >> sh) & 0xFF
+                    tl_c = (TL >> sh) & 0xFF
+                    d += abs(l_c - tl_c) - abs(t_c - tl_c)
+                pred = T if d <= 0 else L
+            elif mode == 12:
+                L, T, TL = px[i - 1], px[t], px[t - 1]
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - (
+                        (TL >> sh) & 0xFF
+                    )
+                    pred |= (0 if v < 0 else 255 if v > 255 else v) << sh
+            elif mode == 13:
+                ave = _avg2i(px[i - 1], px[t])
+                TL = px[t - 1]
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    a_c = (ave >> sh) & 0xFF
+                    delta = a_c - ((TL >> sh) & 0xFF)
+                    # C-style truncation toward zero for the half step
+                    half = delta >> 1 if delta >= 0 else -((-delta) >> 1)
+                    v = a_c + half
+                    pred |= (0 if v < 0 else 255 if v > 255 else v) << sh
+            else:
+                raise ValueError(f"bad predictor mode {mode}")
+            px[i] = _addpix(px[i], pred)
+    return np.asarray(px, dtype=np.uint32)
+
+
+def _inv_color_indexing(
+    argb: np.ndarray, pbits: int, palette: np.ndarray, xsize: int, ysize: int
+) -> tuple[np.ndarray, int]:
+    """Unbundle packed indices and map through the palette. Returns
+    (argb at full width, xsize)."""
+    n_colors = len(palette)
+    if pbits == 0:
+        idx = (argb >> 8) & 0xFF
+        out = np.where(idx < n_colors, palette[np.minimum(idx, n_colors - 1)], 0)
+        return out.astype(np.uint32), xsize
+    packed_w = _subsample_size(xsize, pbits)
+    per = 1 << pbits  # pixels per packed byte
+    bits_pp = 8 >> pbits
+    g = ((argb >> 8) & 0xFF).reshape(ysize, packed_w).astype(np.uint32)
+    shifts = (np.arange(per) * bits_pp).astype(np.uint32)
+    mask = (1 << bits_pp) - 1
+    idx = ((g[:, :, None] >> shifts[None, None, :]) & mask).reshape(
+        ysize, packed_w * per
+    )[:, :xsize]
+    idx = np.minimum(idx, n_colors - 1)
+    return palette[idx].reshape(-1).astype(np.uint32), xsize
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload -> (h, w, 4) uint8 RGBA."""
+    if not payload or payload[0] != _VP8L_MAGIC:
+        raise ValueError(f"not a VP8L stream (lead byte {payload[:1]!r})")
+    br = _BitReader(payload)
+    br.read(8)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    argb, transforms, adj_x = _decode_image_stream(br, w, h, True)
+
+    for ttype, bits, data in reversed(transforms):
+        if ttype == _COLOR_INDEXING:
+            argb, adj_x = _inv_color_indexing(argb, bits, data, w, h)
+        elif ttype == _SUBTRACT_GREEN:
+            ch = argb.view(np.uint8).reshape(h, w, 4)[:, :, ::-1].copy()
+            _inv_subtract_green(ch)
+            argb = np.ascontiguousarray(ch[:, :, ::-1]).reshape(-1).view(
+                np.uint32
+            )
+        elif ttype == _COLOR:
+            ch = argb.view(np.uint8).reshape(h, w, 4)[:, :, ::-1].copy()
+            _inv_color_transform(ch, bits, data, w)
+            argb = np.ascontiguousarray(ch[:, :, ::-1]).reshape(-1).view(
+                np.uint32
+            )
+        else:  # PREDICTOR
+            argb = _inv_predictor(argb, w, h, bits, data)
+
+    # little-endian uint32 ARGB -> byte lanes [b, g, r, a]
+    lanes = argb.view(np.uint8).reshape(h, w, 4)
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = lanes[:, :, 2]  # r
+    rgba[:, :, 1] = lanes[:, :, 1]  # g
+    rgba[:, :, 2] = lanes[:, :, 0]  # b
+    rgba[:, :, 3] = lanes[:, :, 3]  # a
+    return rgba
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """WebP container -> (h, w, 4) uint8 RGBA. Lossless (VP8L) decodes in
+    pure python; lossy (VP8) dispatches to the system libwebp when
+    loadable, else raises naming it."""
+    if payload[:4] != WEBP_RIFF or payload[8:12] != WEBP_FOURCC:
+        raise ValueError(f"not a WebP (magic {payload[:4]!r})")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            return decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            return libwebp_decode_rgba(payload)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP container has no VP8/VP8L frame")
+
+
+# ---------------------------------------------------------------------------
+# fixture-grade encoder
+
+
+def _write_fixed_lengths_code(bw: _BitWriter, two_level: bool) -> None:
+    """Emit the code-length preamble for the fixed literal codes:
+    two_level=False -> 256 symbols all length 8 (single 0-bit CL code);
+    two_level=True  -> greens: 232 length-8 + 48 length-9 (1-bit CL code).
+    The caller then writes the per-symbol CL stream for two_level."""
+    bw.write(0, 1)  # normal (not simple) code
+    if two_level:
+        bw.write(13 - 4, 4)  # enough CL slots to cover symbols 8 and 9
+        for i in range(13):
+            sym = _CL_ORDER[i]
+            bw.write(1 if sym in (8, 9) else 0, 3)
+        bw.write(0, 1)  # no max_symbol short-circuit: all 280 written
+        # CL tree: symbols {8, 9} at 1 bit -> canonical code(8)=0, code(9)=1
+        for s in range(280):
+            bw.write(0 if s < 232 else 1, 1)
+    else:
+        bw.write(12 - 4, 4)  # CL slots up to symbol 8
+        for i in range(12):
+            bw.write(1 if _CL_ORDER[i] == 8 else 0, 3)
+        bw.write(0, 1)
+        # single-symbol CL tree: each of the 256 lengths costs 0 bits
+
+
+def _green_code(g: int) -> tuple[int, int]:
+    """Canonical code for the fixed 232x8+48x9 green code."""
+    if g < 232:
+        return g, 8
+    return 464 + (g - 232), 9
+
+
+def _write_simple_code(bw: _BitWriter, symbol: int) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    bw.write(1, 1)  # 8-bit symbol field
+    bw.write(symbol, 8)
+
+
+def encode_vp8l(
+    img: np.ndarray, use_backrefs: bool = True, subtract_green: bool = False
+) -> bytes:
+    """(h, w, 3|4) uint8 -> VP8L chunk payload. Fixed complete prefix
+    codes (Kraft sum exactly 1), optional distance-1 run-length back
+    references, optional SUBTRACT_GREEN. libwebp decodes the output
+    bit-for-bit (tests)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError(f"encode_vp8l needs (h,w,3|4) uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError(f"dimensions {w}x{h} out of VP8L range")
+    has_alpha = img.shape[2] == 4
+    a = img[:, :, 3] if has_alpha else np.full((h, w), 255, np.uint8)
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = (
+        (a.astype(np.uint32) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    ).reshape(-1)
+
+    bw = _BitWriter()
+    bw.write(_VP8L_MAGIC, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if has_alpha else 0, 1)
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(_SUBTRACT_GREEN, 2)
+    bw.write(0, 1)  # no (more) transforms
+    bw.write(0, 1)  # no colour cache
+    bw.write(0, 1)  # no meta prefix codes
+    _write_fixed_lengths_code(bw, two_level=True)  # green + length symbols
+    for _ in range(3):  # red, blue, alpha: 256 x 8 bits
+        _write_fixed_lengths_code(bw, two_level=False)
+    _write_simple_code(bw, 13)  # distance prefix 13 (+5 extra bits) = 121 -> 1
+
+    def emit_literal(px: int) -> None:
+        code, length = _green_code((px >> 8) & 0xFF)
+        bw.write_code(code, length)
+        bw.write_code((px >> 16) & 0xFF, 8)  # red
+        bw.write_code(px & 0xFF, 8)  # blue
+        bw.write_code((px >> 24) & 0xFF, 8)  # alpha
+
+    n = len(argb)
+    i = 0
+    while i < n:
+        px = int(argb[i])
+        emit_literal(px)
+        i += 1
+        if use_backrefs:
+            run = 0
+            while i + run < n and int(argb[i + run]) == px and run < 4096:
+                run += 1
+            if run >= 3:
+                prefix, extra_v, extra_n = _prefix_encode(run)
+                code, length = _green_code(256 + prefix)
+                bw.write_code(code, length)
+                if extra_n:
+                    bw.write(extra_v, extra_n)
+                bw.write(24, 5)  # distance value 121 -> dist 1
+                i += run
+    return bw.bytes()
+
+
+def encode_webp(
+    img: np.ndarray, use_backrefs: bool = True, subtract_green: bool = False
+) -> bytes:
+    """(h, w, 3|4) uint8 -> lossless WebP container bytes."""
+    body = encode_vp8l(img, use_backrefs, subtract_green)
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return WEBP_RIFF + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
+
+
+# ---------------------------------------------------------------------------
+# ctypes binding to the system libwebp (oracle + lossy path)
+
+_LIBWEBP = None
+_LIBWEBP_ERR: str | None = None
+
+
+def _load_libwebp():
+    global _LIBWEBP, _LIBWEBP_ERR
+    if _LIBWEBP is not None or _LIBWEBP_ERR is not None:
+        return _LIBWEBP
+    for name in ("libwebp.so.7", "libwebp.so", ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+        lib.WebPEncodeLosslessRGBA.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib.WebPFree.restype = None
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        _LIBWEBP = lib
+        return lib
+    _LIBWEBP_ERR = "libwebp shared library not found"
+    return None
+
+
+def libwebp_available() -> bool:
+    return _load_libwebp() is not None
+
+
+def libwebp_decode_rgba(payload: bytes) -> np.ndarray:
+    """Decode any WebP (incl. lossy VP8) via the system libwebp."""
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "lossy WebP (VP8) needs the system libwebp, which is not "
+            f"loadable here ({_LIBWEBP_ERR}); install libwebp or PIL"
+        )
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ptr = lib.WebPDecodeRGBA(
+        payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+    )
+    if not ptr:
+        raise ValueError("libwebp failed to decode payload")
+    try:
+        n = w.value * h.value * 4
+        buf = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * n)).contents
+        return (
+            np.frombuffer(buf, dtype=np.uint8)
+            .reshape(h.value, w.value, 4)
+            .copy()
+        )
+    finally:
+        lib.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+
+
+def libwebp_encode_lossless(img: np.ndarray) -> bytes:
+    """Lossless-encode RGB(A) via the system libwebp (test oracle)."""
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            f"system libwebp not loadable ({_LIBWEBP_ERR})"
+        )
+    if img.shape[2] == 3:
+        rgba = np.dstack(
+            [img, np.full(img.shape[:2], 255, np.uint8)]
+        )
+    else:
+        rgba = img
+    h, w = rgba.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeLosslessRGBA(
+        np.ascontiguousarray(rgba).tobytes(), w, h, w * 4, ctypes.byref(out)
+    )
+    if not size:
+        raise ValueError("libwebp lossless encode failed")
+    try:
+        buf = ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * size)).contents
+        return bytes(buf)
+    finally:
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+
+
+# ---------------------------------------------------------------------------
+# distance-plane table — recovered from libwebp (see module docstring);
+# _probe_plane_code builds the probe streams and is reused by the test
+# that re-verifies a sample of entries against the live library.
+
+
+def _probe_plane_code(plane_code: int, width: int = 64) -> bytes:
+    """A WebP whose single back-reference uses ``plane_code``: 8+ rows of
+    unique literals (the 2D codes reach back up to 7 rows), then one
+    copied pixel. Decoding reveals the distance the code denotes."""
+    h = 9
+    img = np.zeros((h, width, 4), dtype=np.uint8)
+    flat = np.arange(h * width, dtype=np.uint32)
+    img[:, :, 0] = ((flat >> 8) & 0xFF).reshape(h, width)
+    img[:, :, 1] = (flat & 0xFF).reshape(h, width)
+    img[:, :, 2] = 7
+    img[:, :, 3] = 255
+
+    bw = _BitWriter()
+    bw.write(_VP8L_MAGIC, 8)
+    bw.write(width - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta codes
+    _write_fixed_lengths_code(bw, two_level=True)
+    for _ in range(3):
+        _write_fixed_lengths_code(bw, two_level=False)
+    prefix, extra_v, extra_n = _prefix_encode(plane_code)
+    _write_simple_code(bw, prefix)
+    argb = (
+        (img[:, :, 3].astype(np.uint32) << 24)
+        | (img[:, :, 0].astype(np.uint32) << 16)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | img[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+    n_lit = len(argb) - 1
+    for px in argb[:n_lit]:
+        px = int(px)
+        code, length = _green_code((px >> 8) & 0xFF)
+        bw.write_code(code, length)
+        bw.write_code((px >> 16) & 0xFF, 8)
+        bw.write_code(px & 0xFF, 8)
+        bw.write_code((px >> 24) & 0xFF, 8)
+    code, length = _green_code(256 + 0)  # length prefix 0 -> length 1
+    bw.write_code(code, length)
+    if extra_n:
+        bw.write(extra_v, extra_n)
+    body = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return WEBP_RIFF + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
+
+
+def _recover_code_to_plane(width: int = 64) -> list[int]:
+    """Probe libwebp with plane codes 1..120 and pack each recovered
+    (dx, dy) as (dy << 4) | (8 - dx) — the spec's table layout."""
+    out = []
+    h = 9
+    for code in range(1, 121):
+        rgba = libwebp_decode_rgba(_probe_plane_code(code, width))
+        last = rgba[h - 1, width - 1]
+        src = int(last[0]) << 8 | int(last[1])
+        dist = (h * width - 1) - src
+        dy, rem = divmod(dist, width)
+        if rem > 8:  # negative dx wrapped into the previous row
+            rem -= width
+            dy += 1
+        out.append((dy << 4) | (8 - rem))
+    return out
+
+
+_CODE_TO_PLANE[:] = [
+    # recovered by _recover_code_to_plane() against the system libwebp;
+    # re-verified (sampled) by tests/test_webp.py::test_distance_plane_probe
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+]

@@ -342,9 +342,14 @@ def test_decode_image_dispatch():
     assert int(np.abs(out.astype(int) - 90).max()) <= 1
     # gray JPEG expands to 3 channels through the dispatch contract
     assert decode_image(encode_jpeg(flat[..., 0], quality=95)).shape == flat.shape
-    # genuinely-external formats still raise with the magic in the message
+    # lossless WebP decodes pure-python since round 5 (test_webp.py owns
+    # the exactness suite); genuinely-external formats still raise with
+    # the magic in the message
+    from redpajama_processor_spark import webp as _webp
+
+    assert (decode_image(_webp.encode_webp(img)) == img).all()
     with pytest.raises(NotImplementedError, match="magic"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
+        decode_image(b"\x00\x00\x00\x20ftypavif" + b"\x00" * 32)
 
 
 def test_wav_roundtrip():

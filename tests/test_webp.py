@@ -1,0 +1,257 @@
+"""WebP (VP8L) codec. Validation is two-sided AND externally anchored:
+
+1. self round-trips (encode_webp -> decode_webp) across literal / RLE /
+   subtract-green / RGB / RGBA / odd dimensions;
+2. CROSS-ORACLE against the system libwebp in BOTH directions — libwebp
+   decodes this module's streams bit-for-bit, and this module decodes
+   libwebp's own lossless output (which exercises meta prefix codes,
+   colour cache, LZ77 2D distances, predictor + cross-colour transforms,
+   and palette bundling at every width) bit-for-bit;
+3. a sampled re-run of the distance-plane probes that recovered the
+   120-entry table from libwebp;
+4. a hand-built byte-level fixture (simple prefix codes) decoded
+   analytically — independent of both encoders;
+5. a decode-throughput floor on a libwebp-encoded photographic image
+   (the same discipline as the PNG wavefront and JPEG LUT floors).
+
+libwebp-dependent tests skip (with the reason) where the shared library
+is unavailable; the pure-python paths always run.
+"""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark import webp
+from redpajama_processor_spark.multimodal import decode_image
+
+needs_libwebp = pytest.mark.skipif(
+    not webp.libwebp_available(), reason="system libwebp not loadable"
+)
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+def _photo(h=200, w=300):
+    y, x = np.mgrid[0:h, 0:w]
+    base = np.dstack(
+        [
+            (128 + 80 * np.sin(x / 30) + 40 * np.cos(y / 20)).astype(np.uint8),
+            (128 + 60 * np.sin((x + y) / 25)).astype(np.uint8),
+            (x // 2 % 256).astype(np.uint8),
+        ]
+    )
+    base[h // 4 : h // 2, w // 6 : w // 3] = [200, 10, 30]
+    noise = _rng().integers(0, 12, base.shape, dtype=np.uint8)
+    img = (base + noise).astype(np.uint8)
+    return np.dstack([img, np.full((h, w), 255, np.uint8)])
+
+
+# ---------------------------------------------------------------------------
+# self round-trips
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize(
+    "kw",
+    [{"use_backrefs": False}, {"use_backrefs": True}, {"subtract_green": True}],
+)
+def test_self_roundtrip(channels, kw):
+    img = _rng().integers(0, 256, (13, 17, channels), dtype=np.uint8)
+    out = webp.decode_webp(webp.encode_webp(img, **kw))
+    assert out.shape == (13, 17, 4)
+    assert np.array_equal(out[:, :, :channels], img)
+    if channels == 3:
+        assert (out[:, :, 3] == 255).all()
+
+
+def test_roundtrip_odd_sizes_and_runs():
+    rng = _rng()
+    for h, w in [(1, 1), (1, 7), (7, 1), (5, 5)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            webp.decode_webp(webp.encode_webp(img))[:, :, :3], img
+        )
+    # long runs exercise the length prefix extra bits
+    img = np.tile(
+        rng.integers(0, 256, (1, 1, 3), dtype=np.uint8), (40, 50, 1)
+    )
+    assert np.array_equal(webp.decode_webp(webp.encode_webp(img))[:, :, :3], img)
+
+
+def test_encode_rejects_bad_input():
+    with pytest.raises(ValueError):
+        webp.encode_vp8l(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        webp.encode_vp8l(np.zeros((4, 4, 3), dtype=np.float32))
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        webp.decode_webp(b"RIFFxxxxNOPE" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        webp.decode_vp8l(b"\x00\x01\x02")
+
+
+# ---------------------------------------------------------------------------
+# cross-oracle vs libwebp
+
+
+@needs_libwebp
+@pytest.mark.parametrize(
+    "kw",
+    [{"use_backrefs": False}, {"use_backrefs": True}, {"subtract_green": True}],
+)
+def test_libwebp_decodes_our_streams(kw):
+    img = _rng().integers(0, 256, (19, 11, 4), dtype=np.uint8)
+    out = webp.libwebp_decode_rgba(webp.encode_webp(img, **kw))
+    assert np.array_equal(out, img)
+
+
+@needs_libwebp
+def test_we_decode_libwebp_photographic():
+    """libwebp's own lossless encoding of photographic content uses the
+    heavy paths (meta prefix codes, colour cache, predictor and
+    cross-colour transforms, 2D LZ77) — decode must be bit-exact."""
+    img = _photo()
+    data = webp.libwebp_encode_lossless(img)
+    mine = webp.decode_webp(data)
+    assert np.array_equal(mine, webp.libwebp_decode_rgba(data))
+    assert np.array_equal(mine, img)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("ncol", [2, 3, 4, 9, 16, 17, 120])
+def test_we_decode_libwebp_palettes(ncol):
+    """Colour-indexing transform incl. sub-byte bundling at widths 8/4/2."""
+    rng = _rng()
+    pal = rng.integers(0, 256, (ncol, 4), dtype=np.uint8)
+    pal[:, 3] = 255
+    img = pal[rng.integers(0, ncol, (21, 13))]
+    data = webp.libwebp_encode_lossless(img)
+    mine = webp.decode_webp(data)
+    assert np.array_equal(mine, webp.libwebp_decode_rgba(data))
+    assert np.array_equal(mine, img)
+
+
+@needs_libwebp
+def test_we_decode_libwebp_alpha():
+    rng = _rng()
+    img = rng.integers(0, 256, (37, 23, 4), dtype=np.uint8)
+    data = webp.libwebp_encode_lossless(img)
+    mine = webp.decode_webp(data)
+    # libwebp may rewrite RGB under alpha==0 (non-exact mode), so the
+    # authoritative comparison is against ITS OWN decode; visible pixels
+    # must also match the input
+    assert np.array_equal(mine, webp.libwebp_decode_rgba(data))
+    vis = img[:, :, 3] > 0
+    assert np.array_equal(mine[vis], img[vis])
+
+
+@needs_libwebp
+def test_distance_plane_probe():
+    """Re-verify a sample of the recovered 120-entry distance table
+    against the live library (full recovery ran once; see module)."""
+    h, width = 9, 64
+    for code in [1, 2, 7, 23, 40, 73, 97, 101, 110, 120]:
+        rgba = webp.libwebp_decode_rgba(webp._probe_plane_code(code, width))
+        last = rgba[h - 1, width - 1]
+        src = int(last[0]) << 8 | int(last[1])
+        dist = (h * width - 1) - src
+        assert dist == webp._plane_to_dist(code, width), code
+
+
+# ---------------------------------------------------------------------------
+# hand-built fixture — decoded analytically, independent of both encoders
+
+
+def test_hand_built_simple_code_fixture():
+    """2x2 image written by hand with SIMPLE prefix codes straight from
+    the spec grammar: green/red/blue/alpha each a 2-symbol code, plus a
+    1-symbol distance code. Pixels: (r,g,b) alternating between
+    (200,10,98) and (200,77,98) — green carries the only entropy."""
+    bw = webp._BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(1, 14)  # width 2
+    bw.write(1, 14)  # height 2
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta codes
+
+    def simple2(a, b):  # two 8-bit symbols -> 1 bit each
+        bw.write(1, 1)
+        bw.write(1, 1)  # two symbols
+        bw.write(1, 1)  # first symbol in 8 bits
+        bw.write(a, 8)
+        bw.write(b, 8)
+
+    def simple1(a):
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(a, 8)
+
+    # canonical rule: with equal lengths, bit 0 maps to the SMALLER
+    # symbol regardless of the order the two symbols were written in
+    # (verified against libwebp below)
+    simple2(10, 77)  # green: bit 0 -> 10, bit 1 -> 77
+    simple2(200, 201)  # red
+    simple2(99, 98)  # blue: written high-first, bit 0 is still 98
+    simple1(255)  # alpha: 0 bits per pixel
+    simple1(0)  # distance (unused)
+    # pixels: greens 10, 77, 77, 10 -> bits 0,1,1,0; red always 200 (bit
+    # 0), blue always 98 (bit 0)
+    for gbit in (0, 1, 1, 0):
+        bw.write(gbit, 1)  # green
+        bw.write(0, 1)  # red = 200
+        bw.write(0, 1)  # blue = 99
+    body = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    out = webp.decode_webp(payload)
+    want = np.array(
+        [
+            [[200, 10, 98, 255], [200, 77, 98, 255]],
+            [[200, 77, 98, 255], [200, 10, 98, 255]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, want)
+    if webp.libwebp_available():  # the fixture is legal WebP
+        assert np.array_equal(webp.libwebp_decode_rgba(payload), want)
+
+
+# ---------------------------------------------------------------------------
+# integration + throughput
+
+
+@needs_libwebp
+def test_decode_image_dispatch():
+    img = _photo(40, 60)
+    rgb = decode_image(webp.libwebp_encode_lossless(img))
+    assert rgb.shape == (40, 60, 3)
+    assert np.array_equal(rgb, img[:, :, :3])
+
+
+@needs_libwebp
+def test_decode_throughput_floor():
+    """Entropy decode is sequential python (same stance as the JPEG
+    Huffman stage); everything after is numpy or packed-int walks.
+    Observed ~0.22 MPix/s on libwebp-encoded photographic content; floor
+    0.05 trips only on a complexity regression."""
+    img = _photo(200, 300)
+    data = webp.libwebp_encode_lossless(img)
+    t0 = time.perf_counter()
+    webp.decode_webp(data)
+    dt = time.perf_counter() - t0
+    mpix = (200 * 300) / 1e6 / dt
+    assert mpix > 0.05, f"decode at {mpix:.3f} MPix/s"
