@@ -330,6 +330,107 @@ def phase4() -> dict:
     return out
 
 
+def _turns_path(n: int) -> str:
+    return f"/tmp/rp_bench/scale_turns_{n}"
+
+
+def phase5() -> dict:
+    """Round-5 operators at 10x: DSIR importance resampling (50k -> 500k
+    docs, fixed 2k-doc target), SemDeDup with the broadcast-join
+    assignment and the codebook scaled with the corpus (16 -> 160
+    clusters, constant per-cluster occupancy — the paper's k ~ n regime,
+    so per-unit cost measures the real scale path), and conversation
+    filtering over 10k -> 100k conversations of synthetic turns."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import (
+        gen_documents_spark,
+        gen_embeddings_spark,
+        gen_turns_spark,
+    )
+    from redpajama_processor_spark.operators.convfilter import (
+        conversation_filter,
+    )
+    from redpajama_processor_spark.operators.dsir import dsir_resample
+    from redpajama_processor_spark.operators.semdedup import (
+        kmeans_centroids,
+        semdedup,
+    )
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-r5ops", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    doc_sizes = (50_000, 500_000)
+    emb_sizes = (20_000, 200_000)
+    conv_sizes = (10_000, 100_000)
+    for n in doc_sizes:
+        p = _docs_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_documents_spark(spark, n).write.mode("overwrite").parquet(p)
+    for n in emb_sizes:
+        p = _emb_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_embeddings_spark(spark, n).write.mode("overwrite").parquet(p)
+    for n in conv_sizes:
+        p = _turns_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_turns_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    target = gen_documents_spark(spark, 2_000, seed=77).cache()
+    target.count()
+
+    out: dict = {
+        "doc_sizes": list(doc_sizes),
+        "emb_sizes": list(emb_sizes),
+        "conv_sizes": list(conv_sizes),
+        "ops": {},
+    }
+    timings: dict[str, dict[int, float]] = {}
+    extras: dict[str, dict] = {}
+    for i, (nd, ne, nc) in enumerate(zip(doc_sizes, emb_sizes, conv_sizes)):
+        docs = spark.read.parquet(_docs_path(nd))
+        emb = spark.read.parquet(_emb_path(ne))
+        turns = spark.read.parquet(_turns_path(nc)).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            (F.length("text") > 40).alias("keep"),  # cheap stand-in label
+        )
+        _noop(docs.select("doc_id"))
+        _noop(emb.select("vec_id"))
+        _noop(turns.select("conv_id"))
+        k_cells = 16 * (1 if i == 0 else emb_sizes[1] // emb_sizes[0])
+        cents = kmeans_centroids(emb, n_clusters=k_cells, lloyd_rounds=1)
+        extras.setdefault("semdedup_join", {})[f"k_{ne}"] = k_cells
+        ops = {
+            "dsir_resample": lambda: _noop(
+                dsir_resample(docs, target, k=1000)
+            ),
+            "semdedup_join": lambda: _noop(
+                semdedup(
+                    emb, sim_threshold=0.99, centroids=cents, assign="join"
+                )
+            ),
+            "conv_filter": lambda: _noop(conversation_filter(turns)),
+        }
+        for name, fn in ops.items():
+            timings.setdefault(name, {})[i] = _timed(fn)
+    for name, t in timings.items():
+        ratio = t[1] / t[0]
+        per_unit = ratio / 10.0
+        out["ops"][name] = {
+            "t_small": t[0],
+            "t_big": t[1],
+            "ratio": round(ratio, 2),
+            "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+            **extras.get(name, {}),
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -345,6 +446,9 @@ def main() -> None:
         _save(res)
     if phase in ("4", "all"):
         res["phase4_ops"] = phase4()
+        _save(res)
+    if phase in ("5", "all"):
+        res["phase5_r5ops"] = phase5()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

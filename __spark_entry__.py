@@ -1468,6 +1468,26 @@ def q_doc_dsir_sample(spark, sf_dir):
     )
 
 
+def q_doc_bloom_incr(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (operators/bloom.py): the rows
+    of an appended batch whose text hash was NOT in the prior snapshot.
+    Same old/new split as doc_exact_dedup_incr; the Bloom probe is a
+    narrow zero-shuffle pass, so only the maybe-seen sliver reaches the
+    exact anti-join — proven row-identical to the plain anti-join in
+    tests/test_bloom.py (no false negatives by construction). Rows-only
+    in the driver window (python-side xxhash double hashing)."""
+    from redpajama_processor_spark.operators.bloom import bloom_incremental_new
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.md5("text").alias("h")
+    )
+    prior = d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h"))
+    return bloom_incremental_new(batch, prior, "h", capacity=1000).select(
+        "doc_id", F.col("h").alias("text_md5")
+    )
+
+
 def q_transcript_conv_filter(spark, sf_dir):
     """Conversation-level verdicts (operators/convfilter.py) over the
     transcript_core per-turn labels: aggregate each conversation's
@@ -1607,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": q_doc_dsir_sample,
         "emb_semdedup": q_emb_semdedup,
         "transcript_conv_filter": q_transcript_conv_filter,
+        "doc_bloom_incr": q_doc_bloom_incr,
     }
 
 

@@ -1,0 +1,206 @@
+"""Distributed Bloom filter: approximate membership for snapshot-scale
+incremental dedup.
+
+The exact incremental dedup (doc_exact_dedup_incr) anti-joins the new
+snapshot against the old corpus's hash set — correct, but the join
+shuffles at the OLD corpus's cardinality on every increment. At 10^12
+accumulated keys that is the dominant cost of an append-mostly pipeline.
+The classic fix (Spark's own BloomFilterAggregate, every warehouse
+engine's runtime filter) is a two-phase membership test:
+
+1. BUILD a Bloom filter over the old keys once: each partition folds its
+   keys into a local m-bit array (vectorized numpy), partial filters are
+   OR-merged in a tree (one tiny groupBy level bounds what the driver
+   touches), and the result broadcasts — size depends on capacity x fpr,
+   NOT on row width (1e9 keys @ 1% fpr ~ 1.2 GB; 1e8 ~ 120 MB).
+2. PRE-FILTER the new snapshot with a NARROW ``might_contain`` pass
+   (zero shuffle): definite-new rows (the append-mostly majority) skip
+   the join entirely; only the "maybe seen" sliver (true dups + fpr
+   false positives) takes the exact semi-join, now at sliver
+   cardinality.
+
+``bloom_incremental_new`` composes the two phases and is proven
+row-identical to the plain anti-join on every input (the Bloom filter
+has no false NEGATIVES, so pre-filtering can never lose a true dup —
+asserted bitwise in tests/test_bloom.py).
+
+Hash spec (shared verbatim by the Spark rendering and the python
+oracle): Kirsch–Mitzenmacher double hashing — h_i = h1 + i*h2 (mod m)
+with h1 = xxhash64(key, seed), h2 = xxhash64(key, seed+1) | 1 (odd, so
+the probe sequence cycles the whole table for power-of-two m). m is
+rounded up to a power of two; k = round(ln 2 * m / n).
+
+Reference analog: the reference re-reads the full corpus per dedup run
+(/root/reference/step2_dedupe_minhash.py); incremental membership is
+part of the engine's snapshot surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import py_xxh64
+
+DEFAULT_FPR = 0.01
+_MERGE_FANIN = 16  # partial filters per tree-merge group
+
+
+def bloom_params(capacity: int, fpr: float = DEFAULT_FPR) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a target capacity/fpr; m is a power of two
+    so the double-hash mod is a mask."""
+    if capacity < 1 or not 0 < fpr < 1:
+        raise ValueError(f"bad bloom params capacity={capacity} fpr={fpr}")
+    m = -capacity * math.log(fpr) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m)))
+    k = max(1, round(math.log(2) * m_bits / capacity))
+    return m_bits, k
+
+
+def _hash_pair(vals: list[str], seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 arrays; h2 forced odd. Python xxh64 per key — the
+    build is one pass over the OLD corpus, amortized over every later
+    increment, and the probe side reuses the same spec."""
+    h1 = np.fromiter(
+        (py_xxh64(v.encode("utf-8"), seed=seed) for v in vals),
+        dtype=np.uint64,
+        count=len(vals),
+    )
+    h2 = np.fromiter(
+        (py_xxh64(v.encode("utf-8"), seed=seed + 1) for v in vals),
+        dtype=np.uint64,
+        count=len(vals),
+    )
+    return h1, h2 | np.uint64(1)
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, mask: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing (wrapping uint64 mul)."""
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(mask)
+
+
+def _fold_into(bits: np.ndarray, vals: list[str], k: int, seed: int) -> None:
+    if not vals:
+        return
+    h1, h2 = _hash_pair(vals, seed)
+    pos = _positions(h1, h2, k, len(bits) * 8 - 1).reshape(-1)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    capacity: int,
+    fpr: float = DEFAULT_FPR,
+    seed: int = 42,
+) -> dict:
+    """One distributed pass: per-partition partial filters (mapInPandas,
+    vectorized fold), a bounded tree OR-merge (groupBy fan-in 16 keeps
+    any single task's input at 16 partials), final OR on the driver.
+    Returns {'bits': np.uint8 array, 'k': int, 'seed': int, 'capacity',
+    'fpr'} — broadcast it for probe passes."""
+    m_bits, k = bloom_params(capacity, fpr)
+    m_bytes = m_bits // 8
+
+    def _partial(batches):
+        bits = np.zeros(m_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            vals = pdf[col].dropna().astype(str).tolist()
+            if vals:
+                any_rows = True
+                _fold_into(bits, vals, k, seed)
+        if any_rows:
+            yield pd.DataFrame({"f": [bits.tobytes()]})
+
+    partials = df.select(col).mapInPandas(_partial, "f binary")
+
+    def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bytes, dtype=np.uint8)
+        for blob in pdf["f"]:
+            bits |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame({"f": [bits.tobytes()]})
+
+    merged = (
+        partials.withColumn(
+            "g", F.pmod(F.monotonically_increasing_id(), F.lit(_MERGE_FANIN))
+        )
+        .groupBy("g")
+        .applyInPandas(_merge_group, "f binary")
+    )
+    bits = np.zeros(m_bytes, dtype=np.uint8)
+    for row in merged.collect():
+        bits |= np.frombuffer(row["f"], dtype=np.uint8)
+    return {"bits": bits, "k": k, "seed": seed, "capacity": capacity, "fpr": fpr}
+
+
+def py_build_bloom(
+    vals: list[str], capacity: int, fpr: float = DEFAULT_FPR, seed: int = 42
+) -> dict:
+    """Single-process oracle of the same build."""
+    m_bits, k = bloom_params(capacity, fpr)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    _fold_into(bits, [str(v) for v in vals], k, seed)
+    return {"bits": bits, "k": k, "seed": seed, "capacity": capacity, "fpr": fpr}
+
+
+def py_might_contain(bloom: dict, val: str) -> bool:
+    h1, h2 = _hash_pair([str(val)], bloom["seed"])
+    pos = _positions(h1, h2, bloom["k"], len(bloom["bits"]) * 8 - 1)[0]
+    bits = bloom["bits"]
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in pos.tolist())
+
+
+def might_contain_udf(bloom_bc):
+    """Narrow vectorized membership probe (zero shuffle)."""
+
+    @F.pandas_udf("boolean")
+    def _mc(vals: pd.Series) -> pd.Series:
+        bloom = bloom_bc.value
+        bits, k, seed = bloom["bits"], bloom["k"], bloom["seed"]
+        if not len(vals):
+            return pd.Series([], dtype=bool)
+        na = vals.isna().to_numpy()
+        v = vals.fillna("").astype(str).tolist()
+        h1, h2 = _hash_pair(v, seed)
+        pos = _positions(h1, h2, k, len(bits) * 8 - 1)
+        hit = (bits[pos >> np.uint64(3)] >> (pos & np.uint64(7))) & 1
+        out = hit.all(axis=1)
+        out[na] = False  # a NULL key never matches (anti-join semantics)
+        return pd.Series(out.astype(bool))
+
+    return _mc
+
+
+def bloom_incremental_new(
+    new: DataFrame,
+    old: DataFrame,
+    key: str,
+    capacity: int | None = None,
+    fpr: float = DEFAULT_FPR,
+    seed: int = 42,
+    bloom: dict | None = None,
+) -> DataFrame:
+    """Rows of ``new`` whose ``key`` does NOT appear in ``old`` —
+    row-identical to a plain left-anti join, but the join only sees the
+    "maybe seen" sliver: definite-new rows short-circuit on the narrow
+    Bloom probe. Pass ``bloom`` to reuse a filter built once for many
+    increments (the intended deployment shape); otherwise one is built
+    from ``old`` (capacity defaults to old.count())."""
+    if bloom is None:
+        if capacity is None:
+            capacity = max(1, old.count())
+        bloom = build_bloom(old, key, capacity, fpr, seed)
+    bc = new.sparkSession.sparkContext.broadcast(bloom)
+    probed = new.withColumn("_maybe", might_contain_udf(bc)(F.col(key)))
+    definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = probed.filter(F.col("_maybe")).drop("_maybe")
+    verified_new = maybe.join(
+        old.select(F.col(key).alias(key)).distinct(), key, "left_anti"
+    )
+    return definite_new.unionByName(verified_new)

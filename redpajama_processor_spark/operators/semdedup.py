@@ -151,10 +151,25 @@ def kmeans_centroids(
     )
     seeds = sorted(seeds, key=lambda r: r[id_col])
     cvecs = [[float(x) for x in r[vec_col]] for r in seeds]
+    # the literal argmax folds k centroids into one codegen expression —
+    # unbeatable for tens of cells, but the expression tree (k x dims
+    # literals) blows past janino limits as k grows; large codebooks
+    # assign via the broadcast join (bit-identical, see assign_cells_join)
+    use_join = n_clusters > 32
     for _ in range(max(0, lloyd_rounds)):
-        asg = df.select(
-            vec_col, assign_cell_col(F.col(vec_col), cvecs).alias("_cell")
-        ).filter(F.col("_cell") > 0)
+        if use_join:
+            asg = assign_cells_join(
+                df.select(
+                    F.col(id_col).alias("_kid"), F.col(vec_col).alias(vec_col)
+                ),
+                cvecs,
+                "_kid",
+                vec_col,
+            ).select(vec_col, "_cell").filter(F.col("_cell") > 0)
+        else:
+            asg = df.select(
+                vec_col, assign_cell_col(F.col(vec_col), cvecs).alias("_cell")
+            ).filter(F.col("_cell") > 0)
         means = (
             asg.select("_cell", F.posexplode(vec_col).alias("_d", "_v"))
             .groupBy("_cell", "_d")
@@ -172,6 +187,57 @@ def kmeans_centroids(
             for c in range(len(cvecs))
         ]
     return cvecs
+
+
+def assign_cells_join(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LARGE-CODEBOOK assignment rendering: broadcast the centroid
+    table and argmax via one aggregation instead of k literal column
+    expressions. The literal argmax (assign_cell_col) folds the codebook
+    into whole-stage codegen — unbeatable for tens of centroids but the
+    expression tree grows with k and caps out around hundreds; SemDeDup
+    at corpus scale wants k ~ n/target_cluster_size (the paper runs 10^5
+    clusters), which this path handles: cost is one broadcast
+    nested-loop pass (n x k cosines, embarrassingly parallel) plus one
+    map-side-combined min-struct aggregation keyed on the row id. Ties
+    and NULL cosines (zero-norm vectors -> cell 0) match the literal
+    rendering bit-for-bit (asserted in tests/test_semdedup.py).
+
+    Returns df + (_cell int, _csim double)."""
+    spark = df.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "_cc int, _cvec array<double>",
+        )
+    )
+    scored = (
+        df.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_avec"))
+        .join(cent_df)
+        # +0.0 canonicalizes a -0.0 cosine so the negated sort key cannot
+        # order two zero cosines differently from the literal rendering
+        .withColumn(
+            "_cos", cosine_col(F.col("_avec"), F.col("_cvec")) + F.lit(0.0)
+        )
+        .filter(F.col("_cos").isNotNull())
+    )
+    best = scored.groupBy("_aid").agg(
+        F.min(F.struct((-F.col("_cos")).alias("n"), F.col("_cc").alias("c")))
+        .alias("_b")
+    ).select(
+        "_aid",
+        F.col("_b.c").alias("_cell"),
+        (-F.col("_b.n")).alias("_csim"),
+    )
+    return (
+        df.join(best, df[id_col] == best["_aid"], "left")
+        .drop("_aid")
+        .withColumn("_cell", F.coalesce(F.col("_cell"), F.lit(0)))
+    )
 
 
 def assign_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
@@ -203,33 +269,45 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = DEFAULT_MAX_CLUSTER,
+    assign: str = "literal",
 ) -> DataFrame:
     """Annotate every row with (sem_cell, centroid_sim, sem_keep,
     sem_dup_of, sem_max_sim). One corpus shuffle (the cluster key);
-    everything else narrow or driver-side KB-scale."""
+    everything else narrow or driver-side KB-scale. ``assign='literal'``
+    (default) folds the codebook into codegen — right for tens of
+    clusters; ``assign='join'`` broadcasts the centroid table instead —
+    the scale path for the k ~ n/cluster_size codebooks SemDeDup wants
+    on a real corpus (bit-identical output, proven in tests)."""
+    if assign not in ("literal", "join"):
+        raise ValueError(f"assign={assign!r}: expected 'literal' or 'join'")
     if centroids is None:
         centroids = kmeans_centroids(df, n_clusters, lloyd_rounds, id_col, vec_col)
 
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).withColumn("_cell", assign_cell_col(F.col("_vec"), centroids))
-    base = base.withColumn(
-        "_csim",
-        F.when(
-            F.col("_cell") > 0,
-            # cosine to the assigned centroid, JVM fold order (oracle
-            # mirrors with py_cosine)
-            F.element_at(
-                F.array(
-                    *[
-                        cosine_col(F.col("_vec"), F.array(*[F.lit(x) for x in c]))
-                        for c in centroids
-                    ]
+    sel = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    if assign == "join":
+        base = assign_cells_join(sel, centroids, "_id", "_vec")
+    else:
+        base = sel.withColumn(
+            "_cell", assign_cell_col(F.col("_vec"), centroids)
+        ).withColumn(
+            "_csim",
+            F.when(
+                F.col("_cell") > 0,
+                # cosine to the assigned centroid, JVM fold order (oracle
+                # mirrors with py_cosine)
+                F.element_at(
+                    F.array(
+                        *[
+                            cosine_col(
+                                F.col("_vec"), F.array(*[F.lit(x) for x in c])
+                            )
+                            for c in centroids
+                        ]
+                    ),
+                    F.col("_cell"),
                 ),
-                F.col("_cell"),
             ),
-        ),
-    )
+        )
 
     out_schema = (
         f"{id_col} long, sem_cell int, centroid_sim double, "

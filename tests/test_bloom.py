@@ -1,0 +1,111 @@
+"""Bloom-filter membership: build parity (Spark == oracle bit arrays),
+no-false-negatives (the load-bearing property), measured fpr within
+bounds, bloom+verify row-identical to the plain anti-join, null keys,
+plan shape (narrow probe), and filter reuse across increments."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.bloom import (
+    bloom_incremental_new,
+    bloom_params,
+    build_bloom,
+    might_contain_udf,
+    py_build_bloom,
+    py_might_contain,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+OLD = [f"doc-{i}" for i in range(500)]
+NEW = [f"doc-{i}" for i in range(400, 900)]  # 100 dups, 400 new
+
+
+def _df(spark, vals, name="k"):
+    return spark.createDataFrame([(v,) for v in vals], f"{name} string")
+
+
+def test_params_shape():
+    m, k = bloom_params(1000, 0.01)
+    assert m & (m - 1) == 0  # power of two
+    assert 5 <= k <= 14
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_build_matches_oracle_bitwise(spark):
+    sp = build_bloom(_df(spark, OLD), "k", capacity=500)
+    py = py_build_bloom(OLD, capacity=500)
+    assert sp["k"] == py["k"]
+    assert np.array_equal(sp["bits"], py["bits"])
+    # and partition-invariant
+    sp2 = build_bloom(_df(spark, OLD).repartition(7), "k", capacity=500)
+    assert np.array_equal(sp2["bits"], py["bits"])
+
+
+def test_no_false_negatives(spark):
+    bloom = py_build_bloom(OLD, capacity=500)
+    assert all(py_might_contain(bloom, v) for v in OLD)
+    bc = spark.sparkContext.broadcast(bloom)
+    probed = _df(spark, OLD).withColumn("m", might_contain_udf(bc)(F.col("k")))
+    assert probed.filter(~F.col("m")).count() == 0
+
+
+def test_fpr_within_bounds():
+    bloom = py_build_bloom(OLD, capacity=500, fpr=0.01)
+    probes = [f"absent-{i}" for i in range(4000)]
+    fp = sum(py_might_contain(bloom, p) for p in probes) / len(probes)
+    assert fp < 0.03, fp  # 3x headroom over the 1% target
+
+
+def test_incremental_equals_plain_anti_join(spark):
+    old = _df(spark, OLD)
+    new = _df(spark, NEW)
+    got = sorted(
+        r["k"] for r in bloom_incremental_new(new, old, "k").collect()
+    )
+    want = sorted(
+        r["k"] for r in new.join(old, "k", "left_anti").collect()
+    )
+    assert got == want
+    assert len(got) == 400
+
+
+def test_incremental_with_prebuilt_filter_reuse(spark):
+    old = _df(spark, OLD)
+    bloom = build_bloom(old, "k", capacity=500)
+    for lo, hi in [(450, 600), (600, 750)]:
+        new = _df(spark, [f"doc-{i}" for i in range(lo, hi)])
+        got = sorted(
+            r["k"]
+            for r in bloom_incremental_new(new, old, "k", bloom=bloom).collect()
+        )
+        want = sorted(r["k"] for r in new.join(old, "k", "left_anti").collect())
+        assert got == want
+
+
+def test_null_keys_are_new(spark):
+    old = _df(spark, OLD)
+    new = spark.createDataFrame([("doc-1",), (None,)], "k string")
+    got = bloom_incremental_new(new, old, "k").collect()
+    assert [r["k"] for r in got] == [None]  # null never matches
+
+
+def test_probe_is_narrow(spark):
+    bloom = py_build_bloom(OLD, capacity=500)
+    bc = spark.sparkContext.broadcast(bloom)
+    a = audit_plan(
+        _df(spark, NEW).withColumn("m", might_contain_udf(bc)(F.col("k")))
+    )
+    assert a["n_exchanges"] == 0, a["plan"]
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_property_no_false_negatives(vals):
+    bloom = py_build_bloom(vals, capacity=max(1, len(vals)))
+    assert all(py_might_contain(bloom, v) for v in vals)

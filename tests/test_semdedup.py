@@ -131,6 +131,34 @@ def test_py_cosine_matches_numpy_direction():
     assert py_cosine([0.0, 0.0], [1.0, 0.0]) is None
 
 
+def test_join_assignment_matches_literal(spark, sf_dir):
+    """The broadcast-join assignment (large-codebook scale path) must be
+    bit-identical to the literal codegen argmax — including zero-vector
+    cell-0 and tie handling."""
+    a = _run(spark, _df(spark))
+    b = _run(spark, _df(spark), assign="join")
+    assert a == b
+    # and on the real fixture with kmeans centroids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from redpajama_processor_spark.operators.semdedup import kmeans_centroids
+
+    cents = kmeans_centroids(emb, n_clusters=8, lloyd_rounds=1)
+    lit = semdedup(emb, centroids=cents, sim_threshold=0.99).collect()
+    jn = semdedup(
+        emb, centroids=cents, sim_threshold=0.99, assign="join"
+    ).collect()
+    key = lambda r: r["vec_id"]
+    for rl, rj in zip(sorted(lit, key=key), sorted(jn, key=key)):
+        assert rl == rj, (rl, rj)
+
+
+def test_bad_assign_raises(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="assign"):
+        semdedup(_df(spark), centroids=CENTS, assign="bogus")
+
+
 def test_kmeans_end_to_end_fixture(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = kmeans_centroids(emb, n_clusters=8, lloyd_rounds=2)
