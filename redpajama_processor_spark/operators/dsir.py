@@ -138,17 +138,43 @@ def py_fit_bucket_logprobs(
 # weighting + gumbel keys
 
 
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def _score_rows(arrs: list[np.ndarray], lr: np.ndarray) -> np.ndarray:
+    """log-weights for a batch of bucket arrays: flat gather + segment
+    reduceat — O(total terms), NOT O(rows x buckets) (a per-row
+    bincount(minlength=B) pays the full bucket width per document).
+    Terms are sorted per document first, so accumulation runs in
+    ascending-bucket order and the result is term-order-independent and
+    sequential-deterministic (no BLAS). This is the SINGLE float-math
+    site for weighting — the pandas UDF and the python oracle both call
+    it, which is what makes Spark == oracle bitwise."""
+    n = len(arrs)
+    out = np.zeros(n, dtype=np.float64)
+    if not n:
+        return out
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if not total:
+        return out
+    flat = np.concatenate([np.sort(a) for a in arrs if len(a)])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    seg = np.add.reduceat(lr[flat], np.minimum(starts, total - 1))
+    seg[lens == 0] = 0.0
+    return seg
+
+
 def _logw_udf(log_ratio_bc, buckets: int):
     @F.pandas_udf("double")
     def _logw(bs: pd.Series) -> pd.Series:
         lr = log_ratio_bc.value
-        out = np.zeros(len(bs), dtype=np.float64)
-        for i, arr in enumerate(bs):
-            if arr is not None and len(arr):
-                out[i] = np.bincount(
-                    np.asarray(arr, dtype=np.int64), minlength=buckets
-                ).astype(np.float64) @ lr
-        return pd.Series(out)
+        arrs = [
+            np.asarray(a, dtype=np.int64) if a is not None else _EMPTY
+            for a in bs
+        ]
+        return pd.Series(_score_rows(arrs, lr))
 
     return _logw
 
@@ -186,16 +212,11 @@ def py_gumbel_key(doc_id, seed: int = 42) -> float:
 def py_dsir_logw(
     text: str | None, log_ratio: np.ndarray, buckets: int = DEFAULT_BUCKETS
 ) -> float:
-    """Oracle log-weight for one document (bincount @ ratio, same
-    accumulation order as the UDF)."""
+    """Oracle log-weight for one document — hashes with the python
+    rendering, then scores through the SAME _score_rows the UDF uses."""
     bs = py_hashed_buckets(text, buckets)
-    if not bs:
-        return 0.0
     return float(
-        np.bincount(np.asarray(bs, dtype=np.int64), minlength=buckets).astype(
-            np.float64
-        )
-        @ log_ratio
+        _score_rows([np.asarray(bs, dtype=np.int64)], np.asarray(log_ratio))[0]
     )
 
 
