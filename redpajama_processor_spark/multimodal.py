@@ -433,11 +433,25 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Magic-dispatched audio decode: PCM-16 WAV or FLAC (pure-python,
+    flac.py) -> (mono int samples, sample_rate); multi-channel FLAC is
+    downmixed by integer channel mean. MP3/AAC raise naming the missing
+    lib."""
+    if payload[:4] == b"fLaC":
+        from redpajama_processor_spark import flac
+
+        samples, rate = flac.decode_flac(payload)
+        mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+        return mono.astype(np.int32), rate
+    return decode_wav(payload)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM-16 WAV bytes -> (int16 samples, sample_rate); chunk-walks RIFF."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            f"not a WAV (magic {payload[:4]!r}); compressed audio needs an "
+            f"not a WAV (magic {payload[:4]!r}); MP3/AAC etc. need an "
             "audio lib — plug in via the langid.py lazy-init pattern"
         )
     pos, rate, bits, channels, data = 12, None, None, None, None
@@ -545,7 +559,8 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
     """mapInPandas feature extraction: batch-in, batch-out, payload dropped.
 
     fake=False (default) runs the REAL codecs: BMP/PNG/JPEG/GIF/TIFF/WebP
-    images -> 4x4 gray mean-pool patch; WAV audio -> per-segment log-RMS;
+    images -> 4x4 gray mean-pool patch; WAV/FLAC audio -> per-segment
+    log-RMS;
     RAWBMPV video -> image feature of the first frame. Genuinely-external
     payloads (AVIF, MP3, MP4 video codecs...) raise NotImplementedError naming
     the missing lib (PIL/ffmpeg — plug in via the lazy-init pattern in
@@ -563,7 +578,7 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
                 elif kind == "image":
                     feats.append(_image_feature(decode_image(p), dim))
                 elif kind == "audio":
-                    feats.append(_audio_feature(decode_wav(p)[0], dim))
+                    feats.append(_audio_feature(decode_audio(p)[0], dim))
                 elif kind == "video":
                     frames = decode_video(p)
                     feats.append(

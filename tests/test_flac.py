@@ -1,0 +1,259 @@
+"""FLAC codec: lossless round-trips (verbatim + fixed/rice, mono/stereo,
+8/16/24-bit, odd block boundaries, hypothesis), byte-level hand-built
+fixtures decoded analytically (FIXED+rice, LPC, mid/side, escape
+partitions), integrity-mechanism checks (CRC-8/CRC-16/MD5 corruption is
+DETECTED), and the multimodal audio dispatch."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redpajama_processor_spark import flac
+from redpajama_processor_spark.multimodal import decode_audio, encode_wav
+
+
+def _rng():
+    return np.random.default_rng(5)
+
+
+# ---------------------------------------------------------------------------
+# round-trips
+
+
+@pytest.mark.parametrize("bps", [8, 16, 24])
+@pytest.mark.parametrize("fixed", [False, True])
+def test_roundtrip_mono(bps, fixed):
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    s = _rng().integers(lo, hi + 1, 3000, dtype=np.int64)
+    out, rate = flac.decode_flac(
+        flac.encode_flac(s, 22050, bps=bps, block_size=512, fixed=fixed)
+    )
+    assert rate == 22050
+    assert np.array_equal(out[:, 0], s)
+
+
+@pytest.mark.parametrize("nch", [2, 3])
+def test_roundtrip_multichannel(nch):
+    s = _rng().integers(-20000, 20000, (2500, nch), dtype=np.int64)
+    out, _ = flac.decode_flac(flac.encode_flac(s, 16000, block_size=999))
+    assert np.array_equal(out, s)
+
+
+def test_roundtrip_odd_tail_and_tiny():
+    s = _rng().integers(-100, 100, 1025, dtype=np.int64)  # 1 sample over
+    out, _ = flac.decode_flac(flac.encode_flac(s, 8000, block_size=1024))
+    assert np.array_equal(out[:, 0], s)
+    out, _ = flac.decode_flac(flac.encode_flac(np.array([7]), 8000))
+    assert out[:, 0].tolist() == [7]
+
+
+def test_fixed_compresses_smooth_signal():
+    t = np.arange(8000)
+    s = (3000 * np.sin(t / 50)).astype(np.int64)
+    verb = flac.encode_flac(s, 16000)
+    fix = flac.encode_flac(s, 16000, fixed=True)
+    assert len(fix) < 0.7 * len(verb), (len(fix), len(verb))
+    assert np.array_equal(flac.decode_flac(fix)[0][:, 0], s)
+
+
+def test_encode_rejects_bad_input():
+    with pytest.raises(ValueError):
+        flac.encode_flac(np.array([300]), bps=8)  # out of 8-bit range
+    with pytest.raises(ValueError):
+        flac.encode_flac(np.zeros((2, 2, 2)))
+    with pytest.raises(ValueError):
+        flac.decode_flac(b"NOPE" + b"\x00" * 40)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_property_lossless(vals):
+    s = np.asarray(vals, dtype=np.int64)
+    out, _ = flac.decode_flac(flac.encode_flac(s, 16000, block_size=64))
+    assert np.array_equal(out[:, 0] if len(s) else out.reshape(-1), s)
+
+
+@given(st.lists(st.integers(-3000, 3000), min_size=3, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_property_lossless_fixed(vals):
+    s = np.asarray(vals, dtype=np.int64)
+    out, _ = flac.decode_flac(
+        flac.encode_flac(s, 16000, block_size=50, fixed=True)
+    )
+    assert np.array_equal(out[:, 0], s)
+
+
+# ---------------------------------------------------------------------------
+# hand-built byte-level fixtures (decoded analytically — independent of
+# encode_flac)
+
+
+def _streaminfo(rate, nch, bps, total, block=4096):
+    w = flac._BitsW()
+    w.write(block, 16)
+    w.write(block, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(rate, 20)
+    w.write(nch - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(total, 36)
+    w.align()
+    body = w.bytes() + b"\x00" * 16  # md5 absent -> check skipped
+    return flac.FLAC_MAGIC + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame_header(w, bs_code, sr_code, ch_code, ss_code, frame_no, bsz=None):
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(bs_code, 4)
+    w.write(sr_code, 4)
+    w.write(ch_code, 4)
+    w.write(ss_code, 3)
+    w.write(0, 1)
+    flac._write_utf8_num(w, frame_no)
+    if bs_code == 6:
+        w.write(bsz - 1, 8)
+    hdr = bytes(w.buf)
+    assert w.nacc == 0
+    w.write(flac._crc8(hdr), 8)
+
+
+def _finish_frame(w):
+    w.align()
+    body = bytes(w.buf)
+    w.write(flac._crc16(body), 16)
+    return w.bytes()
+
+
+def test_hand_fixture_fixed_order1_rice():
+    """mono 8-bit, block 4, FIXED order 1, warmup 10, residuals
+    [2, -1, 2] rice(p=0) -> samples [10, 12, 11, 13]."""
+    w = flac._BitsW()
+    _frame_header(w, 6, 4, 0, 1, 0, bsz=4)  # 8-bit, mono, 8kHz
+    w.write(0, 1)
+    w.write(8 + 1, 6)  # FIXED order 1
+    w.write(0, 1)  # no wasted bits
+    w.write(10, 8)  # warmup
+    w.write(0, 2)  # rice 4-bit
+    w.write(0, 4)  # partition order 0
+    w.write(0, 4)  # param 0
+    for v in (4, 1, 4):  # zigzag of [2, -1, 2]
+        w.write_unary(v >> 0)
+    payload = _streaminfo(8000, 1, 8, 4) + _finish_frame(w)
+    out, rate = flac.decode_flac(payload)
+    assert rate == 8000
+    assert out[:, 0].tolist() == [10, 12, 11, 13]
+
+
+def test_hand_fixture_lpc():
+    """mono 8-bit, block 3, LPC order 1 (coeff 2, shift 1 -> predictor
+    s[i-1]), warmup 5, residuals [1, -1] -> [5, 6, 5]."""
+    w = flac._BitsW()
+    _frame_header(w, 6, 4, 0, 1, 0, bsz=3)
+    w.write(0, 1)
+    w.write(0b100000, 6)  # LPC order (0 & 0x1F) + 1 = 1
+    w.write(0, 1)
+    w.write(5, 8)  # warmup
+    w.write(3, 4)  # precision 4 bits
+    w.write(1, 5)  # shift 1
+    w.write(2, 4)  # coeff +2
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(0, 4)  # rice param 0
+    for v in (2, 1):  # zigzag of [1, -1]
+        w.write_unary(v)
+    out, _ = flac.decode_flac(_streaminfo(8000, 1, 8, 3) + _finish_frame(w))
+    assert out[:, 0].tolist() == [5, 6, 5]
+
+
+def test_hand_fixture_mid_side():
+    """stereo mid/side VERBATIM: L=[5,7], R=[3,4] -> mid=[4,5],
+    side=[2,3] (side carries the extra bit)."""
+    w = flac._BitsW()
+    _frame_header(w, 6, 4, 10, 1, 0, bsz=2)  # ch_code 10 = mid/side
+    w.write(0, 1)
+    w.write(1, 6)  # VERBATIM mid (8 bits)
+    w.write(0, 1)
+    w.write(4, 8)
+    w.write(5, 8)
+    w.write(0, 1)
+    w.write(1, 6)  # VERBATIM side (9 bits)
+    w.write(0, 1)
+    w.write(2, 9)
+    w.write(3, 9)
+    out, _ = flac.decode_flac(_streaminfo(8000, 2, 8, 2) + _finish_frame(w))
+    assert out.tolist() == [[5, 3], [7, 4]]
+
+
+def test_hand_fixture_escape_partition():
+    """rice escape: raw 5-bit residuals."""
+    w = flac._BitsW()
+    _frame_header(w, 6, 4, 0, 1, 0, bsz=3)
+    w.write(0, 1)
+    w.write(8 + 0, 6)  # FIXED order 0: samples == residuals
+    w.write(0, 1)
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(0xF, 4)  # escape
+    w.write(5, 5)  # 5 raw bits
+    for v in (9, -7 & 0x1F, 0):
+        w.write(v, 5)
+    out, _ = flac.decode_flac(_streaminfo(8000, 1, 8, 3) + _finish_frame(w))
+    assert out[:, 0].tolist() == [9, -7, 0]
+
+
+def test_hand_fixture_wasted_bits():
+    """VERBATIM with 1 wasted bit: stored 7-bit values shift left 1."""
+    w = flac._BitsW()
+    _frame_header(w, 6, 4, 0, 1, 0, bsz=2)
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(1, 1)  # wasted-bits flag
+    w.write(1, 1)  # unary 0 -> wasted = 1
+    w.write(3, 7)
+    w.write(-2 & 0x7F, 7)
+    out, _ = flac.decode_flac(_streaminfo(8000, 1, 8, 2) + _finish_frame(w))
+    assert out[:, 0].tolist() == [6, -4]
+
+
+# ---------------------------------------------------------------------------
+# integrity mechanisms detect corruption
+
+
+def test_crc_and_md5_detect_corruption():
+    s = _rng().integers(-1000, 1000, 500, dtype=np.int64)
+    good = bytearray(flac.encode_flac(s, 16000, block_size=256))
+    # flip a bit inside frame data (after streaminfo = 4 + 4 + 34 bytes)
+    bad = bytearray(good)
+    bad[60] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|MD5|sync|truncated|reserved"):
+        flac.decode_flac(bytes(bad))
+    # corrupt the STREAMINFO md5 -> decode fails the md5 check
+    bad2 = bytearray(good)
+    bad2[4 + 4 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        flac.decode_flac(bytes(bad2))
+
+
+# ---------------------------------------------------------------------------
+# multimodal dispatch
+
+
+def test_decode_audio_dispatch():
+    s = _rng().integers(-20000, 20000, 800, dtype=np.int64)
+    samples, rate = decode_audio(flac.encode_flac(s, 16000))
+    assert rate == 16000 and np.array_equal(samples, s.astype(np.int32))
+    wav_samples, wav_rate = decode_audio(
+        encode_wav(s.astype(np.int16), 16000)
+    )
+    assert wav_rate == 16000 and np.array_equal(wav_samples, s.astype(np.int16))
+    # stereo FLAC downmixes by integer channel mean
+    st2 = np.stack([s, s + 2], axis=1)
+    mono, _ = decode_audio(flac.encode_flac(st2, 16000))
+    assert np.array_equal(mono, ((s + (s + 2)) // 2).astype(np.int32))
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 32)  # MP3 frame sync
