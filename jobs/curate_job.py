@@ -114,6 +114,14 @@ def main() -> None:
         "agreement vs the rules lands in the metrics JSON",
     )
     ap.add_argument(
+        "--with-conv-filter",
+        action="store_true",
+        help="after per-turn curation, aggregate conversation-level "
+        "verdicts (min-turns / gapped turn index / one-sided / "
+        "keep-ratio) and annotate every turn with (conv_keep, "
+        "conv_drop_rule); conversation census lands in the metrics JSON",
+    )
+    ap.add_argument(
         "--storage",
         choices=["parquet", "iceberg"],
         default="parquet",
@@ -247,6 +255,24 @@ def main() -> None:
         clf_agreement = round(agg["agree"], 6)
         result = annotated
 
+    conv_census = None
+    if args.with_conv_filter:
+        from pyspark.sql import functions as F
+
+        from redpajama_processor_spark.operators.convfilter import (
+            conversation_filter,
+        )
+
+        result = conversation_filter(result, annotate=True)
+        conv_census = {
+            (r["conv_drop_rule"] or "__kept__"): r["n"]
+            for r in result.select("conv_id", "conv_drop_rule")
+            .distinct()
+            .groupBy("conv_drop_rule")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
     census = {
         r["rule"]: r["count"] for r in rule_census(result).collect()
     }
@@ -261,6 +287,8 @@ def main() -> None:
     }
     if clf_agreement is not None:
         meta["clf_rule_agreement"] = clf_agreement
+    if conv_census is not None:
+        meta["conv_census"] = conv_census
     if args.with_pii:
         from pyspark.sql import functions as F
 
