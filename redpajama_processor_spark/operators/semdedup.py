@@ -269,19 +269,25 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = DEFAULT_MAX_CLUSTER,
-    assign: str = "literal",
+    assign: str = "auto",
 ) -> DataFrame:
     """Annotate every row with (sem_cell, centroid_sim, sem_keep,
     sem_dup_of, sem_max_sim). One corpus shuffle (the cluster key);
     everything else narrow or driver-side KB-scale. ``assign='literal'``
-    (default) folds the codebook into codegen — right for tens of
-    clusters; ``assign='join'`` broadcasts the centroid table instead —
-    the scale path for the k ~ n/cluster_size codebooks SemDeDup wants
-    on a real corpus (bit-identical output, proven in tests)."""
-    if assign not in ("literal", "join"):
-        raise ValueError(f"assign={assign!r}: expected 'literal' or 'join'")
+    folds the codebook into codegen — right for tens of clusters;
+    ``assign='join'`` broadcasts the centroid table instead — the scale
+    path for the k ~ n/cluster_size codebooks SemDeDup wants on a real
+    corpus (bit-identical output, proven in tests). The default
+    ``'auto'`` picks literal up to 32 cells and join beyond, so a large
+    codebook can never hit the codegen expression-size wall."""
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(
+            f"assign={assign!r}: expected 'auto', 'literal' or 'join'"
+        )
     if centroids is None:
         centroids = kmeans_centroids(df, n_clusters, lloyd_rounds, id_col, vec_col)
+    if assign == "auto":
+        assign = "literal" if len(centroids) <= 32 else "join"
 
     sel = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     if assign == "join":
