@@ -715,9 +715,10 @@ def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Deterministic DECODABLE media table: BMP and PNG images (alternating,
-    so both codec paths run), PCM WAV clips and RAWBMPV mini-videos —
-    exercises the real codec paths end to end."""
+    """Deterministic DECODABLE media table: BMP / PNG / lossless-WebP
+    images (rotating, so all three codec paths run), PCM WAV and FLAC
+    clips, and RAWBMPV / MJPEG-MP4 mini-videos — exercises the real
+    codec paths end to end."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
@@ -725,7 +726,7 @@ def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 4
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            enc = encode_png if (i // 3) % 2 else encode_bmp
+            enc = [encode_bmp, encode_png, webp.encode_webp][(i // 3) % 3]
             payload, meta = enc(img), (w, h, None, None)
         elif kind == "audio":
             sr = 8000
@@ -733,7 +734,15 @@ def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 (np.sin(np.arange(sr // 4) * (0.01 + 0.001 * i)) * 8000)
                 .astype(np.int16)
             )
-            payload, meta = encode_wav(samples, sr), (None, None, sr, None)
+            if (i // 3) % 2:
+                from . import flac
+
+                payload = flac.encode_flac(
+                    samples.astype(np.int64), sr, bps=16, fixed=True
+                )
+            else:
+                payload = encode_wav(samples, sr)
+            meta = (None, None, sr, None)
         else:
             frames = [
                 rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
