@@ -1488,6 +1488,29 @@ def q_doc_bloom_incr(spark, sf_dir):
     )
 
 
+def q_doc_fuzzy_incr(spark, sf_dir):
+    """Snapshot-incremental FUZZY dedup (operators/dedup.py fuzzy_index /
+    fuzzy_dedup_incremental): build the LSH index over the even-doc
+    prior snapshot, then annotate an appended batch (all docs, shifted
+    ids) against it by band-key probe + MinHash component-agreement
+    verify — the prior corpus text is never read and, with the bucketed
+    index layout, never reshuffled (zero-Exchange prior side audited in
+    tests/test_fuzzy_incremental.py). Rows-only in the driver window;
+    candidate-set equivalence with full-corpus LSH is pytest-proven."""
+    from redpajama_processor_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        fuzzy_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pb, ps = fuzzy_index(prior, num_perm=64, bands=16)
+    return fuzzy_dedup_incremental(
+        batch, pb, ps, num_perm=64, bands=16, jaccard_threshold=0.8
+    ).select("doc_id", "is_prior_fuzzy_dup", "prior_dup_id", "prior_sig_jaccard")
+
+
 def q_transcript_conv_filter(spark, sf_dir):
     """Conversation-level verdicts (operators/convfilter.py) over the
     transcript_core per-turn labels: aggregate each conversation's
@@ -1628,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": q_emb_semdedup,
         "transcript_conv_filter": q_transcript_conv_filter,
         "doc_bloom_incr": q_doc_bloom_incr,
+        "doc_fuzzy_incr": q_doc_fuzzy_incr,
     }
 
 

@@ -819,3 +819,141 @@ def embedding_neardup_pairs(
         )
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# snapshot-incremental FUZZY dedup — the fuzzy twin of
+# exact_dedup_incremental: an append-mostly pipeline must not re-MinHash
+# the accumulated 100 TB corpus per increment. Build the LSH index once,
+# persist it, and each increment probes it.
+
+
+def fuzzy_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = H.DEFAULT_NGRAM,
+    use_numpy: bool = False,
+    base: str = "xxhash",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH index of a corpus snapshot:
+
+    returns (bands_df, sigs_df) —
+      bands_df: (id, band_id, band_key, bucket_n)  [bucket_n = bucket
+                width, precomputed HERE so increments can skip flooded
+                buckets without scanning them]
+      sigs_df:  (id, _minhash)
+
+    Persist both as parquet; write bands_df BUCKETED BY band_key
+    (sources/tables.write_bucketed) and each increment's candidate join
+    runs with zero Exchange on the prior side — the prior corpus never
+    reshuffles, which is the whole point at accumulated-snapshot scale.
+    Signature spec is identical to fuzzy_dedup's, so an index built at
+    snapshot time agrees with any later increment."""
+    sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy, base).select(
+        F.col(id_col).alias("id"), "_minhash"
+    )
+    key_hash = "md5" if base == "md5" else "xxhash"
+    b = lsh_buckets(sigs, num_perm, bands, "id", key_hash=key_hash)
+    w = b.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_n")
+    )
+    return b.join(w, ["band_id", "band_key"]), sigs
+
+
+def minhash_agreement_col(a: Column, b: Column) -> Column:
+    """Fraction of equal MinHash components — the unbiased estimator of
+    Jaccard similarity (each component matches with probability J).
+    Sequential JVM fold; NULL if either signature is NULL."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(a)
+
+
+def fuzzy_dedup_incremental(
+    new: DataFrame,
+    prior_bands: DataFrame,
+    prior_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = H.DEFAULT_NGRAM,
+    jaccard_threshold: float = 0.8,
+    use_numpy: bool = False,
+    base: str = "xxhash",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Annotate a NEW batch against a prior snapshot's LSH index
+    (``fuzzy_index`` output) WITHOUT touching the prior corpus text:
+
+    new + (is_prior_fuzzy_dup, prior_dup_id, prior_sig_jaccard)
+
+    Plan: sign the increment (narrow), explode its band keys, equi-join
+    the prior band table (bucketed prior side -> prior never reshuffles;
+    only the increment and the matched buckets move), distinct the
+    (new, prior) candidate pairs, then verify each candidate by MinHash
+    component agreement >= jaccard_threshold — the estimator the index
+    retains (exact shingle Jaccard would need the prior TEXT, which an
+    index deliberately does not carry; at num_perm=64 the estimator's
+    s.e. at J=0.8 is ~0.05). Per new doc the BEST match survives
+    (max agreement, ties to the smallest prior id).
+
+    max_bucket skips prior buckets wider than the cap (precomputed
+    bucket_n — flooded boilerplate bands otherwise explode the candidate
+    join; the same width-cap discipline as buckets_to_edges).
+
+    Within-increment duplicates are ``fuzzy_dedup``'s job — run it on
+    ``new`` separately; this operator answers only "seen before?".
+    """
+    nsig = add_minhash(new, text_col, num_perm, ngram, use_numpy, base).select(
+        F.col(id_col).alias("_nid"), F.col("_minhash").alias("_nsig")
+    )
+    key_hash = "md5" if base == "md5" else "xxhash"
+    nbands = lsh_buckets(
+        nsig.select(F.col("_nid").alias("id"), F.col("_nsig").alias("_minhash")),
+        num_perm, bands, "id", key_hash=key_hash,
+    ).select(F.col("id").alias("_nid"), "band_id", "band_key")
+    prior = prior_bands
+    if max_bucket is not None:
+        prior = prior.filter(F.col("bucket_n") <= max_bucket)
+    cand = (
+        nbands.join(
+            prior.select(
+                F.col("id").alias("_pid"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("_nid", "_pid")
+        .distinct()
+    )
+    scored = (
+        cand.join(nsig, "_nid")
+        .join(
+            prior_sigs.select(
+                F.col("id").alias("_pid"), F.col("_minhash").alias("_psig")
+            ),
+            "_pid",
+        )
+        .withColumn(
+            "_agree", minhash_agreement_col(F.col("_nsig"), F.col("_psig"))
+        )
+        .filter(F.col("_agree") >= jaccard_threshold)
+    )
+    best = scored.groupBy("_nid").agg(
+        F.max(F.struct(F.col("_agree").alias("a"), (-F.col("_pid")).alias("n")))
+        .alias("_b")
+    ).select(
+        "_nid",
+        (-F.col("_b.n")).alias("prior_dup_id"),
+        F.col("_b.a").alias("prior_sig_jaccard"),
+    )
+    return (
+        new.join(best, new[id_col] == best["_nid"], "left")
+        .drop("_nid")
+        .withColumn("is_prior_fuzzy_dup", F.col("prior_dup_id").isNotNull())
+    )
