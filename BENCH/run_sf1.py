@@ -431,6 +431,93 @@ def phase5() -> dict:
     return out
 
 
+def phase6() -> dict:
+    """Incremental-dedup scale claim: the cost of annotating a FIXED
+    increment must stay ~flat while the PRIOR corpus grows 10x — that is
+    the whole point of the index/filter designs (the naive alternative
+    re-joins / re-MinHashes the accumulated corpus every increment).
+    Prior 50k vs 500k docs; increment fixed at 20k (exact/bloom) and 10k
+    (fuzzy). Index/filter BUILD time is reported separately — it is the
+    once-per-snapshot cost the increments amortize."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_documents_spark
+    from redpajama_processor_spark.operators.bloom import (
+        bloom_incremental_new,
+        build_bloom,
+    )
+    from redpajama_processor_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        fuzzy_index,
+    )
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-incr", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    prior_sizes = (50_000, 500_000)
+    for n in prior_sizes:
+        p = _docs_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_documents_spark(spark, n).write.mode("overwrite").parquet(p)
+    inc_exact = gen_documents_spark(spark, 20_000, seed=31).select(
+        "doc_id", F.md5("text").alias("h")
+    ).cache()
+    inc_exact.count()
+    inc_fuzzy = gen_documents_spark(spark, 10_000, seed=37).select(
+        "doc_id", "text"
+    ).cache()
+    inc_fuzzy.count()
+
+    out: dict = {"prior_sizes": list(prior_sizes), "ops": {}}
+    timings: dict[str, dict[int, float]] = {}
+    builds: dict[str, dict[int, float]] = {}
+    for n in prior_sizes:
+        prior = spark.read.parquet(_docs_path(n))
+        prior_h = prior.select(F.md5("text").alias("h"))
+        _noop(prior.select("doc_id"))
+
+        t0 = time.time()
+        bloom = build_bloom(prior_h, "h", capacity=n)
+        builds.setdefault("bloom_build", {})[n] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pb, ps = fuzzy_index(prior, num_perm=64, bands=16)
+        pb = pb.cache()
+        ps = ps.cache()
+        pb.count()
+        ps.count()
+        builds.setdefault("fuzzy_index_build", {})[n] = round(time.time() - t0, 2)
+
+        ops = {
+            "bloom_incr_probe": lambda: _noop(
+                bloom_incremental_new(inc_exact, prior_h, "h", bloom=bloom)
+            ),
+            "plain_anti_join": lambda: _noop(
+                inc_exact.join(prior_h.distinct(), "h", "left_anti")
+            ),
+            "fuzzy_incr_probe": lambda: _noop(
+                fuzzy_dedup_incremental(
+                    inc_fuzzy, pb, ps, num_perm=64, bands=16
+                )
+            ),
+        }
+        for name, fn in ops.items():
+            timings.setdefault(name, {})[n] = _timed(fn)
+        pb.unpersist()
+        ps.unpersist()
+    for name, t in timings.items():
+        ratio = t[prior_sizes[1]] / t[prior_sizes[0]]
+        out["ops"][name] = {
+            "t_prior_small": t[prior_sizes[0]],
+            "t_prior_big": t[prior_sizes[1]],
+            "ratio_vs_10x_prior": round(ratio, 2),
+            "flat": ratio < 2.0,
+        }
+    out["builds"] = builds
+    spark.stop()
+    return out
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -449,6 +536,9 @@ def main() -> None:
         _save(res)
     if phase in ("5", "all"):
         res["phase5_r5ops"] = phase5()
+        _save(res)
+    if phase in ("6", "all"):
+        res["phase6_incremental"] = phase6()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

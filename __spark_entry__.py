@@ -1488,6 +1488,19 @@ def q_doc_bloom_incr(spark, sf_dir):
     )
 
 
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/bm25.py): top-20 documents for a
+    fixed keyword query. Corpus stats are one pass + a <= |query|-row
+    aggregation; scoring is narrow whole-stage-codegen column math (zero
+    UDF, zero shuffle — plan-audited); selection a TakeOrdered.
+    Rows-only in the driver window; python==Spark bitwise and DuckDB
+    parity are proven in tests/test_bm25.py."""
+    from redpajama_processor_spark.operators.bm25 import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, "data pipeline quality", k=20)
+
+
 def q_doc_fuzzy_incr(spark, sf_dir):
     """Snapshot-incremental FUZZY dedup (operators/dedup.py fuzzy_index /
     fuzzy_dedup_incremental): build the LSH index over the even-doc
@@ -1652,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_conv_filter": q_transcript_conv_filter,
         "doc_bloom_incr": q_doc_bloom_incr,
         "doc_fuzzy_incr": q_doc_fuzzy_incr,
+        "doc_bm25_topk": q_doc_bm25_topk,
     }
 
 

@@ -1,0 +1,163 @@
+"""BM25 lexical relevance ranking (Robertson/Spärck Jones; the SQL-era
+rendering every search engine implements).
+
+The engine's similarity surface is vector-based (brute/SRP/IVF ANN over
+embeddings); corpus curation also needs LEXICAL retrieval — "find the
+documents about X" for audit sampling, targeted decontamination, and
+seed selection for classifier distillation — without an embedding model
+in the loop. BM25 is the standard scoring function:
+
+    score(D, Q) = sum_t idf(t) * tf(t,D) * (k1 + 1)
+                             / (tf(t,D) + k1 * (1 - b + b * |D|/avgdl))
+    idf(t)      = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Distributed shape: ONE tiny aggregation over the corpus computes N,
+avgdl and the df of the QUERY'S terms only (explode -> filter to the
+query lexicon -> distinct per doc -> groupBy term; shuffle cardinality
+<= |query| rows). Scoring is then NARROW — per query term one
+``size(filter(tokens, = term))`` counter folded into the closed-form
+expression, all JVM whole-stage codegen, zero UDF, zero shuffle
+(plan-audited). Top-k is an ``orderBy().limit()`` TakeOrdered.
+
+Single spec, three renderings (python oracle / Spark columns / DuckDB
+SQL) proven equal in tests/test_bm25.py. Token spec shared verbatim
+with the perplexity/classifier stack (``perplexity.tokenize``).
+
+Reference analog: none (the reference has no retrieval surface); part
+of the query-capability breadth alongside ANN.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.perplexity import tokenize
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tokens_col(text: Column) -> Column:
+    """Spark rendering of perplexity.tokenize (lower + \\s+ split)."""
+    t = F.lower(F.trim(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+) -> dict:
+    """(N, avgdl, df per query term) in ONE pass + one tiny aggregation:
+    the exploded stream is filtered to the query lexicon BEFORE the
+    shuffle, so at most |query| counter rows move."""
+    toks = docs.select(_tokens_col(F.col(text_col)).alias("_t"))
+    base = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_t")).alias("avgdl")
+    ).collect()[0]
+    terms = list(dict.fromkeys(tokenize(" ".join(query_terms))))
+    if terms:
+        rows = (
+            toks.select(
+                F.explode(F.array_distinct("_t")).alias("term")
+            )
+            .filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .collect()
+        )
+        df = {r["term"]: r["df"] for r in rows}
+    else:
+        df = {}
+    n = int(base["n"])
+    return {
+        "n": n,
+        "avgdl": float(base["avgdl"] or 0.0),
+        "terms": terms,
+        "df": {t: int(df.get(t, 0)) for t in terms},
+        "idf": {
+            t: math.log((n - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5) + 1.0)
+            for t in terms
+        },
+    }
+
+
+def bm25_col(
+    text: Column, stats: dict, k1: float = DEFAULT_K1, b: float = DEFAULT_B
+) -> Column:
+    """The narrow scoring expression (zero UDF). Terms contribute in the
+    stats['terms'] order — same accumulation order as the oracle."""
+    toks = _tokens_col(text)
+    dl = F.size(toks).cast("double")
+    avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
+    score = F.lit(0.0)
+    for t in stats["terms"]:
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        score = score + F.lit(stats["idf"][t]) * tf * (k1 + 1.0) / denom
+    return score
+
+
+def py_bm25(
+    text: str | None, stats: dict, k1: float = DEFAULT_K1, b: float = DEFAULT_B
+) -> float:
+    """Single-process oracle — same term order, same float expression."""
+    toks = tokenize(text if text is not None else "")
+    dl = float(len(toks))
+    avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
+    score = 0.0
+    for t in stats["terms"]:
+        tf = float(toks.count(t))
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        score = score + stats["idf"][t] * tf * (k1 + 1.0) / denom
+    return score
+
+
+def duckdb_bm25_sql(
+    text: str, stats: dict, k1: float = DEFAULT_K1, b: float = DEFAULT_B
+) -> str:
+    """DuckDB rendering of the same expression (third-engine check)."""
+    avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
+    toks = (
+        f"CASE WHEN trim(lower({text}), ' ') = '' THEN [] "
+        f"ELSE str_split_regex(trim(lower({text}), ' '), '\\s+') END"
+    )
+    parts = ["0.0"]
+    for t in stats["terms"]:
+        esc = t.replace("'", "''")
+        tf = f"len(list_filter({toks}, x -> x = '{esc}'))::DOUBLE"
+        parts.append(
+            f"({stats['idf'][t]!r} * {tf} * {k1 + 1.0!r} / "
+            f"({tf} + {k1!r} * (1.0 - {b!r} + {b!r} * "
+            f"len({toks})::DOUBLE / {avgdl!r})))"
+        )
+    return " + ".join(parts)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Top-k documents for a free-text query. Pass ``stats`` to reuse
+    corpus statistics across queries (the deployment shape: stats are a
+    KB-scale artifact of the corpus + query lexicon). orderBy + limit
+    plans a TakeOrdered — bounded, never a full sort."""
+    if stats is None:
+        stats = corpus_stats(docs, [query], text_col)
+    scored = docs.withColumn(
+        "bm25", bm25_col(F.col(text_col), stats, k1, b)
+    )
+    return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k).select(
+        id_col, "bm25"
+    )

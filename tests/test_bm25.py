@@ -1,0 +1,117 @@
+"""BM25: three-way rendering parity (python oracle / Spark columns /
+DuckDB SQL), ranking sanity, stats reuse, plan shape (narrow scoring,
+TakeOrdered top-k), empty/edge inputs, hypothesis totality."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.bm25 import (
+    bm25_col,
+    bm25_topk,
+    corpus_stats,
+    duckdb_bm25_sql,
+    py_bm25,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "a fast auburn fox vaulted a sleepy hound"),
+    (2, "quick quick quick repetition of the word quick"),
+    (3, "nothing to do with canines or foxes at all here"),
+    (4, "the dog sleeps while the fox is quick and quiet"),
+    (5, ""),
+    (6, "   "),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_three_way_parity(spark, duck_unused=None):
+    docs = _df(spark)
+    stats = corpus_stats(docs, ["quick fox"], "text")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", bm25_col(F.col("text"), stats).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    dd = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, {duckdb_bm25_sql('text', stats)} AS s FROM docs"
+        ).fetchall()
+    }
+    for i, t in DOCS:
+        want = py_bm25(t, stats)
+        assert got[i] == want, (i, got[i], want)  # Spark == oracle bitwise
+        assert abs(dd[i] - want) < 1e-12, (i, dd[i], want)
+
+
+def test_stats_shape(spark):
+    stats = corpus_stats(_df(spark), ["quick fox missingterm"], "text")
+    assert stats["n"] == 7
+    assert stats["df"]["quick"] == 3 and stats["df"]["fox"] == 3
+    assert stats["df"]["missingterm"] == 0
+    # absent terms get the max idf, never a division error
+    assert stats["idf"]["missingterm"] > stats["idf"]["quick"] > 0
+
+
+def test_ranking_sanity(spark):
+    docs = _df(spark)
+    top = bm25_topk(docs, "quick fox", k=3).collect()
+    ids = [r["doc_id"] for r in top]
+    # docs containing both terms outrank the no-match doc; doc 3 and the
+    # empty docs never appear above matches
+    assert set(ids) <= {0, 1, 2, 4}
+    assert top[0]["bm25"] >= top[1]["bm25"] >= top[2]["bm25"]
+    # term saturation: doc 2 (quick x4, no fox) must not beat doc 0/4
+    # (both terms) — BM25's tf saturation + two-term coverage
+    both = {r["doc_id"]: r["bm25"] for r in top}
+    if 2 in both and 0 in both:
+        assert both[0] > both[2]
+
+
+def test_stats_reuse_and_empty_query(spark):
+    docs = _df(spark)
+    stats = corpus_stats(docs, ["fox"], "text")
+    a = bm25_topk(docs, "fox", k=2, stats=stats).collect()
+    b = bm25_topk(docs, "fox", k=2).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in a] == [
+        (r["doc_id"], r["bm25"]) for r in b
+    ]
+    stats0 = corpus_stats(docs, [""], "text")
+    assert stats0["terms"] == []
+    z = docs.select(bm25_col(F.col("text"), stats0).alias("s")).collect()
+    assert all(r["s"] == 0.0 for r in z)
+
+
+def test_plan_shape(spark):
+    docs = _df(spark)
+    stats = corpus_stats(docs, ["quick fox"], "text")
+    a = audit_plan(docs.select(bm25_col(F.col("text"), stats).alias("s")))
+    assert a["n_exchanges"] == 0, a["plan"]  # scoring is narrow
+    t = bm25_topk(docs, "quick fox", k=2, stats=stats)
+    assert "TakeOrderedAndProject" in audit_plan(t)["plan"]
+
+
+@given(st.text(max_size=120), st.text(max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_oracle_total_and_finite(text, query):
+    stats = {
+        "n": 10,
+        "avgdl": 5.0,
+        "terms": list(dict.fromkeys(query.lower().split()))[:5],
+        "df": {},
+        "idf": {t: 1.5 for t in set(query.lower().split())},
+    }
+    s = py_bm25(text, stats)
+    assert np.isfinite(s) and s >= 0.0
