@@ -1589,6 +1589,33 @@ def q_transcript_census(spark, sf_dir):
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+def q_doc_paragraph_dedup(spark, sf_dir):
+    """Global (cross-document) paragraph dedup, RefinedWeb-style
+    (operators/paradup.py): every occurrence of a repeated paragraph
+    except the globally-first (by (doc_id, position)) is removed and the
+    doc text reassembled. Clusters-only min-join on md5(paragraph) — no
+    Window, the join-back table holds duplicated paragraphs only (AQE
+    broadcasts it); plan-audited in tests/test_paradup.py. Rows-only in
+    the driver window; python + DuckDB parity proven there too."""
+    from redpajama_processor_spark.operators.paradup import global_unit_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return global_unit_dedup(d, unit="paragraph")
+
+
+def q_doc_boilerplate_strip(spark, sf_dir):
+    """CCNet-style destructive boilerplate removal (operators/paradup.py):
+    lines occurring in >= 3 DISTINCT documents are dropped from every
+    document (all occurrences, unlike keep-first dedup). Blocklist is a
+    two-level map-side-combined aggregation (no countDistinct Expand);
+    complements the diagnostic doc_boilerplate census. Rows-only; python
+    + DuckDB parity in tests/test_paradup.py."""
+    from redpajama_processor_spark.operators.paradup import boilerplate_strip
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_strip(d, unit="line", min_docs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries (both prior rounds stopped at exactly 50),
@@ -1666,6 +1693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_incr": q_doc_bloom_incr,
         "doc_fuzzy_incr": q_doc_fuzzy_incr,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_boilerplate_strip": q_doc_boilerplate_strip,
     }
 
 

@@ -1,0 +1,298 @@
+"""Global (cross-document) paragraph/line dedup and boilerplate stripping.
+
+Two corpus-level text-cleaning operators that the within-conversation
+dedup (operators/convdup.py) deliberately does not cover:
+
+1. ``global_unit_dedup`` — RefinedWeb/Falcon-style exact dedup at
+   paragraph (or line) granularity across the WHOLE corpus: every
+   occurrence of a repeated unit except the globally-first one (ordered by
+   ``(doc_id, position)``) is removed from the document text, and the text
+   is reassembled from the surviving units. The reference pipeline dedups
+   whole documents only (/root/reference/step5_exact_deduplication.py);
+   paragraph-grain removal is the standard finer pass used by
+   RefinedWeb ("exact substring" at paragraph level) and MassiveText.
+
+2. ``boilerplate_strip`` — CCNet-style boilerplate removal: a unit that
+   occurs in >= ``min_docs`` DISTINCT documents is boilerplate (cookie
+   banners, nav bars, license footers) and ALL its occurrences are
+   removed. Complements the diagnostic ``q_doc_boilerplate`` census
+   (which only counts repeated lines) with the destructive pass.
+
+Semantics (fixed spec, mirrored bit-for-bit by the python oracle and the
+DuckDB rendering):
+
+- units of a doc = trim(' ')-ed, non-empty pieces of split(text, SEP)
+  where SEP is ``\\n\\n+`` for paragraphs, ``\\n`` for lines (the same
+  UNIT_SPLIT contract as convdup.py — 0x20-only trim keeps Spark trim()
+  == DuckDB trim(x,' ') == Python .strip(' ')).
+- keep-first order is the global lexicographic ``(doc_id, unit_idx)``.
+- output text = surviving units joined with the canonical separator
+  ('\\n\\n' / '\\n'); docs with no non-empty units yield ''. This is a
+  normalizing transform (blank/whitespace-only units never survive),
+  like the RefinedWeb cleaning it models.
+
+Scale shape (the 100 TB plan):
+
+- ``global_unit_dedup`` reuses the exact-dedup clusters-only min-join
+  (operators/dedup.py:53-111): group exploded units by md5(unit) with a
+  map-side-combined ``min(struct(doc_id, idx))`` + count, keep ONLY
+  groups with count > 1 — the join-back table holds one row per
+  *duplicated* unit, a small fraction of the corpus, which AQE
+  broadcasts. The corpus-side explode never shuffles; reassembly is one
+  groupBy(doc_id) whose width is bounded by units-per-doc. No Window
+  anywhere (a Window over unit would shuffle every occurrence of every
+  unit, unique ones included).
+- ``boilerplate_strip`` builds its blocklist with a two-level
+  aggregation — (unit, doc_id) partial then distinct-doc count per unit
+  — instead of countDistinct (whose Expand doubles the shuffle), filters
+  to >= min_docs, and semi-join-removes. Only boilerplate units travel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .convdup import UNIT_SPLIT
+
+#: canonical join separator per unit
+UNIT_JOIN = {"line": "\n", "paragraph": "\n\n"}
+
+
+def _exploded_units(df: DataFrame, text_col: str, id_col: str, unit: str) -> DataFrame:
+    """(id, _idx, _unit): posexplode of trimmed non-empty units.
+
+    The lambda wrapper around F.trim is load-bearing — see convdup.py
+    (_exploded_lines) for the 2-arity higher-order-function trap.
+    """
+    units = F.filter(
+        F.transform(
+            F.split(F.col(text_col), UNIT_SPLIT[unit]), lambda u: F.trim(u)
+        ),
+        lambda u: u != "",
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(units).alias("_idx", "_unit"),
+    )
+
+
+def _reassemble(
+    src_ids: DataFrame, flagged: DataFrame, unit: str
+) -> DataFrame:
+    """Fold (_id, _idx, _unit, _keep) back to one row per doc.
+
+    collect_list drops the NULLs that F.when leaves for removed units, so
+    the sort_array sees only survivors; width is bounded by units-per-doc.
+    """
+    agg = flagged.groupBy("_id").agg(
+        F.concat_ws(
+            UNIT_JOIN[unit],
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_idx", "_unit"))
+                    )
+                ),
+                lambda s: s["_unit"],
+            ),
+        ).alias("dedup_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+    )
+    return (
+        src_ids.join(agg, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def global_unit_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "paragraph",
+) -> DataFrame:
+    """Keep-first global unit dedup -> (id, dedup_text, n_kept, n_removed).
+
+    Plan: explode -> clusters-only min-join on md5(unit) -> reassemble.
+    The md5 key keeps long paragraphs out of the shuffle; the first-
+    occurrence tie-break is the exact ``min(struct(_id, _idx))``, so the
+    result is independent of partitioning.
+    """
+    ex = _exploded_units(df, text_col, id_col, unit)
+    keyed = ex.withColumn("_pk", F.md5(F.col("_unit")))
+    clusters = (
+        keyed.groupBy("_pk")
+        .agg(
+            F.min(F.struct("_id", "_idx")).alias("_first"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("_pk", "_first")
+    )
+    flagged = keyed.join(clusters, "_pk", "left").withColumn(
+        "_keep",
+        F.col("_first").isNull()
+        | (F.struct("_id", "_idx") == F.col("_first")),
+    )
+    src_ids = df.select(F.col(id_col).alias("_id"))
+    out = _reassemble(src_ids, flagged, unit)
+    return out.withColumnRenamed("_id", id_col)
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "line",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove every occurrence of units seen in >= min_docs distinct docs.
+
+    -> (id, clean_text, n_kept, n_removed). The blocklist aggregation is
+    two-level (per-(unit,doc) partial, then per-unit doc count) so the
+    shuffle carries one row per (unit, doc) — map-side combined — rather
+    than countDistinct's Expand duplication.
+    """
+    ex = _exploded_units(df, text_col, id_col, unit)
+    keyed = ex.withColumn("_pk", F.md5(F.col("_unit")))
+    block = (
+        keyed.select("_pk", "_id")
+        .groupBy("_pk", "_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("_pk")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_pk", F.lit(False).alias("_blocked_keep"))
+    )
+    flagged = keyed.join(block, "_pk", "left").withColumn(
+        "_keep", F.col("_blocked_keep").isNull()
+    )
+    src_ids = df.select(F.col(id_col).alias("_id"))
+    out = _reassemble(src_ids, flagged, unit)
+    out = out.withColumnRenamed("dedup_text", "clean_text")
+    return out.withColumnRenamed("_id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Single-process python oracle (exact spec above, no Spark)
+# ---------------------------------------------------------------------------
+
+def _py_units(text: str, unit: str) -> list[str]:
+    import re
+
+    parts = re.split(UNIT_SPLIT[unit], text if text is not None else "")
+    return [p.strip(" ") for p in parts if p.strip(" ") != ""]
+
+
+def py_global_unit_dedup(
+    rows: list[tuple], unit: str = "paragraph"
+) -> dict:
+    """rows: (doc_id, text). Returns {doc_id: (dedup_text, n_kept, n_removed)}."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(rows, key=lambda r: r[0]):
+        kept = []
+        removed = 0
+        for u in _py_units(text, unit):
+            if u in seen:
+                removed += 1
+            else:
+                seen.add(u)
+                kept.append(u)
+        out[doc_id] = (UNIT_JOIN[unit].join(kept), len(kept), removed)
+    return out
+
+
+def py_boilerplate_strip(
+    rows: list[tuple], unit: str = "line", min_docs: int = 3
+) -> dict:
+    from collections import defaultdict
+
+    docs_per_unit: dict[str, set] = defaultdict(set)
+    for doc_id, text in rows:
+        for u in _py_units(text, unit):
+            docs_per_unit[u].add(doc_id)
+    blocked = {u for u, ds in docs_per_unit.items() if len(ds) >= min_docs}
+    out = {}
+    for doc_id, text in rows:
+        units = _py_units(text, unit)
+        kept = [u for u in units if u not in blocked]
+        out[doc_id] = (
+            UNIT_JOIN[unit].join(kept),
+            len(kept),
+            len(units) - len(kept),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB renderings (engine-parity oracle for tests)
+# ---------------------------------------------------------------------------
+
+def _duckdb_lst_cte(src: str, unit: str, id_col: str) -> str:
+    sep = r"\n\n+" if unit == "paragraph" else r"\n"
+    return f"""
+        src AS (SELECT {id_col} AS doc_id, text FROM {src}),
+        lst AS (
+          SELECT doc_id,
+                 list_filter(list_transform(regexp_split_to_array(text, '{sep}'),
+                             x -> trim(x, ' ')), x -> x != '') AS ps
+          FROM src),
+        ex AS (
+          SELECT doc_id, unnest(ps) AS para,
+                 unnest(generate_series(1, len(ps))) AS idx
+          FROM lst WHERE len(ps) > 0)"""
+
+
+def duckdb_global_unit_dedup_sql(
+    src: str, unit: str = "paragraph", id_col: str = "doc_id"
+) -> str:
+    join = "chr(10)||chr(10)" if unit == "paragraph" else "chr(10)"
+    return f"""
+        WITH {_duckdb_lst_cte(src, unit, id_col)},
+        rn AS (
+          SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS r
+          FROM ex),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(para, {join} ORDER BY idx) FILTER (WHERE r = 1) AS dedup_text,
+                 COUNT(*) FILTER (WHERE r = 1) AS n_kept,
+                 COUNT(*) FILTER (WHERE r > 1) AS n_removed
+          FROM rn GROUP BY doc_id)
+        SELECT s.doc_id AS {id_col}, COALESCE(a.dedup_text, '') AS dedup_text,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               COALESCE(a.n_removed, 0) AS n_removed
+        FROM src s LEFT JOIN agg a USING (doc_id)"""
+
+
+def duckdb_boilerplate_strip_sql(
+    src: str, unit: str = "line", min_docs: int = 3, id_col: str = "doc_id"
+) -> str:
+    join = "chr(10)||chr(10)" if unit == "paragraph" else "chr(10)"
+    return f"""
+        WITH {_duckdb_lst_cte(src, unit, id_col)},
+        block AS (
+          SELECT para FROM (
+            SELECT para, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY para)
+          WHERE nd >= {min_docs}),
+        fl AS (
+          SELECT e.doc_id, e.idx, e.para,
+                 b.para IS NULL AS keep
+          FROM ex e LEFT JOIN block b ON e.para = b.para),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(para, {join} ORDER BY idx) FILTER (WHERE keep) AS clean_text,
+                 COUNT(*) FILTER (WHERE keep) AS n_kept,
+                 COUNT(*) FILTER (WHERE NOT keep) AS n_removed
+          FROM fl GROUP BY doc_id)
+        SELECT s.doc_id AS {id_col}, COALESCE(a.clean_text, '') AS clean_text,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               COALESCE(a.n_removed, 0) AS n_removed
+        FROM src s LEFT JOIN agg a USING (doc_id)"""

@@ -1,0 +1,145 @@
+"""Global paragraph/line dedup + boilerplate strip: python-oracle parity,
+DuckDB parity, partitioning invariance, plan shape (no Window; clusters-only
+join-back), and edge cases (empty docs, whitespace-only units)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.paradup import (
+    boilerplate_strip,
+    duckdb_boilerplate_strip_sql,
+    duckdb_global_unit_dedup_sql,
+    global_unit_dedup,
+    py_boilerplate_strip,
+    py_global_unit_dedup,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+P = "\n\n"
+ROWS = [
+    # doc 1: intra-doc repeat of "alpha"; "beta" first-seen here
+    (1, "alpha" + P + "beta" + P + "alpha"),
+    # doc 2: "beta" repeated from doc 1; fresh "gamma"
+    (2, "beta" + P + "gamma"),
+    # doc 3: whitespace-padded duplicate of alpha (trim(' ') must match it)
+    (3, "  alpha  " + P + "delta"),
+    # doc 4: empty text
+    (4, ""),
+    # doc 5: whitespace-only paragraphs
+    (5, "   " + P + " "),
+    # doc 6: boilerplate line in 3 docs (6,7,8)
+    (6, "COOKIE NOTICE\ncontent six"),
+    (7, "COOKIE NOTICE\ncontent seven"),
+    (8, "COOKIE NOTICE\ncontent eight"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _as_map(rows, text_key):
+    return {r["doc_id"]: (r[text_key], r["n_kept"], r["n_removed"]) for r in rows}
+
+
+def test_global_paragraph_dedup_matches_py_oracle(spark):
+    got = _as_map(global_unit_dedup(_df(spark)).collect(), "dedup_text")
+    want = py_global_unit_dedup(ROWS, unit="paragraph")
+    assert got == want
+    # spot-check the spec by hand
+    assert want[1] == ("alpha" + P + "beta", 2, 1)
+    assert want[2] == ("gamma", 1, 1)  # beta seen in doc 1
+    assert want[3] == ("delta", 1, 1)  # trimmed 'alpha' matches doc 1
+    assert want[4] == ("", 0, 0)
+    assert want[5] == ("", 0, 0)  # whitespace-only units never survive
+
+
+def test_global_line_dedup_matches_py_oracle(spark):
+    got = _as_map(
+        global_unit_dedup(_df(spark), unit="line").collect(), "dedup_text"
+    )
+    assert got == py_global_unit_dedup(ROWS, unit="line")
+    # first COOKIE NOTICE (doc 6) survives, later ones removed
+    assert got[6][0].startswith("COOKIE NOTICE")
+    assert got[7] == ("content seven", 1, 1)
+
+
+def test_boilerplate_strip_matches_py_oracle(spark):
+    got = _as_map(
+        boilerplate_strip(_df(spark), unit="line", min_docs=3).collect(),
+        "clean_text",
+    )
+    want = py_boilerplate_strip(ROWS, unit="line", min_docs=3)
+    assert got == want
+    # ALL occurrences removed, including the first
+    assert got[6] == ("content six", 1, 1)
+    assert got[7] == ("content seven", 1, 1)
+    assert got[8] == ("content eight", 1, 1)
+    # min_docs counts DISTINCT docs: intra-doc repeats alone don't block
+    assert "alpha" in got[1][0]
+
+
+def test_duckdb_parity_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spark_pdf = (
+        global_unit_dedup(docs).orderBy("doc_id").toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck_pdf = con.execute(
+        duckdb_global_unit_dedup_sql("documents") + " ORDER BY doc_id"
+    ).fetchdf()
+    from tests.compare import assert_same
+
+    assert_same(spark_pdf, duck_pdf, "doc_paragraph_dedup")
+
+    spark_b = (
+        boilerplate_strip(docs, unit="line", min_docs=3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    duck_b = con.execute(
+        duckdb_boilerplate_strip_sql("documents", unit="line", min_docs=3)
+        + " ORDER BY doc_id"
+    ).fetchdf()
+    assert_same(spark_b, duck_b, "doc_boilerplate_strip")
+
+
+def test_partitioning_invariance(spark):
+    df = _df(spark)
+    a = _as_map(global_unit_dedup(df).collect(), "dedup_text")
+    b = _as_map(global_unit_dedup(df.repartition(7)).collect(), "dedup_text")
+    assert a == b
+
+
+def test_plan_no_window_clusters_only(spark):
+    """The scale contract: no Window over unit occurrences, and the
+    join-back is the clusters-only min-join (duplicated units only)."""
+    out = global_unit_dedup(_df(spark))
+    a = audit_plan(out)
+    assert "Window" not in a["plan"], "keep-first must not plan a Window"
+    # reassembly (1 groupBy doc) + clusters agg (1 groupBy key) + join:
+    # bounded exchange count, not one-per-occurrence
+    assert a["n_exchanges"] <= 6, a["plan"]
+
+
+@pytest.mark.parametrize("unit", ["line", "paragraph"])
+def test_hypothesis_like_random_corpus(spark, unit):
+    """Randomized small corpus: Spark == python oracle on every doc."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd", " aa ", ""]
+    sep = "\n" if unit == "line" else P
+    rows = [
+        (i, sep.join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _as_map(global_unit_dedup(df, unit=unit).collect(), "dedup_text")
+    assert got == py_global_unit_dedup(rows, unit=unit)
