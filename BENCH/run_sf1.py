@@ -518,6 +518,56 @@ def phase6() -> dict:
     return out
 
 
+def phase7() -> dict:
+    """Paragraph-grain corpus cleaning at 10x input: global keep-first
+    paragraph dedup and >=k-distinct-docs boilerplate strip (operators/
+    paradup.py). Both are clusters-only / blocklist-only join-backs, so
+    per-unit cost should stay ~flat as the corpus grows — the join-back
+    side scales with the DUPLICATED fraction, not the corpus."""
+    from redpajama_processor_spark.operators.paradup import (
+        boilerplate_strip,
+        global_unit_dedup,
+    )
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-paradup", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = (50_000, 500_000)
+    for n in sizes:
+        p = _docs_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            from redpajama_processor_spark.datagen import gen_documents_spark
+
+            gen_documents_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    out: dict = {"sizes": list(sizes), "ops": {}}
+    timings: dict[str, dict[int, float]] = {}
+    for n in sizes:
+        docs = spark.read.parquet(_docs_path(n)).select("doc_id", "text")
+        _noop(docs.select("doc_id"))
+        ops = {
+            "paragraph_dedup": lambda d=docs: _noop(global_unit_dedup(d)),
+            "boilerplate_strip": lambda d=docs: _noop(
+                boilerplate_strip(d, unit="line", min_docs=3)
+            ),
+        }
+        for name, fn in ops.items():
+            timings.setdefault(name, {})[n] = _timed(fn)
+    for name, t in timings.items():
+        ratio = t[sizes[1]] / t[sizes[0]]
+        per_unit = ratio / (sizes[1] / sizes[0])
+        out["ops"][name] = {
+            "t_small": t[sizes[0]],
+            "t_big": t[sizes[1]],
+            "ratio": round(ratio, 2),
+            "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -539,6 +589,9 @@ def main() -> None:
         _save(res)
     if phase in ("6", "all"):
         res["phase6_incremental"] = phase6()
+        _save(res)
+    if phase in ("7", "all"):
+        res["phase7_paradup"] = phase7()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

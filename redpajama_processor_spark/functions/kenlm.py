@@ -115,9 +115,20 @@ def ngram_counts_df(
     padded = F.concat(
         F.array(*[F.lit(BOS)] * (order - 1)), toks, F.array(F.lit(EOS))
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(padded) - order + 1),
-        lambda i: F.concat_ws(" ", F.slice(padded, i, order)),
+    # bind `padded` ONCE as a lambda var: a HOF lambda body re-evaluates any
+    # closed-over expression per element, so referencing the padded/split
+    # chain directly in the per-position lambda would re-split the text for
+    # every window position (quadratic per row — see
+    # repetition.ngrams_col, where this cost 8.4x on real data)
+    grams = F.element_at(
+        F.transform(
+            F.array(padded),
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.size(p) - order + 1),
+                lambda i: F.concat_ws(" ", F.slice(p, i, order)),
+            ),
+        ),
+        1,
     )
     return (
         docs.select(F.explode(grams).alias("gram"))

@@ -68,19 +68,67 @@ def _hash_term(term: str, buckets: int) -> str:
     return str(h % buckets)
 
 
-def terms_col(text: F.Column) -> F.Column:
-    """The Spark rendering of ``nb_terms`` (native, zero Python)."""
+def toks_col(text: F.Column) -> F.Column:
+    """Lower/trim/whitespace-split token array ('' -> []) — materialize
+    this as a REAL column before calling ``terms_from_toks`` so the split
+    runs once per row."""
     t = F.lower(F.trim(text))
-    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        )
+
+
+def terms_from_toks(tk: F.Column) -> F.Column:
+    """Unigrams + bigrams from an ALREADY-MATERIALIZED token array column.
+
+    ``tk`` must be an attribute (a real column), not an expression: the
+    per-position lambda closes over it, and a HOF lambda body re-evaluates
+    any closed-over expression per element — passing the raw split chain
+    here would re-split the text for every bigram position (quadratic per
+    row). Only SINGLE-LEVEL lambdas on purpose: an expression with a
+    lambda nested inside another lambda's body breaks pandas-UDF
+    extraction (ExtractPythonUDFs leaves the UDF unevaluable in the plan,
+    session-state-dependently) — this rendering is safe as a pandas-UDF
+    argument, the bind-once ``terms_col`` shape below is NOT."""
+    return F.concat(
+        tk,
+        F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+            )
+        ),
     )
-    return F.concat(toks, bigrams)
+
+
+def terms_col(text: F.Column) -> F.Column:
+    """The Spark rendering of ``nb_terms`` (native, zero Python).
+
+    JVM-side consumers (explode/groupBy) ONLY — the nested bind-once
+    lambda below is not extractable as a pandas-UDF argument; UDF callers
+    must materialize ``toks_col`` and use ``terms_from_toks`` instead
+    (see operators/dsir.add_dsir_weights)."""
+    toks = toks_col(text)
+    # bind `toks` ONCE as a lambda var — closing over the when/split
+    # expression inside the per-position lambda would re-split the text for
+    # every bigram position (quadratic per row; see repetition.ngrams_col)
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.concat(
+                tk,
+                F.when(
+                    F.size(tk) < 2, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+                    )
+                ),
+            ),
+        ),
+        1,
+    )
 
 
 def train_nb_spark(

@@ -59,7 +59,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import py_xxh64
-from ..functions.textclf import nb_terms, terms_col
+from ..functions.textclf import nb_terms, terms_col, terms_from_toks, toks_col
 
 DEFAULT_BUCKETS = 10_000
 DEFAULT_ALPHA = 1.0
@@ -71,9 +71,24 @@ _U_MOD = 1 << 53  # largest power of two whose residues are all exact doubles
 
 
 def hashed_buckets_col(text: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
-    """array<int> of hashed term buckets — JVM-side, narrow."""
+    """array<int> of hashed term buckets — JVM-side, narrow.
+
+    JVM consumers (explode/groupBy) only: the terms_col rendering inside
+    nests a lambda in a lambda body, which is NOT extractable as a
+    pandas-UDF argument — UDF callers use ``hashed_buckets_from_toks``
+    over a materialized token column instead."""
     return F.transform(
         terms_col(text),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(buckets)).cast("int"),
+    )
+
+
+def hashed_buckets_from_toks(tk: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Same spec over an already-materialized token array column — only
+    single-level lambdas, so the result is safe as a pandas-UDF argument
+    (ExtractPythonUDFs handles it in every session state)."""
+    return F.transform(
+        terms_from_toks(tk),
         lambda t: F.pmod(F.xxhash64(t), F.lit(buckets)).cast("int"),
     )
 
@@ -240,12 +255,25 @@ def dsir_annotate(
         raw_logp, dtype=np.float64
     )
     bc = df.sparkSession.sparkContext.broadcast(lr)
-    return df.withColumn(
-        "dsir_logw",
-        _logw_udf(bc, buckets)(hashed_buckets_col(F.col(text_col), buckets)),
-    ).withColumn(
-        "dsir_key",
-        F.col("dsir_logw") + _gumbel_udf()(gumbel_u_col(F.col(id_col), seed)),
+    # two-step: materialize the token array as a real column, then hand the
+    # UDF a single-level-lambda expression over that attribute. Feeding the
+    # nested bind-once terms_col shape straight to the pandas UDF makes
+    # ExtractPythonUDFs leave the UDF raw in the plan (Unevaluable at
+    # runtime) depending on session history — caught by test_dsir run
+    # after any other Spark test.
+    return (
+        df.withColumn("_toks", toks_col(F.col(text_col)))
+        .withColumn(
+            "dsir_logw",
+            _logw_udf(bc, buckets)(
+                hashed_buckets_from_toks(F.col("_toks"), buckets)
+            ),
+        )
+        .drop("_toks")
+        .withColumn(
+            "dsir_key",
+            F.col("dsir_logw") + _gumbel_udf()(gumbel_u_col(F.col(id_col), seed)),
+        )
     )
 
 

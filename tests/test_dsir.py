@@ -58,6 +58,29 @@ def test_hashed_buckets_parity(spark):
         assert got[i] == py_hashed_buckets(t, B), f"doc {i}"
 
 
+def test_bucket_renderings_agree(spark):
+    """The nested bind-once rendering (JVM consumers) and the two-step
+    materialized-toks rendering (the pandas-UDF-safe shape that
+    add_dsir_weights actually feeds to _logw) are bit-identical."""
+    from redpajama_processor_spark.functions.textclf import toks_col
+    from redpajama_processor_spark.operators.dsir import hashed_buckets_from_toks
+
+    df = _docs(spark, TEXTS).withColumn("_toks", toks_col(F.col("text")))
+    a = [
+        list(r["x"])
+        for r in df.select(
+            "doc_id", hashed_buckets_col(F.col("text"), B).alias("x")
+        ).orderBy("doc_id").collect()
+    ]
+    b = [
+        list(r["x"])
+        for r in df.select(
+            "doc_id", hashed_buckets_from_toks(F.col("_toks"), B).alias("x")
+        ).orderBy("doc_id").collect()
+    ]
+    assert a == b
+
+
 def test_fit_parity_bit_identical(spark):
     sp = fit_bucket_logprobs(_docs(spark, TEXTS), buckets=B)
     py = py_fit_bucket_logprobs(TEXTS, buckets=B)
