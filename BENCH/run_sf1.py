@@ -568,6 +568,75 @@ def phase7() -> dict:
     return out
 
 
+def phase8() -> dict:
+    """SemDeDup assignment at paper-scale codebooks: exact broadcast-join
+    (n x k cosines) vs the IVF-pruned two-level rendering
+    (n x (s + probes*k/s), s ~ sqrt(k)) on the SAME 200k-vector corpus and
+    the SAME k=160 kmeans codebook. Reports both timings and the fraction
+    of assignable rows where the pruned argmax equals the exact one."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_embeddings_spark
+    from redpajama_processor_spark.operators.semdedup import (
+        assign_cells_ivf,
+        assign_cells_join,
+        kmeans_centroids,
+        super_codebook,
+    )
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-semdedup-ivf", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ne, k = 200_000, 160
+    p = _emb_path(ne)
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        gen_embeddings_spark(spark, ne).write.mode("overwrite").parquet(p)
+    emb = spark.read.parquet(p).select("vec_id", "embedding")
+    _noop(emb.select("vec_id"))
+    cents = kmeans_centroids(emb, n_clusters=k, lloyd_rounds=1)
+    super_of, super_cents = super_codebook(cents)
+
+    t_join = min(
+        _timed(lambda: _noop(assign_cells_join(emb, cents))) for _ in range(2)
+    )
+    t_ivf = min(
+        _timed(
+            lambda: _noop(
+                assign_cells_ivf(
+                    emb, cents, super_of=super_of, super_cents=super_cents
+                )
+            )
+        )
+        for _ in range(2)
+    )
+    a = assign_cells_join(emb, cents).select("vec_id", "_cell")
+    b = assign_cells_ivf(
+        emb, cents, super_of=super_of, super_cents=super_cents
+    ).select("vec_id", F.col("_cell").alias("_icell"))
+    agree = (
+        a.join(b, "vec_id")
+        .agg(
+            F.avg((F.col("_cell") == F.col("_icell")).cast("double")).alias("f")
+        )
+        .collect()[0]["f"]
+    )
+    spark.stop()
+    s = len(super_cents)
+    return {
+        "n": ne,
+        "k": k,
+        "n_super": s,
+        "probes": 2,
+        "cosines_join_per_row": k,
+        "cosines_ivf_per_row": s + 2 * (k // s),
+        "t_join": t_join,
+        "t_ivf": t_ivf,
+        "speedup": round(t_join / t_ivf, 2),
+        "assign_agreement": round(agree, 4),
+    }
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -592,6 +661,9 @@ def main() -> None:
         _save(res)
     if phase in ("7", "all"):
         res["phase7_paradup"] = phase7()
+        _save(res)
+    if phase in ("8", "all"):
+        res["phase8_semdedup_ivf"] = phase8()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

@@ -56,6 +56,7 @@ DEFAULT_SIM = 0.95
 DEFAULT_CLUSTERS = 16
 DEFAULT_LLOYD = 3
 DEFAULT_MAX_CLUSTER = 100_000
+DEFAULT_IVF_PROBES = 2
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +241,242 @@ def assign_cells_join(
     )
 
 
+def super_codebook(
+    centroids: list[list[float]],
+    n_super: int | None = None,
+    lloyd_rounds: int = 2,
+) -> tuple[list[int], list[list[float]]]:
+    """Two-level codebook for IVF-pruned assignment: group the k centroids
+    under s ~ sqrt(k) super-centroids. Pure driver-side numpy over the
+    (k x dims) codebook — KB-scale, deterministic (md5 seed draw, first-max
+    ties), computed ONCE and shared verbatim by the Spark path and the
+    python oracle, so it is never a parity surface.
+
+    Returns (super_of, super_cents): super_of[i] is the 1-based super-cell
+    of centroid i+1 (zero-norm centroids get whatever argmax-of--inf gives;
+    they are excluded from the search anyway because no cosine to them is
+    ever defined, so exact argmax can never select them either)."""
+    import hashlib
+
+    k = len(centroids)
+    C = np.asarray(centroids, dtype=np.float64)
+    if n_super is None:
+        n_super = max(1, int(round(math.sqrt(k))))
+    n_super = min(max(1, int(n_super)), k)
+    by_key = sorted(
+        range(k),
+        key=lambda i: hashlib.md5(f"sem-super-{i + 1}".encode()).hexdigest(),
+    )
+    seed_idx = sorted(by_key[:n_super])
+    S = C[seed_idx].copy()
+    c_norms = np.linalg.norm(C, axis=1)
+
+    def _assign() -> np.ndarray:
+        s_norms = np.linalg.norm(S, axis=1)
+        denom = np.outer(c_norms, s_norms)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, (C @ S.T) / denom, -np.inf)
+        return np.argmax(cos, axis=1)  # first max -> smallest super on ties
+
+    asg = _assign()
+    for _ in range(max(0, lloyd_rounds)):
+        for s_i in range(len(S)):
+            members = C[asg == s_i]
+            if len(members):
+                S[s_i] = members.mean(axis=0)
+        asg = _assign()
+    return (asg + 1).tolist(), [[float(x) for x in row] for row in S]
+
+
+def py_super_probes(
+    vec, super_cents: list[list[float]], n_probe: int
+) -> list[int]:
+    """Oracle of the probe step: 1-based super ids of the n_probe highest
+    cosines (ties -> smallest super id), mirroring the Spark fold order."""
+    scored = []
+    for i, sc in enumerate(super_cents):
+        cos = py_cosine(vec, sc)
+        if cos is not None:
+            scored.append((-(cos + 0.0), i + 1))
+    scored.sort()
+    return [sid for _, sid in scored[:n_probe]]
+
+
+def py_assign_ivf(
+    vec,
+    centroids: list[list[float]],
+    super_of: list[int],
+    super_cents: list[list[float]],
+    n_probe: int = DEFAULT_IVF_PROBES,
+) -> int:
+    """Oracle of the IVF-pruned assignment: argmax cosine over the
+    centroids whose super-cell is probed; 0 when no cosine is defined."""
+    probed = set(py_super_probes(vec, super_cents, n_probe))
+    best_cell, best = 0, None
+    for i, c in enumerate(centroids):
+        if super_of[i] not in probed:
+            continue
+        cos = py_cosine(vec, c)
+        if cos is not None and (best is None or cos > best):
+            best_cell, best = i + 1, cos
+    return best_cell
+
+
+def assign_cells_ivf(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_super: int | None = None,
+    n_probe: int = DEFAULT_IVF_PROBES,
+    super_of: list[int] | None = None,
+    super_cents: list[list[float]] | None = None,
+    probe_render: str = "auto",
+) -> DataFrame:
+    """The EXTREME-CODEBOOK assignment rendering: prune the argmax with an
+    IVF index over the centroids themselves. The broadcast-join rendering
+    costs n x k cosines; SemDeDup at corpus scale wants k ~ n/cluster_size
+    (the paper runs 10^5 clusters), where n x k stops being funny. Probing
+    the s ~ sqrt(k) super-cells first and searching only the centroids in
+    the top n_probe of them costs n x (s + n_probe * k/s) cosines —
+    ~sqrt(k)-fold fewer — at the price of APPROXIMATE assignment (a row
+    whose true nearest centroid lives in an unprobed super-cell lands on
+    its best probed one instead; SemDeDup's clusters are a search
+    heuristic, so this moves cluster boundaries, not correctness — the
+    per-cluster prune semantics are unchanged).
+
+    Probe pass: per-row top-n_probe supers — a narrow literal struct-array
+    sort for s <= 32 supers, a broadcast join + map-side-combined
+    collect_list for larger s ('auto' switches at 32, same janino wall as
+    assign='literal'). Search pass: explode probed supers, broadcast-join
+    the (cell, super, vec) table on the super id, min-struct argmax keyed
+    on the row id — ONE shuffle of ~n rows, exactly assign_cells_join's
+    shape. Ties and zero-norm rows (cell 0) match the other renderings;
+    the whole thing is oracled by py_assign_ivf over the SAME driver-built
+    super codebook (tests/test_semdedup.py).
+
+    Returns df + (_cell int, _csim double)."""
+    if probe_render not in ("auto", "literal", "join"):
+        raise ValueError(
+            f"probe_render={probe_render!r}: expected 'auto', 'literal' or 'join'"
+        )
+    if super_of is None or super_cents is None:
+        super_of, super_cents = super_codebook(centroids, n_super)
+    spark = df.sparkSession
+    s = len(super_cents)
+    p = max(1, min(int(n_probe), s))
+    if probe_render == "auto":
+        probe_render = "literal" if s <= 32 else "join"
+
+    sel = df.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_avec"))
+    if probe_render == "literal":
+        # one codegen expression: s literal cosines -> filter NULLs ->
+        # sort (neg-cos, super id) -> keep the first p. +0.0 canonicalizes
+        # -0.0 exactly as assign_cells_join does.
+        pairs = F.array(
+            *[
+                F.struct(
+                    (
+                        -(
+                            cosine_col(
+                                F.col("_avec"), F.array(*[F.lit(x) for x in c])
+                            )
+                            + F.lit(0.0)
+                        )
+                    ).alias("n"),
+                    F.lit(i + 1).alias("s"),
+                )
+                for i, c in enumerate(super_cents)
+            ]
+        )
+        probed = sel.withColumn(
+            "_pr",
+            F.transform(
+                F.slice(
+                    F.sort_array(F.filter(pairs, lambda x: x["n"].isNotNull())),
+                    1,
+                    p,
+                ),
+                lambda x: x["s"],
+            ),
+        )
+    else:
+        sup_df = F.broadcast(
+            spark.createDataFrame(
+                [(i + 1, [float(x) for x in c]) for i, c in enumerate(super_cents)],
+                "_sid int, _svec array<double>",
+            )
+        )
+        scored_s = (
+            sel.join(sup_df)
+            .withColumn(
+                "_scos", cosine_col(F.col("_avec"), F.col("_svec")) + F.lit(0.0)
+            )
+            .filter(F.col("_scos").isNotNull())
+        )
+        top = scored_s.groupBy("_aid").agg(
+            F.first("_avec").alias("_avec"),  # all copies identical per id
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("_scos")).alias("n"),
+                                F.col("_sid").alias("s"),
+                            )
+                        )
+                    ),
+                    1,
+                    p,
+                ),
+                lambda x: x["s"],
+            ).alias("_pr"),
+        )
+        # rows with no defined super cosine (zero-norm) drop out of `top`;
+        # re-attach them with an empty probe list so they land on cell 0
+        probed = sel.join(top.select("_aid", "_pr"), "_aid", "left").withColumn(
+            "_pr", F.coalesce(F.col("_pr"), F.array().cast("array<int>"))
+        )
+
+    # search pass: only centroids in probed super-cells; zero-norm
+    # centroids are excluded outright (no cosine to them is ever defined,
+    # so the exact argmax can never pick them either)
+    cent_rows = [
+        (i + 1, int(super_of[i]), [float(x) for x in c])
+        for i, c in enumerate(centroids)
+        if any(float(x) != 0.0 for x in c)
+    ]
+    cent_df = F.broadcast(
+        spark.createDataFrame(cent_rows, "_cc int, _sid int, _cvec array<double>")
+    )
+    scored = (
+        probed.select("_aid", "_avec", F.explode("_pr").alias("_sid"))
+        .join(cent_df, "_sid")
+        .withColumn(
+            "_cos", cosine_col(F.col("_avec"), F.col("_cvec")) + F.lit(0.0)
+        )
+        .filter(F.col("_cos").isNotNull())
+    )
+    best = (
+        scored.groupBy("_aid")
+        .agg(
+            F.min(
+                F.struct((-F.col("_cos")).alias("n"), F.col("_cc").alias("c"))
+            ).alias("_b")
+        )
+        .select(
+            "_aid",
+            F.col("_b.c").alias("_cell"),
+            (-F.col("_b.n")).alias("_csim"),
+        )
+    )
+    return (
+        df.join(best, df[id_col] == best["_aid"], "left")
+        .drop("_aid")
+        .withColumn("_cell", F.coalesce(F.col("_cell"), F.lit(0)))
+    )
+
+
 def assign_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
     """1-based argmax-cosine cell (ties -> smallest cell), 0 when every
     cosine is NULL (zero-norm vector). Narrow — all literals."""
@@ -270,19 +507,24 @@ def semdedup(
     vec_col: str = "embedding",
     max_cluster: int = DEFAULT_MAX_CLUSTER,
     assign: str = "auto",
+    n_super: int | None = None,
+    ivf_probes: int = DEFAULT_IVF_PROBES,
 ) -> DataFrame:
     """Annotate every row with (sem_cell, centroid_sim, sem_keep,
     sem_dup_of, sem_max_sim). One corpus shuffle (the cluster key);
     everything else narrow or driver-side KB-scale. ``assign='literal'``
     folds the codebook into codegen — right for tens of clusters;
-    ``assign='join'`` broadcasts the centroid table instead — the scale
-    path for the k ~ n/cluster_size codebooks SemDeDup wants on a real
-    corpus (bit-identical output, proven in tests). The default
-    ``'auto'`` picks literal up to 32 cells and join beyond, so a large
-    codebook can never hit the codegen expression-size wall."""
-    if assign not in ("auto", "literal", "join"):
+    ``assign='join'`` broadcasts the centroid table instead — exact for
+    any k, n x k cosines (bit-identical output, proven in tests);
+    ``assign='ivf'`` prunes the argmax through a two-level codebook
+    (n x (sqrt(k) + probes*sqrt(k)) cosines — the paper-scale escape for
+    k ~ n/cluster_size codebooks; approximate: a row lands on its best
+    PROBED centroid, oracled by py_assign_ivf). The default ``'auto'``
+    picks literal up to 32 cells and join beyond, so a large codebook can
+    never hit the codegen expression-size wall."""
+    if assign not in ("auto", "literal", "join", "ivf"):
         raise ValueError(
-            f"assign={assign!r}: expected 'auto', 'literal' or 'join'"
+            f"assign={assign!r}: expected 'auto', 'literal', 'join' or 'ivf'"
         )
     if centroids is None:
         centroids = kmeans_centroids(df, n_clusters, lloyd_rounds, id_col, vec_col)
@@ -290,7 +532,11 @@ def semdedup(
         assign = "literal" if len(centroids) <= 32 else "join"
 
     sel = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-    if assign == "join":
+    if assign == "ivf":
+        base = assign_cells_ivf(
+            sel, centroids, "_id", "_vec", n_super=n_super, n_probe=ivf_probes
+        )
+    elif assign == "join":
         base = assign_cells_join(sel, centroids, "_id", "_vec")
     else:
         base = sel.withColumn(
@@ -369,14 +615,21 @@ def py_semdedup(
     rows: list[tuple],
     centroids: list[list[float]],
     sim_threshold: float = DEFAULT_SIM,
+    super_of: list[int] | None = None,
+    super_cents: list[list[float]] | None = None,
+    ivf_probes: int = DEFAULT_IVF_PROBES,
 ) -> dict:
     """Single-process oracle: rows = [(id, vec), ...] ->
     {id: (cell, centroid_sim, keep, dup_of, max_sim)}. Assignment mirrors
-    cosine_col's fold; pruning calls the SAME _greedy_prune."""
+    cosine_col's fold (IVF-pruned when a super codebook is given);
+    pruning calls the SAME _greedy_prune."""
     by_cell: dict[int, list[tuple]] = {}
     csims: dict = {}
     for rid, vec in rows:
-        cell = py_assign(vec, centroids)
+        if super_of is not None and super_cents is not None:
+            cell = py_assign_ivf(vec, centroids, super_of, super_cents, ivf_probes)
+        else:
+            cell = py_assign(vec, centroids)
         cs = py_cosine(vec, centroids[cell - 1]) if cell > 0 else None
         csims[rid] = (cell, cs)
         by_cell.setdefault(cell, []).append((rid, vec))

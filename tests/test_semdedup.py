@@ -172,3 +172,145 @@ def test_kmeans_end_to_end_fixture(spark, sf_dir):
     kept_ids = set(pdf.loc[pdf["sem_keep"], "vec_id"])
     assert dropped["sem_dup_of"].notna().all()
     assert set(dropped["sem_dup_of"].astype(int)) <= kept_ids
+
+
+# ---------------------------------------------------------------------------
+# IVF-pruned assignment (assign='ivf', the extreme-codebook escape)
+# ---------------------------------------------------------------------------
+
+def _clustered_rows(n=60, k=6, dims=8):
+    """n vectors in k well-separated axis clusters + one zero vector."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(7)
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = rng.normal(0, 0.05, dims)
+        v[c] += 10.0
+        rows.append((i, [float(x) for x in v]))
+    rows.append((n, [0.0] * dims))
+    return rows
+
+
+def _cents_for(rows, k=6, dims=8):
+    import numpy as _np
+
+    cents = []
+    for c in range(k):
+        vs = _np.asarray([v for i, v in rows[:-1] if i % k == c])
+        cents.append([float(x) for x in vs.mean(axis=0)])
+    return cents
+
+
+def test_super_codebook_deterministic():
+    from redpajama_processor_spark.operators.semdedup import super_codebook
+
+    rows = _clustered_rows()
+    cents = _cents_for(rows)
+    a = super_codebook(cents)
+    b = super_codebook(cents)
+    assert a == b
+    super_of, super_cents = a
+    assert len(super_of) == len(cents)
+    assert all(1 <= s <= len(super_cents) for s in super_of)
+
+
+@pytest.mark.parametrize("render", ["literal", "join"])
+def test_ivf_assignment_parity(spark, render):
+    """Spark IVF assignment == py_assign_ivf over the SAME driver-built
+    super codebook, in both probe renderings (incl. the zero vector)."""
+    from redpajama_processor_spark.operators.semdedup import (
+        assign_cells_ivf,
+        py_assign_ivf,
+        super_codebook,
+    )
+
+    rows = _clustered_rows()
+    cents = _cents_for(rows)
+    super_of, super_cents = super_codebook(cents)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in assign_cells_ivf(
+            df,
+            cents,
+            super_of=super_of,
+            super_cents=super_cents,
+            probe_render=render,
+        ).collect()
+    }
+    for rid, vec in rows:
+        assert got[rid] == py_assign_ivf(vec, cents, super_of, super_cents), rid
+
+
+def test_ivf_end_to_end_matches_oracle(spark):
+    from redpajama_processor_spark.operators.semdedup import (
+        py_semdedup,
+        semdedup,
+        super_codebook,
+    )
+
+    rows = _clustered_rows()
+    cents = _cents_for(rows)
+    super_of, super_cents = super_codebook(cents)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["sem_cell"], r["sem_keep"], r["sem_dup_of"])
+        for r in semdedup(
+            df, sim_threshold=0.9, centroids=cents, assign="ivf"
+        ).collect()
+    }
+    want = py_semdedup(
+        rows, cents, sim_threshold=0.9, super_of=super_of, super_cents=super_cents
+    )
+    assert len(got) == len(rows)
+    for rid, (cell, cs, keep, dup_of, ms) in want.items():
+        assert got[rid] == (cell, keep, dup_of), rid
+
+
+def test_ivf_matches_exact_on_separated_clusters(spark):
+    """On well-separated clusters the pruned argmax recovers the exact
+    assignment for every assignable row (the approximation only moves
+    boundary rows, and this fixture has none)."""
+    from redpajama_processor_spark.operators.semdedup import (
+        py_assign,
+        py_assign_ivf,
+        super_codebook,
+    )
+
+    rows = _clustered_rows()
+    cents = _cents_for(rows)
+    super_of, super_cents = super_codebook(cents)
+    agree = sum(
+        py_assign_ivf(v, cents, super_of, super_cents) == py_assign(v, cents)
+        for _, v in rows
+    )
+    assert agree == len(rows)
+
+
+def test_ivf_partition_invariant(spark):
+    from redpajama_processor_spark.operators.semdedup import semdedup
+
+    rows = _clustered_rows()
+    cents = _cents_for(rows)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        map(tuple, semdedup(df.repartition(1), sim_threshold=0.9,
+                            centroids=cents, assign="ivf").collect())
+    )
+    b = sorted(
+        map(tuple, semdedup(df.repartition(13), sim_threshold=0.9,
+                            centroids=cents, assign="ivf").collect())
+    )
+    assert a == b
+
+
+def test_ivf_bad_probe_render_raises(spark):
+    from redpajama_processor_spark.operators.semdedup import assign_cells_ivf
+
+    rows = _clustered_rows()
+    cents = _cents_for(rows)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="probe_render"):
+        assign_cells_ivf(df, cents, probe_render="bogus")
