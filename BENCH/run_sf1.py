@@ -523,7 +523,12 @@ def phase7() -> dict:
     paragraph dedup and >=k-distinct-docs boilerplate strip (operators/
     paradup.py). Both are clusters-only / blocklist-only join-backs, so
     per-unit cost should stay ~flat as the corpus grows — the join-back
-    side scales with the DUPLICATED fraction, not the corpus."""
+    side scales with the DUPLICATED fraction, not the corpus. Also rows
+    the ExactSubstr-style span EXCISION (exact_span_removal), whose
+    join-back is likewise clusters-only (shared grams) but whose explode
+    side is linear in total words — expect per-unit ~1, like its
+    diagnostic sibling dup_spans (phase 2)."""
+    from redpajama_processor_spark.operators.dupspans import exact_span_removal
     from redpajama_processor_spark.operators.paradup import (
         boilerplate_strip,
         global_unit_dedup,
@@ -551,6 +556,7 @@ def phase7() -> dict:
             "boilerplate_strip": lambda d=docs: _noop(
                 boilerplate_strip(d, unit="line", min_docs=3)
             ),
+            "span_removal": lambda d=docs: _noop(exact_span_removal(d)),
         }
         for name, fn in ops.items():
             timings.setdefault(name, {})[n] = _timed(fn)

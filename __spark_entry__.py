@@ -1616,6 +1616,22 @@ def q_doc_boilerplate_strip(spark, sf_dir):
     return boilerplate_strip(d, unit="line", min_docs=3)
 
 
+def q_doc_span_removal(spark, sf_dir):
+    """ExactSubstr-style duplicated-span EXCISION, Lee et al. 2022
+    (operators/dupspans.exact_span_removal): every cross-document
+    duplicated word n-gram window loses all but its canonical (lowest
+    (doc_id, position)) occurrence; covered word positions union and the
+    text is reassembled. The destructive sibling of doc_dup_spans (which
+    only measures). Clusters-only join-back on shared grams — no Window,
+    AQE broadcasts the duplicated-gram table (plan-audited). Rows-only in
+    the driver window; python + DuckDB parity proven in
+    tests/test_spanremoval.py."""
+    from redpajama_processor_spark.operators.dupspans import exact_span_removal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_span_removal(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries (both prior rounds stopped at exactly 50),
@@ -1695,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
+        "doc_span_removal": q_doc_span_removal,
     }
 
 

@@ -157,3 +157,194 @@ FROM {corpus_table} d
 LEFT JOIN totals t ON d.{id_col} = t._id
 LEFT JOIN dup_counts c ON d.{id_col} = c._id
 """
+
+# ---------------------------------------------------------------------------
+# Destructive pass: ExactSubstr-style span EXCISION
+# ---------------------------------------------------------------------------
+
+def exact_span_removal(
+    docs: DataFrame,
+    n: int = DEFAULT_SPAN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove cross-document duplicated word spans from the text, keeping
+    ONE canonical copy — the destructive sibling of ``dup_span_stats``
+    (which only measures). This is the distributed rendering of Lee et
+    al. 2022's ExactSubstr *removal* step (their suffix-array pass
+    excises every duplicated substring from all but one occurrence); the
+    reference pipeline has no sub-document analog (its exact dedup is
+    whole-document, /root/reference/step5_exact_deduplication.py).
+
+    Spec (deterministic, mirrored bit-for-bit by ``py_exact_span_removal``
+    and ``duckdb_exact_span_removal_sql``):
+
+    - words / windows exactly as ``dup_span_stats`` (words_col spec;
+      space-joined n-word grams at positions i = 1..n_words-n+1).
+    - an occurrence (doc, i) of gram g is REMOVABLE iff g occurs in >= 2
+      DISTINCT docs and (doc, i) is not g's canonical occurrence — the
+      lexicographically smallest (doc_id, position) over all occurrences.
+    - word position w of a doc is removed iff SOME removable occurrence
+      (doc, i) covers it (i <= w <= i+n-1). Overlapping spans union; a
+      canonical copy may still lose words to a NEIGHBORING duplicated
+      window, exactly as in the suffix-array formulation.
+    - clean_text = surviving words joined by ' ' (a normalizing
+      transform, same contract as paradup.global_unit_dedup). Within-doc
+      repeats of a gram seen in only one doc are NOT touched (that is
+      repetition.py's signal, and removal there would self-destroy
+      legitimate refrains).
+
+    Scale shape: clusters-only join-back, no Window. ONE map-side-combined
+    groupBy(gram) computes (min_id, max_id, canonical min(struct(id,pos)))
+    and keeps only shared grams, so the join-back table holds one row per
+    *duplicated* gram — AQE broadcasts it and the corpus-side explode
+    never shuffles. Removable START positions (not the n× covered
+    expansion) fold with ONE bounded-width groupBy(doc) collect_set
+    (<= n_windows elements), so the reduce shuffle carries one int per
+    removable occurrence; the n-wide cover expansion, the union
+    (array_distinct) and the index filter (array_except — hash-probed,
+    O(W+R), NOT an O(W·R) array_contains scan; both matter because the
+    removable fraction RISES with corpus size) all run per-row in the
+    JVM. -> (id, n_words, n_removed, clean_text).
+    """
+    words = words_col(F.col(text_col))
+    occ = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(ngrams_col(words, n)).alias("_p0", "gram"),
+    ).select("_id", (F.col("_p0") + 1).alias("_i"), "gram")
+
+    shared = (
+        occ.groupBy("gram")
+        .agg(
+            F.min("_id").alias("_lo"),
+            F.max("_id").alias("_hi"),
+            F.min(F.struct("_id", "_i")).alias("_canon"),
+        )
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gram", "_canon")
+    )
+    removable = occ.join(shared, "gram").filter(
+        F.struct("_id", "_i") != F.col("_canon")
+    )
+    removed = removable.groupBy("_id").agg(
+        F.collect_set("_i").alias("_starts")
+    )
+    base = docs.select(F.col(id_col).alias("_id"), words.alias("_words"))
+    empty = F.array().cast("array<int>")
+    out = (
+        base.join(removed, "_id", "left")
+        .withColumn(
+            "_rw",
+            F.when(F.col("_starts").isNull(), empty).otherwise(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "_starts",
+                            lambda s: F.sequence(s, s + n - 1),
+                        )
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.when(F.size("_words") == 0, empty).otherwise(
+                F.array_except(
+                    F.sequence(F.lit(1), F.size("_words")), F.col("_rw")
+                )
+            ),
+        )
+        .select(
+            "_id",
+            F.size("_words").cast("long").alias("n_words"),
+            F.size("_rw").cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "_kept", lambda p: F.element_at(F.col("_words"), p)
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return out.withColumnRenamed("_id", id_col)
+
+
+def py_exact_span_removal(
+    rows: list[tuple], n: int = DEFAULT_SPAN
+) -> dict:
+    """Single-process oracle of the exact spec above.
+
+    rows: [(doc_id, text), ...] -> {doc_id: (n_words, n_removed, clean_text)}.
+    """
+    from ..functions.signals import _TRIM_RE, _WS_RE
+
+    words_by_doc: dict = {}
+    by_gram: dict[str, list[tuple]] = {}
+    for d, text in rows:
+        t = _TRIM_RE.sub("", text if text is not None else "")
+        ws = _WS_RE.split(t) if t else []
+        words_by_doc[d] = ws
+        for i in range(1, len(ws) - n + 2):
+            by_gram.setdefault(" ".join(ws[i - 1 : i - 1 + n]), []).append((d, i))
+    removed: dict = {d: set() for d, _ in rows}
+    for occs in by_gram.values():
+        if len({d for d, _ in occs}) < 2:
+            continue
+        canon = min(occs)
+        for d, i in occs:
+            if (d, i) != canon:
+                removed[d].update(range(i, i + n))
+    out = {}
+    for d, _ in rows:
+        ws, rw = words_by_doc[d], removed[d]
+        kept = [w for j, w in enumerate(ws, 1) if j not in rw]
+        out[d] = (len(ws), len(rw), " ".join(kept))
+    return out
+
+
+def duckdb_exact_span_removal_sql(
+    corpus_table: str,
+    n: int = DEFAULT_SPAN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Engine-parity SQL rendering (canonical-occurrence via ROW_NUMBER
+    over (doc_id, position) — identical order to min(struct) since
+    occurrence keys are unique)."""
+    from ..functions.signals import duckdb_words_sql
+
+    words = duckdb_words_sql(text_col)
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS _id, {words} AS _w FROM {corpus_table}
+),
+pos AS (
+  SELECT _id, _w, unnest(generate_series(1, len(_w) - {n} + 1)) AS i
+  FROM w WHERE len(_w) >= {n}
+),
+occ AS (
+  SELECT _id, i, array_to_string(_w[i : i + {n} - 1], ' ') AS gram FROM pos
+),
+marked AS (
+  SELECT _id, i,
+         MIN(_id) OVER (PARTITION BY gram) AS lo,
+         MAX(_id) OVER (PARTITION BY gram) AS hi,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY _id, i) AS rn
+  FROM occ
+),
+rem AS (SELECT _id, i FROM marked WHERE lo <> hi AND rn > 1),
+cov AS (
+  SELECT _id, unnest(generate_series(i, i + {n} - 1)) AS wpos FROM rem
+),
+rw AS (
+  SELECT _id, list(DISTINCT wpos) AS rws FROM cov GROUP BY _id
+)
+SELECT d._id AS {id_col},
+       CAST(len(d._w) AS BIGINT) AS n_words,
+       CAST(COALESCE(len(r.rws), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_filter(d._w,
+           (x, idx) -> NOT list_contains(COALESCE(r.rws, []::BIGINT[]), idx)),
+         ' '), '') AS clean_text
+FROM w d LEFT JOIN rw r ON d._id = r._id
+"""

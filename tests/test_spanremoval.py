@@ -1,0 +1,129 @@
+"""ExactSubstr-style span excision (operators/dupspans.exact_span_removal):
+python-oracle parity, DuckDB parity on real testdata, partitioning
+invariance, plan shape (no Window; clusters-only join-back), keep-one
+semantics, and edge cases (empty / shorter-than-window docs, within-doc
+repeats untouched, overlapping spans unioned)."""
+
+import duckdb
+import pytest
+
+from redpajama_processor_spark.operators.dupspans import (
+    duckdb_exact_span_removal_sql,
+    exact_span_removal,
+    py_exact_span_removal,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+N = 3
+ROWS = [
+    # doc 1 owns the canonical copies of "a b c"/"b c d"/"c d e"
+    (1, "a b c d e f"),
+    # doc 2 repeats "a b c" -> words 3..5 removed
+    (2, "x y a b c z"),
+    # doc 3: WITHIN-doc repeats only (gram in one distinct doc) -> untouched
+    (3, "p q r p q r p q r"),
+    (4, ""),
+    (5, "one two"),  # fewer than N words: no windows
+    # docs 6/7 identical: doc 6 canonical (lower id), doc 7 fully excised
+    (6, "m n o p q"),
+    (7, "m n o p q"),
+    # doc 8: overlapping shared grams union to cover all 5 words
+    (8, "a b c d e"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _as_map(rows):
+    return {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+        for r in rows
+    }
+
+
+def test_matches_py_oracle_and_spec(spark):
+    got = _as_map(exact_span_removal(_df(spark), n=N).collect())
+    want = py_exact_span_removal(ROWS, n=N)
+    assert got == want
+    # spot-check the spec by hand
+    assert want[1] == (6, 0, "a b c d e f")  # canonical owner untouched
+    assert want[2] == (6, 3, "x y z")
+    assert want[3] == (9, 0, "p q r p q r p q r")  # within-doc only
+    assert want[4] == (0, 0, "")
+    assert want[5] == (2, 0, "one two")
+    assert want[6] == (5, 0, "m n o p q")  # keep-one: lower doc_id wins
+    assert want[7] == (5, 5, "")
+    assert want[8] == (5, 5, "")  # overlap union covers every word
+
+
+def test_duckdb_parity_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spark_pdf = exact_span_removal(docs).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck_pdf = con.execute(
+        duckdb_exact_span_removal_sql("documents") + " ORDER BY doc_id"
+    ).fetchdf()
+    from tests.compare import assert_same
+
+    assert_same(spark_pdf, duck_pdf, "doc_span_removal")
+
+
+def test_duckdb_parity_on_fixture(spark):
+    con = duckdb.connect()
+    con.register("fx", _df(spark).toPandas())
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            duckdb_exact_span_removal_sql("fx", n=N)
+        ).fetchall()
+    }
+    assert duck == py_exact_span_removal(ROWS, n=N)
+
+
+def test_partitioning_invariance(spark):
+    df = _df(spark)
+    a = _as_map(exact_span_removal(df.repartition(1), n=N).collect())
+    b = _as_map(exact_span_removal(df.repartition(7), n=N).collect())
+    assert a == b
+
+
+def test_plan_no_window_clusters_only(spark):
+    """Scale contract: no Window over gram occurrences; the join-back is
+    the clusters-only shared-gram table (bounded exchange count)."""
+    out = exact_span_removal(_df(spark), n=N)
+    a = audit_plan(out)
+    assert "Window" not in a["plan"], "canonical pick must not plan a Window"
+    assert a["n_exchanges"] <= 6, a["plan"]
+
+
+def test_random_corpus_matches_oracle(spark):
+    import random
+
+    rng = random.Random(99)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _as_map(exact_span_removal(df, n=N).collect())
+    assert got == py_exact_span_removal(rows, n=N)
+
+
+def test_cleaned_corpus_has_no_cross_doc_spans_left(spark):
+    """Idempotence-ish property: after removal, no word n-gram occurs in
+    two distinct documents unless it is a canonical survivor — i.e. a
+    SECOND pass removes nothing."""
+    first = exact_span_removal(_df(spark), n=N).select(
+        "doc_id", "clean_text"
+    )
+    rows2 = [(r["doc_id"], r["clean_text"]) for r in first.collect()]
+    second = py_exact_span_removal(rows2, n=N)
+    for d, (nw, nr, txt) in second.items():
+        assert nr == 0, (d, second[d])
