@@ -206,8 +206,11 @@ def exact_span_removal(
     O(W+R), NOT an O(W·R) array_contains scan; both matter because the
     removable fraction RISES with corpus size) all run per-row in the
     JVM. -> (id, n_words, n_removed, clean_text).
+
+    NULL text behaves as '' (0 words, clean_text ''), same contract as
+    paradup's reassembly coalesce and the python oracle's None handling.
     """
-    words = words_col(F.col(text_col))
+    words = words_col(F.coalesce(F.col(text_col), F.lit("")))
     occ = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(ngrams_col(words, n)).alias("_p0", "gram"),
@@ -313,7 +316,7 @@ def duckdb_exact_span_removal_sql(
     occurrence keys are unique)."""
     from ..functions.signals import duckdb_words_sql
 
-    words = duckdb_words_sql(text_col)
+    words = duckdb_words_sql(f"COALESCE({text_col}, '')")
     return f"""
 WITH w AS (
   SELECT {id_col} AS _id, {words} AS _w FROM {corpus_table}

@@ -29,6 +29,7 @@ ROWS = [
     (7, "m n o p q"),
     # doc 8: overlapping shared grams union to cover all 5 words
     (8, "a b c d e"),
+    (9, None),  # NULL text behaves as '' in all three renderings
 ]
 SCHEMA = "doc_id long, text string"
 
@@ -57,6 +58,7 @@ def test_matches_py_oracle_and_spec(spark):
     assert want[6] == (5, 0, "m n o p q")  # keep-one: lower doc_id wins
     assert want[7] == (5, 5, "")
     assert want[8] == (5, 5, "")  # overlap union covers every word
+    assert want[9] == (0, 0, "")  # NULL text == empty text
 
 
 def test_duckdb_parity_on_documents(spark, sf_dir):
