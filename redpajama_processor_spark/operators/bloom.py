@@ -126,9 +126,16 @@ def build_bloom(
             bits |= np.frombuffer(blob, dtype=np.uint8)
         return pd.DataFrame({"f": [bits.tobytes()]})
 
+    # Group key: consecutive-partition blocks of _MERGE_FANIN. NOT
+    # monotonically_increasing_id() % fanin — each partition emits its
+    # one partial at row index 0, so every id is (pid << 33), and
+    # 2^33 % 16 == 0 puts ALL partials in group 0 (the merge task would
+    # then materialize every partial blob at once, the exact OOM the
+    # fan-in exists to prevent).
     merged = (
         partials.withColumn(
-            "g", F.pmod(F.monotonically_increasing_id(), F.lit(_MERGE_FANIN))
+            "g",
+            F.floor(F.spark_partition_id() / F.lit(_MERGE_FANIN)).cast("int"),
         )
         .groupBy("g")
         .applyInPandas(_merge_group, "f binary")
@@ -142,10 +149,12 @@ def build_bloom(
 def py_build_bloom(
     vals: list[str], capacity: int, fpr: float = DEFAULT_FPR, seed: int = 42
 ) -> dict:
-    """Single-process oracle of the same build."""
+    """Single-process oracle of the same build (None keys dropped, like
+    the distributed build's dropna — folding str(None) would diverge the
+    bit patterns)."""
     m_bits, k = bloom_params(capacity, fpr)
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    _fold_into(bits, [str(v) for v in vals], k, seed)
+    _fold_into(bits, [str(v) for v in vals if v is not None], k, seed)
     return {"bits": bits, "k": k, "seed": seed, "capacity": capacity, "fpr": fpr}
 
 
@@ -197,7 +206,13 @@ def bloom_incremental_new(
             capacity = max(1, old.count())
         bloom = build_bloom(old, key, capacity, fpr, seed)
     bc = new.sparkSession.sparkContext.broadcast(bloom)
-    probed = new.withColumn("_maybe", might_contain_udf(bc)(F.col(key)))
+    # Lineage cut: definite_new and maybe are two filters over this frame
+    # and union below — without it the scan + per-key hash probe would
+    # run twice over the full new snapshot (the probe IS the dominant
+    # cost of an increment). Same eager=False pattern as dupspans.
+    probed = new.withColumn(
+        "_maybe", might_contain_udf(bc)(F.col(key))
+    ).localCheckpoint(eager=False)
     definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
     maybe = probed.filter(F.col("_maybe")).drop("_maybe")
     verified_new = maybe.join(

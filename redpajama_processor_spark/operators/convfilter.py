@@ -158,7 +158,9 @@ def py_conversation_filter(
         contiguous = (
             min(idxs) == 0 and max(idxs) == n - 1 and len(set(idxs)) == n
         )
-        kept_roles = {r for _, r, k in ts if k}
+        # NULL roles don't count as a side: Spark's collect_set and
+        # DuckDB's COUNT(DISTINCT CASE ...) both drop NULLs.
+        kept_roles = {r for _, r, k in ts if k and r is not None}
         ratio = kept / n
         if n < min_turns:
             rule = "conv_min_turns"

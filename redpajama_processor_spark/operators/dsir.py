@@ -170,15 +170,18 @@ def _score_rows(arrs: list[np.ndarray], lr: np.ndarray) -> np.ndarray:
     if not n:
         return out
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
-    total = int(lens.sum())
-    if not total:
+    nz = np.flatnonzero(lens)
+    if not nz.size:
         return out
-    flat = np.concatenate([np.sort(a) for a in arrs if len(a)])
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    seg = np.add.reduceat(lr[flat], np.minimum(starts, total - 1))
-    seg[lens == 0] = 0.0
-    return seg
+    # reduceat over the NON-EMPTY rows only: with empty rows kept in the
+    # index list, a trailing empty row's start (== total) would need an
+    # out-of-range clamp that silently truncates the previous document's
+    # segment — drop them and scatter the sums back instead.
+    flat = np.concatenate([np.sort(arrs[i]) for i in nz])
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    out[nz] = np.add.reduceat(lr[flat], starts)
+    return out
 
 
 def _logw_udf(log_ratio_bc, buckets: int):

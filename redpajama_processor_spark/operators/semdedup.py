@@ -414,8 +414,10 @@ def assign_cells_ivf(
             )
             .filter(F.col("_scos").isNotNull())
         )
+        # NOTE: only (_aid, _pr) leave this aggregate — carrying the
+        # embedding through the shuffle would add dims*8 B per row for
+        # nothing (probed re-sources _avec from sel via the join).
         top = scored_s.groupBy("_aid").agg(
-            F.first("_avec").alias("_avec"),  # all copies identical per id
             F.transform(
                 F.slice(
                     F.sort_array(
@@ -525,6 +527,15 @@ def semdedup(
     if assign not in ("auto", "literal", "join", "ivf"):
         raise ValueError(
             f"assign={assign!r}: expected 'auto', 'literal', 'join' or 'ivf'"
+        )
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        # fail on the driver with a usable message instead of an opaque
+        # executor ValueError from the int64 cast inside the prune UDF
+        # (and sem_dup_of's long rendering could not carry a string id).
+        raise TypeError(
+            f"semdedup id_col {id_col!r} must be an integer type, got "
+            f"{id_type}; map string ids to a long (e.g. xxhash64) first"
         )
     if centroids is None:
         centroids = kmeans_centroids(df, n_clusters, lloyd_rounds, id_col, vec_col)

@@ -47,6 +47,36 @@ def test_build_matches_oracle_bitwise(spark):
     assert np.array_equal(sp2["bits"], py["bits"])
 
 
+def test_null_keys_dropped_in_both_builds(spark):
+    """None keys are dropped on BOTH sides (the distributed build's
+    dropna and the oracle) — folding str(None) would diverge the bits."""
+    df = spark.createDataFrame([(v,) for v in OLD] + [(None,)], "k string")
+    sp = build_bloom(df, "k", capacity=500)
+    py = py_build_bloom(OLD + [None], capacity=500)
+    clean = py_build_bloom(OLD, capacity=500)
+    assert np.array_equal(sp["bits"], clean["bits"])
+    assert np.array_equal(py["bits"], clean["bits"])
+    assert not py_might_contain(clean, "None")
+
+
+def test_merge_fanin_spreads_partitions(spark):
+    """Tree-merge regression: with > fan-in partitions the merge groups
+    must SPREAD (the old monotonically_increasing_id() % 16 key was
+    constant 0 — every partial in one task). Checks the group expression
+    bound directly and the 40-partition build end-to-end."""
+    sp = build_bloom(_df(spark, OLD).repartition(40), "k", capacity=500)
+    assert np.array_equal(sp["bits"], py_build_bloom(OLD, capacity=500)["bits"])
+    groups = (
+        spark.range(0, 40, 1, 40)
+        .select(F.floor(F.spark_partition_id() / F.lit(16)).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert len(groups) >= 3
+    assert max(r["count"] for r in groups) <= 16
+
+
 def test_no_false_negatives(spark):
     bloom = py_build_bloom(OLD, capacity=500)
     assert all(py_might_contain(bloom, v) for v in OLD)

@@ -37,6 +37,10 @@ ROWS = [
     # duplicate turn_idx -> not contiguous
     ("dupidx", 0, "user", True),
     ("dupidx", 0, "assistant", True),
+    # NULL role is NOT a second side: Spark collect_set and DuckDB
+    # COUNT(DISTINCT CASE...) drop NULLs, so the oracle must too
+    ("nullrole", 0, None, True),
+    ("nullrole", 1, "user", True),
 ]
 SCHEMA = "conv_id string, turn_idx int, role string, keep boolean"
 
@@ -61,6 +65,7 @@ def test_matches_oracle(spark):
     assert want["oneside"][5] == "conv_one_sided"
     assert want["lowkeep"][5] == "conv_keep_ratio"
     assert want["dupidx"][5] == "conv_gapped"
+    assert want["nullrole"][5] == "conv_one_sided"
 
 
 def test_duckdb_parity(spark):

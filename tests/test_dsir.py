@@ -138,6 +138,36 @@ def test_target_like_outweighs_junk(spark):
     assert wiki_mean > junk_mean + 1.0, (wiki_mean, junk_mean)
 
 
+def test_trailing_empty_rows_keep_prior_segment():
+    """reduceat regression: a batch ENDING in empty bucket arrays must not
+    truncate the last non-empty document's sum (the old start-index clamp
+    folded the trailing empty row's segment into the previous one)."""
+    from redpajama_processor_spark.operators.dsir import _score_rows
+
+    lr = np.array([1.0, 10.0, 100.0, 1000.0])
+    a = np.array([0, 1, 2], dtype=np.int64)
+    e = np.empty(0, dtype=np.int64)
+    assert _score_rows([a, e], lr).tolist() == [111.0, 0.0]
+    assert _score_rows([e, a, e, a, e], lr).tolist() == [
+        0.0, 111.0, 0.0, 111.0, 0.0,
+    ]
+    assert _score_rows([e, e], lr).tolist() == [0.0, 0.0]
+
+
+def test_mixed_empty_rows_match_oracle_per_row(spark):
+    """End-to-end: empty/whitespace docs interleaved (including LAST in
+    the frame) score identically to the per-row oracle."""
+    texts = [WIKI[0], "", WIKI[1], "   ", ""]
+    raw = _docs(spark, texts).coalesce(1)
+    lp_t = py_fit_bucket_logprobs(WIKI, buckets=B)
+    lp_r = py_fit_bucket_logprobs(JUNK, buckets=B)
+    ann = dsir_annotate(raw, lp_t, lp_r, buckets=B)
+    got = {r["doc_id"]: r["dsir_logw"] for r in ann.collect()}
+    lr = lp_t - lp_r
+    for i, t in enumerate(texts):
+        assert got[i] == py_dsir_logw(t, lr, buckets=B), f"doc {i}"
+
+
 def test_empty_text_zero_weight(spark):
     raw = _docs(spark, ["", "   "])
     lp = py_fit_bucket_logprobs(WIKI, buckets=B)

@@ -152,6 +152,17 @@ def test_join_assignment_matches_literal(spark, sf_dir):
         assert rl == rj, (rl, rj)
 
 
+def test_string_id_raises_on_driver(spark):
+    """String ids must fail fast with a clear driver-side TypeError, not
+    an opaque int64-cast ValueError inside an executor prune task."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integer type"):
+        semdedup(df, centroids=[[1.0, 0.0], [0.0, 1.0]])
+
+
 def test_bad_assign_raises(spark):
     import pytest as _pt
 
