@@ -71,7 +71,10 @@ C4_RULES = ("c4_brace", "c4_lorem", "c4_min_lines")
 # pure-python oracle
 # ---------------------------------------------------------------------------
 
-_WS_RE = re.compile(r"\s+")
+# re.ASCII: Java's and RE2's \s are ASCII-only, Python's is Unicode —
+# without the pin an NBSP-separated line word-counts differently in the
+# oracle than in both engines (same discipline as bpe._WS).
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def py_keep_line(t: str) -> bool:
@@ -129,7 +132,13 @@ def c4_cols(text: Column) -> dict[str, Column]:
     higher-order functions — no UDF, no shuffle, whole-stage codegen.
     (The ``lambda ln: F.trim(ln)`` wrapper is load-bearing — see
     operators/convdup.py on F.trim's optional second parameter.)
+
+    NULL text behaves as '' (n_lines 0, c4_keep false with
+    c4_min_lines), matching the oracle — without the coalesce every
+    output column would be NULL and NULL-text rows would vanish from
+    drop-rule audits.
     """
+    text = F.coalesce(text, F.lit(""))
     cand = F.filter(
         F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
         lambda ln: ln != "",
@@ -164,6 +173,7 @@ def duckdb_c4_sql(text_expr: str = "text") -> dict[str, str]:
     trim strips Unicode spaces and would drift), right(x, 1) set test,
     regexp word split, position() marker tests.
     """
+    text_expr = f"COALESCE({text_expr}, '')"  # NULL text behaves as ''
     punct_list = ", ".join(
         "'" + p.replace("'", "''") + "'" for p in TERMINAL_PUNCT
     )

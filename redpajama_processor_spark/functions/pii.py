@@ -130,7 +130,7 @@ _KEY_PAT = (
 )
 _BEARER_PAT = (
     r"(?i)(?:\bbearer[ \t]+[A-Za-z0-9._~+/=-]{16,}"
-    r"|\b(?:api[_-]?key|secret|token|passwd|password)"
+    r"|\b(?:api[_-]?key|secret|token|passwd|password|authorization)"
     r"[ \t]*[:=][ \t]*['\"]?[A-Za-z0-9._~+/=-]{16,}['\"]?)"
 )
 

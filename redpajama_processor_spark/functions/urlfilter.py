@@ -67,10 +67,18 @@ def py_hosts(text: str) -> list[str]:
 
 
 def py_suffix_chain(host: str, max_depth: int = MAX_SUFFIX_DEPTH) -> list[str]:
-    """host + each parent domain with >= 2 labels, nearest first."""
+    """host + each parent domain with >= 2 labels, nearest first.
+
+    When the chain exceeds ``max_depth`` the cap keeps the host itself
+    plus the LAST max_depth-1 elements — never the longest prefixes: a
+    head-biased cap would drop the registrable-domain end of the chain,
+    letting any >= max_depth+2-label host evade a blocklist entry on its
+    registrable domain just by adding subdomain labels."""
     labels = host.split(".")
     chain = [".".join(labels[i:]) for i in range(0, max(len(labels) - 1, 1))]
-    return chain[:max_depth]
+    if len(chain) > max_depth:
+        chain = [chain[0]] + chain[-(max_depth - 1):]
+    return chain
 
 
 def py_url_signals(text: str, blocklist: set[str]) -> tuple[int, int, bool]:
@@ -103,12 +111,22 @@ def hosts_col(text) -> F.Column:
 
 def _suffix_chain_col(host) -> F.Column:
     """Column rendering of py_suffix_chain: element i = labels[i:] joined,
-    for i in 0..n_labels-2 (min 1 element), capped at MAX_SUFFIX_DEPTH."""
+    for i in 0..n_labels-2 (min 1 element); the MAX_SUFFIX_DEPTH cap keeps
+    the host plus the TAIL of the chain (see py_suffix_chain — dropping
+    the registrable-domain end would be a blocklist bypass)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    length = F.greatest(n - 1, F.lit(1))  # chain length
+    idx = F.when(
+        length <= F.lit(MAX_SUFFIX_DEPTH), F.sequence(F.lit(0), length - 1)
+    ).otherwise(
+        F.concat(
+            F.array(F.lit(0)),
+            F.sequence(length - (MAX_SUFFIX_DEPTH - 1), length - 1),
+        )
+    )
     return F.transform(
-        F.sequence(F.lit(0), F.least(F.greatest(n - 2, F.lit(0)), F.lit(MAX_SUFFIX_DEPTH - 1))),
-        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+        idx, lambda i: F.array_join(F.slice(labels, i + 1, n), ".")
     )
 
 
@@ -137,9 +155,14 @@ def duckdb_url_sql(text: str, blocklist: list[str]) -> dict[str, str]:
         f"u -> lower(regexp_replace(regexp_replace(u, '{_HOST_STRIP_PREFIX}', ''), "
         f"'{_HOST_STRIP_SUFFIX}', '')))"
     )
-    # suffix chain per host, then any-member-in-blocklist
+    # suffix chain per host (same tail-keeping depth cap as the python/
+    # Spark renderings), then any-member-in-blocklist
+    d = MAX_SUFFIX_DEPTH
+    ln = "greatest(len(string_split(h, '.')) - 1, 1)"
     chain = (
-        "list_transform(range(0, greatest(len(string_split(h, '.')) - 1, 1)), "
+        f"list_transform("
+        f"CASE WHEN {ln} <= {d} THEN range(0, {ln}) "
+        f"ELSE list_concat([0], range({ln} - {d - 1}, {ln})) END, "
         "i -> array_to_string(string_split(h, '.')[i + 1:], '.'))"
     )
     blocked = (

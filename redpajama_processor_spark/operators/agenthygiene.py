@@ -178,7 +178,12 @@ def agent_hygiene(
     """Annotate every turn with the agent-hygiene columns (OUT_COLS).
 
     Never drops rows — consumers filter on ``agent_keep`` (the same
-    contract as pipeline.curate)."""
+    contract as pipeline.curate). NULL text behaves as '' everywhere
+    (oracle contract): without the coalesce, two consecutive NULL-text
+    tool turns would compare NULL == NULL -> not-a-repeat and the blob
+    columns would come back NULL — the empty-retry-loop failure mode
+    this stage exists to flag would pass the filter."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     is_tool = F.col(role_col) == "tool"
 
     conv = (
@@ -186,7 +191,7 @@ def agent_hygiene(
         .agg(
             F.sum(is_tool.cast("int")).cast("long").alias("n_tool_turns"),
             F.sum(
-                (is_tool & _is_tool_error_expr(F.col(text_col))).cast("int")
+                (is_tool & _is_tool_error_expr(txt)).cast("int")
             )
             .cast("long")
             .alias("n_tool_errors"),
@@ -201,9 +206,9 @@ def agent_hygiene(
     )
 
     w = Window.partitionBy("conv_id", role_col).orderBy("turn_idx")
-    trimmed = F.trim(F.col(text_col))
+    trimmed = F.trim(txt)
     out = (
-        df.withColumns(blob_mask_cols(F.col(text_col)))
+        df.withColumns(blob_mask_cols(txt))
         .withColumn(
             "is_tool_repeat",
             is_tool
@@ -233,21 +238,22 @@ def agent_hygiene(
 
 def duckdb_agent_sql(turns_table: str = "turns") -> str:
     """Full SELECT computing the spec over (conv_id, turn_idx, role, text)."""
+    t = "COALESCE(text, '')"  # NULL text behaves as '' (oracle contract)
     err = " OR ".join(
-        f"position('{m}' IN lower(text)) > 0" for m in ERROR_MARKERS
+        f"position('{m}' IN lower({t})) > 0" for m in ERROR_MARKERS
     )
     return f"""
 WITH base AS (
   SELECT conv_id, turn_idx, role, text,
-         regexp_replace(regexp_replace(text, '{B64_RE}', '{BLOB_TOKEN}', 'g'),
+         regexp_replace(regexp_replace({t}, '{B64_RE}', '{BLOB_TOKEN}', 'g'),
                         '{HEX_RE}', '{BLOB_TOKEN}', 'g') AS hygiene_text,
-         len(regexp_extract_all(text, '{B64_RE}')) AS n_blob_b64,
+         len(regexp_extract_all({t}, '{B64_RE}')) AS n_blob_b64,
          len(regexp_extract_all(
-             regexp_replace(text, '{B64_RE}', '{BLOB_TOKEN}', 'g'),
+             regexp_replace({t}, '{B64_RE}', '{BLOB_TOKEN}', 'g'),
              '{HEX_RE}')) AS n_blob_hex,
          (role = 'tool' AND ({err})) AS is_err,
          CASE WHEN role = 'tool' THEN
-           trim(text, ' ') = lag(trim(text, ' ')) OVER
+           trim({t}, ' ') = lag(trim({t}, ' ')) OVER
              (PARTITION BY conv_id, role ORDER BY turn_idx)
          END AS rep0
   FROM {turns_table}

@@ -20,8 +20,14 @@ expression, all JVM whole-stage codegen, zero UDF, zero shuffle
 (plan-audited). Top-k is an ``orderBy().limit()`` TakeOrdered.
 
 Single spec, three renderings (python oracle / Spark columns / DuckDB
-SQL) proven equal in tests/test_bm25.py. Token spec shared verbatim
-with the perplexity/classifier stack (``perplexity.tokenize``).
+SQL) proven equal in tests/test_bm25.py. Token spec: lowercase, split
+on ASCII whitespace runs, drop empty tokens (``bm25_tokenize``). The
+ASCII pin and the drop-empties step are what make the three renderings
+agree on edge whitespace — Java's and RE2's ``\\s`` are ASCII-only
+while Python's is Unicode, and the three engines disagree on whether a
+leading/trailing separator yields an empty token (Java keeps leading,
+DuckDB keeps both, Python's strip-then-split keeps neither); NULL text
+behaves as ''. Same discipline as ``bpe._WS`` (re.ASCII).
 
 Reference analog: none (the reference has no retrieval surface); part
 of the query-capability breadth alongside ANN.
@@ -30,22 +36,30 @@ of the query-capability breadth alongside ANN.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.perplexity import tokenize
-
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
 
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def bm25_tokenize(text: str | None) -> list[str]:
+    """The token spec (module docstring): lowercase, ASCII-\\s+ split,
+    empties dropped, None as ''."""
+    return [t for t in _WS_ASCII.split((text or "").lower()) if t]
+
 
 def _tokens_col(text: Column) -> Column:
-    """Spark rendering of perplexity.tokenize (lower + \\s+ split)."""
-    t = F.lower(F.trim(text))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Spark rendering of bm25_tokenize: Java \\s is ASCII like the
+    re.ASCII oracle; the empty-token filter absorbs the engines'
+    differing leading/trailing-separator behavior; NULL coalesces to
+    '' (empty token array)."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
 
 
 def corpus_stats(
@@ -53,27 +67,23 @@ def corpus_stats(
     query_terms: list[str],
     text_col: str = "text",
 ) -> dict:
-    """(N, avgdl, df per query term) in ONE pass + one tiny aggregation:
-    the exploded stream is filtered to the query lexicon BEFORE the
-    shuffle, so at most |query| counter rows move."""
+    """(N, avgdl, df per query term) in ONE corpus pass, ONE action: a
+    single map-side-combined aggregation carries n, the length sum, and
+    one array_contains counter per query term — no explode, no second
+    tokenize scan, and the shuffle is a single partial-agg row per task
+    (queries are a handful of terms; an explode+lexicon-filter path only
+    pays off for thousand-term lexicons)."""
     toks = docs.select(_tokens_col(F.col(text_col)).alias("_t"))
-    base = toks.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("_t")).alias("avgdl")
-    ).collect()[0]
-    terms = list(dict.fromkeys(tokenize(" ".join(query_terms))))
-    if terms:
-        rows = (
-            toks.select(
-                F.explode(F.array_distinct("_t")).alias("term")
-            )
-            .filter(F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("df"))
-            .collect()
-        )
-        df = {r["term"]: r["df"] for r in rows}
-    else:
-        df = {}
+    terms = list(dict.fromkeys(bm25_tokenize(" ".join(query_terms))))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("_t")).alias("avgdl"),
+    ] + [
+        F.sum(F.array_contains("_t", t).cast("long")).alias(f"_df{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = toks.agg(*aggs).collect()[0]
+    df = {t: int(base[f"_df{i}"] or 0) for i, t in enumerate(terms)}
     n = int(base["n"])
     return {
         "n": n,
@@ -107,7 +117,7 @@ def py_bm25(
     text: str | None, stats: dict, k1: float = DEFAULT_K1, b: float = DEFAULT_B
 ) -> float:
     """Single-process oracle — same term order, same float expression."""
-    toks = tokenize(text if text is not None else "")
+    toks = bm25_tokenize(text)
     dl = float(len(toks))
     avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
     score = 0.0
@@ -124,8 +134,8 @@ def duckdb_bm25_sql(
     """DuckDB rendering of the same expression (third-engine check)."""
     avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
     toks = (
-        f"CASE WHEN trim(lower({text}), ' ') = '' THEN [] "
-        f"ELSE str_split_regex(trim(lower({text}), ' '), '\\s+') END"
+        f"list_filter(str_split_regex(lower(coalesce({text}, '')), "
+        "'\\s+'), x -> x <> '')"
     )
     parts = ["0.0"]
     for t in stats["terms"]:

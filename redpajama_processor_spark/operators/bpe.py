@@ -53,6 +53,9 @@ from ..functions.tokens import BPE_ISH_RE
 _PRETOKEN_RE = re.compile(BPE_ISH_RE, re.ASCII)
 
 UNK_ID = 0
+#: distinct pretoken forms kept in the encode cache before it resets —
+#: bounds worker memory (~tens of MB) while keeping Zipf-head reuse
+_ENCODE_CACHE_MAX = 1 << 18
 UNK_TOKEN = "<unk>"
 
 
@@ -273,8 +276,13 @@ def encode_bpe(
 ) -> DataFrame:
     """Append ``out_col: array<int>`` — BPE token ids per row.
 
-    mapInPandas, model broadcast once per executor; a per-batch pretoken
-    cache makes repeated word forms O(1). No shuffle: narrow map only.
+    mapInPandas, model broadcast once per executor; a BOUNDED pretoken
+    cache makes repeated word forms O(1). The cache spans batches (Zipf
+    head words recur across the whole partition) but is cleared when it
+    exceeds ``_ENCODE_CACHE_MAX`` distinct forms — unbounded it would
+    grow with the partition's vocabulary (Heaps' law: tens of millions
+    of forms on a corpus-scale partition) and OOM the Python worker.
+    No shuffle: narrow map only.
     """
     sc = df.sparkSession.sparkContext
     b_model = sc.broadcast(model)
@@ -286,6 +294,8 @@ def encode_bpe(
         m = b_model.value
         cache: dict = {}
         for pdf in batches:
+            if len(cache) > _ENCODE_CACHE_MAX:
+                cache.clear()
             pdf = pdf.copy()
             pdf[out_col] = [encode_text(t, m, cache) for t in pdf[text_col]]
             yield pdf

@@ -120,6 +120,11 @@ def _corpus():
     )
     rows += _conv("c3", [("tool", "ab" * 70), ("user", ""), ("tool", "ok.")])
     rows += _conv("c4", [("assistant", "no tools at all here.")])
+    # NULL text behaves as '': two consecutive NULL-text tool turns ARE
+    # a repeat (the empty-retry-loop shape) in all three renderings
+    rows += _conv(
+        "c5", [("tool", None), ("tool", None), ("assistant", None)]
+    )
     return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
 
 

@@ -26,6 +26,13 @@ DOCS = [
     (4, "the dog sleeps while the fox is quick and quiet"),
     (5, ""),
     (6, "   "),
+    # edge whitespace: the engines disagree on empty tokens from
+    # leading/trailing separators and on Unicode \s unless the spec
+    # pins ASCII + drop-empties (module docstring)
+    (7, "\tquick fox."),
+    (8, "quick fox\n"),
+    (9, "quick\u00a0fox and fox"),  # NBSP is NOT a separator (ASCII \s)
+    (10, None),  # NULL text scores 0.0, counts dl=0
 ]
 
 
@@ -58,8 +65,10 @@ def test_three_way_parity(spark, duck_unused=None):
 
 def test_stats_shape(spark):
     stats = corpus_stats(_df(spark), ["quick fox missingterm"], "text")
-    assert stats["n"] == 7
-    assert stats["df"]["quick"] == 3 and stats["df"]["fox"] == 3
+    assert stats["n"] == 11
+    # quick: docs 0,2,4,7,8 (9's 'quick\xa0fox' is ONE token);
+    # fox: 0,1,4,8,9 (7's 'fox.' keeps the period — no stemming)
+    assert stats["df"]["quick"] == 5 and stats["df"]["fox"] == 5
     assert stats["df"]["missingterm"] == 0
     # absent terms get the max idf, never a division error
     assert stats["idf"]["missingterm"] > stats["idf"]["quick"] > 0
@@ -71,13 +80,17 @@ def test_ranking_sanity(spark):
     ids = [r["doc_id"] for r in top]
     # docs containing both terms outrank the no-match doc; doc 3 and the
     # empty docs never appear above matches
-    assert set(ids) <= {0, 1, 2, 4}
+    assert set(ids) <= {0, 1, 2, 4, 7, 8, 9}
     assert top[0]["bm25"] >= top[1]["bm25"] >= top[2]["bm25"]
-    # term saturation: doc 2 (quick x4, no fox) must not beat doc 0/4
-    # (both terms) — BM25's tf saturation + two-term coverage
-    both = {r["doc_id"]: r["bm25"] for r in top}
-    if 2 in both and 0 in both:
-        assert both[0] > both[2]
+    # two-term coverage at EQUAL dl: doc 8 ('quick fox') must beat doc 7
+    # ('quick fox.' — the period defeats the fox match), and saturation
+    # caps doc 2's quick x4 below 4x a single occurrence
+    scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(docs, "quick fox", k=20).collect()
+    }
+    assert scores[8] > scores[7]
+    assert scores[2] < 4 * scores[7]
 
 
 def test_stats_reuse_and_empty_query(spark):

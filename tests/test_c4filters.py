@@ -86,6 +86,10 @@ def _corpus():
         ("d09", good3 + "\n" + good3),
         ("d10", "Ends with curly quote and enough words.”\n" + good3),
         ("d11", "Tabs\tseparate\twords\tin\tthis line."),
+        # NBSP inside a line: ASCII \s word count (4, not 5) in ALL
+        # THREE renderings — the oracle pins re.ASCII
+        ("d12", "One two three four\u00a0five."),
+        ("d13", None),  # NULL text behaves as ''
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 

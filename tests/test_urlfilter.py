@@ -40,6 +40,18 @@ def test_suffix_chain():
     assert py_suffix_chain("localhost") == ["localhost"]
 
 
+def test_deep_host_cap_keeps_registrable_domain():
+    """The depth cap must keep the TAIL of the chain: a head-biased cap
+    would let any host evade the blocklist by adding subdomain labels."""
+    deep = "a.b.c.d.e.f.g.h.badsite.example"
+    chain = py_suffix_chain(deep)
+    assert chain[0] == deep  # exact host still present
+    assert "badsite.example" in chain  # registrable domain never dropped
+    assert len(chain) == 8  # MAX_SUFFIX_DEPTH
+    n, b, f = py_url_signals(f"x https://{deep}/px", set(BLOCKLIST))
+    assert (n, b, f) == (1, 1, True)
+
+
 def test_subdomain_blocking():
     bl = set(BLOCKLIST)
     n, b, f = py_url_signals(
@@ -67,6 +79,8 @@ def url_corpus():
         ("d07", "ports http://badsite.example:8443/x"),
         ("d08", ""),
         ("d09", "UPPER https://WWW.BADSITE.EXAMPLE/SHOUT"),
+        # >MAX_SUFFIX_DEPTH labels: still blocked via the chain tail
+        ("d10", "deep https://a.b.c.d.e.f.g.h.badsite.example/px"),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
