@@ -1632,6 +1632,26 @@ def q_doc_span_removal(spark, sf_dir):
     return exact_span_removal(d)
 
 
+def q_transcript_conv_dedup(spark, sf_dir):
+    """Conversation-GRAIN fuzzy dedup (operators/convdedup.py): detect
+    near-duplicate whole conversations via the MinHash semilattice
+    identity — the signature of a union of shingle sets is the
+    elementwise min of the sets' signatures — so the conversation
+    signature folds from per-turn signatures with one map-side-combined
+    groupBy(conv_id) min aggregation (no concat, no collect_list, immune
+    to long-conversation skew by construction). LSH banding, candidate
+    star edges, signature-agreement verification and connected
+    components then run over the CONVERSATION table (orders of magnitude
+    smaller than the turn table). Rows-only in the driver window;
+    bit-for-bit python-oracle parity across the full chain plus DuckDB
+    parity for the union-signature identity are proven in
+    tests/test_convdedup.py."""
+    from redpajama_processor_spark.operators.convdedup import conv_fuzzy_dedup
+
+    t = _doc_turns(spark, sf_dir)
+    return conv_fuzzy_dedup(t, num_perm=32, bands=8).orderBy("conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries (both prior rounds stopped at exactly 50),
@@ -1712,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_span_removal": q_doc_span_removal,
+        "transcript_conv_dedup": q_transcript_conv_dedup,
     }
 
 

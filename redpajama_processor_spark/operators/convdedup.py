@@ -1,0 +1,304 @@
+"""Conversation-grain fuzzy dedup: near-duplicate WHOLE conversations.
+
+The reference dedups at document grain only (its rows are documents,
+/root/reference/step6_fuzzy_deduplication.py); on multi-turn transcripts
+the unit a trainer actually samples is the conversation, and near-copies
+of whole conversations (re-ingested sessions, A/B-logged replays,
+templated support dialogs) survive turn-level dedup whenever any single
+turn differs. This operator detects them.
+
+The load-bearing identity: **MinHash is a semilattice homomorphism** —
+the signature of a UNION of shingle sets is the ELEMENTWISE MIN of the
+sets' signatures (each permutation's min over A∪B = min(min over A,
+min over B)). So the conversation signature is computed from per-turn
+signatures with a plain ``groupBy(conv_id).agg(min ...)``:
+
+- per-turn work (shingles, base hashes, K affine minima) is narrow and
+  embarrassingly parallel — identical cost shape to doc-grain minhash;
+- the per-conversation fold is map-side combinable, so a 10^5-turn
+  conversation collapses to one K-long partial per map task BEFORE the
+  conv_id shuffle — the long-conversation-skew answer by construction
+  (no giant concat string, no collect_list width, no salting needed);
+- turn ORDER never matters (union is order-free), so a re-logged
+  conversation with shuffled or renumbered turns still collides —
+  a strictly stronger recall property than shingling the concatenation.
+
+Spec (deterministic; mirrored bit-for-bit by ``py_conv_fuzzy_dedup``):
+
+- per-turn shingle set: ``hashing.shingles_col`` spec over
+  coalesce(text, '') — distinct char n-grams, ``[text]`` when
+  len(text) <= n. Shingles do NOT cross turn boundaries (documented
+  delta vs shingling the concatenation: the missing boundary windows
+  are <= n_turns*(n-1) of ~total_chars windows and carry no dedup
+  signal of their own).
+- conversation shingle set = union over its turns.
+- signature: sig[k] = min over the union of (A_k*h + B_k mod P) —
+  computed as the elementwise min of per-turn signatures (the identity
+  above; asserted bit-for-bit against the union-set oracle in tests).
+- LSH banding + candidate star edges: ``lsh_buckets`` /
+  ``buckets_to_edges`` from operators/dedup.py, unchanged.
+- verification: estimated Jaccard = fraction of AGREEING signature
+  components >= ``sig_threshold`` (default 0.7: a true-J=0.8 pair
+  passes with probability ~0.975 at K=64, an unrelated pair
+  essentially never; stderr of the estimator ~ sqrt(J(1-J)/K)). The
+  doc-grain exact-shingle verify would need the materialized union set
+  per conversation — unbounded width on adversarial conversations —
+  while both signatures are already in hand and K-bounded.
+- connected components + min-id survivor, exactly as doc-grain
+  ``fuzzy_dedup``: component = min conv_id reachable, is_conv_dup =
+  component != conv_id.
+
+Scale shape at 10^12 turns: one narrow per-turn pass, one map-side-
+combined K-column min aggregation keyed on conv_id (output = one row
+per CONVERSATION — orders of magnitude smaller than the turn table),
+then the standard banded LSH machinery over that conversation table.
+No Window, no collect_list over turns, no per-conversation state that
+grows with conversation length anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from .dedup import buckets_to_edges, connected_components, lsh_buckets
+
+DEFAULT_SIG_THRESHOLD = 0.7
+
+
+def conv_minhash(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    ngram: int = H.DEFAULT_NGRAM,
+    base: str = "xxhash",
+    use_numpy: bool = True,
+) -> DataFrame:
+    """(conv_id, _minhash): conversation-level signature via the
+    elementwise-min fold of per-turn signatures.
+
+    base='xxhash' (default) is the scale path; base='md5' the
+    engine-portable rendering (DuckDB-checkable, see
+    ``duckdb_conv_minhash_sql``). use_numpy routes the per-turn affine
+    minima through the Arrow hybrid UDF (operators/dedup.add_minhash's
+    scale path) or pure-JVM expressions.
+    """
+    from .dedup import add_minhash
+
+    per_turn = add_minhash(
+        turns.select(
+            F.col(conv_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+        ),
+        text_col="_t",
+        num_perm=num_perm,
+        ngram=ngram,
+        use_numpy=use_numpy,
+        base=base,
+    )
+    # unpack the signature once (K int columns), min-fold per conversation
+    # (map-side combined — the skew story), repack.
+    cols = [
+        F.element_at(F.col("_minhash"), k + 1).alias(f"_s{k}")
+        for k in range(num_perm)
+    ]
+    folded = (
+        per_turn.select(F.col(conv_col), *cols)
+        .groupBy(conv_col)
+        .agg(*[F.min(f"_s{k}").alias(f"_s{k}") for k in range(num_perm)])
+    )
+    return folded.select(
+        F.col(conv_col),
+        F.array(*[F.col(f"_s{k}") for k in range(num_perm)]).alias("_minhash"),
+    )
+
+
+def sig_agreement_col(a, b, num_perm: int):
+    """Fraction of agreeing components between two signature arrays —
+    the unbiased MinHash Jaccard estimator (pure JVM)."""
+    matches = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches.cast("double") / F.lit(float(num_perm))
+
+
+def conv_fuzzy_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 8,
+    ngram: int = H.DEFAULT_NGRAM,
+    sig_threshold: float = DEFAULT_SIG_THRESHOLD,
+    base: str = "xxhash",
+    use_numpy: bool = True,
+    max_bucket: int | None = None,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """One row per conversation: (conv_id, component, is_conv_dup).
+
+    component = min conv_id reachable through verified near-dup edges;
+    join back to the turn table (or feed ``remove_duplicates``) to drop
+    every turn of every non-survivor conversation.
+    """
+    from .stage import cut
+
+    sigs = conv_minhash(
+        turns, conv_col, text_col, num_perm, ngram, base, use_numpy
+    )
+    # the conversation table is re-read by banding AND the two verify
+    # joins — cut it so the per-turn pass runs once
+    sigs = cut(sigs.withColumnRenamed(conv_col, "_cid"), stage_dir, "cvd_sigs")
+
+    key_hash = "md5" if base == "md5" else "xxhash"
+    buckets = lsh_buckets(sigs, num_perm, bands, id_col="_cid", key_hash=key_hash)
+    pairs = buckets_to_edges(buckets, id_col="_cid", max_bucket=max_bucket)
+
+    l = sigs.select(F.col("_cid").alias("src"), F.col("_minhash").alias("_sa"))
+    r = sigs.select(F.col("_cid").alias("dst"), F.col("_minhash").alias("_sb"))
+    verified = (
+        pairs.join(l, "src")
+        .join(r, "dst")
+        .withColumn(
+            "sig_jaccard", sig_agreement_col(F.col("_sa"), F.col("_sb"), num_perm)
+        )
+        .filter(F.col("sig_jaccard") >= sig_threshold)
+        .select("src", "dst")
+    )
+    comp = connected_components(verified, stage_dir=stage_dir)
+    out = (
+        sigs.select(F.col("_cid"))
+        .join(comp.withColumnRenamed("id", "_cid"), "_cid", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("_cid")))
+        .withColumn("is_conv_dup", F.col("component") != F.col("_cid"))
+    )
+    return out.withColumnRenamed("_cid", conv_col)
+
+
+# ---------------------------------------------------------------------------
+# Single-process oracle (exact spec above)
+# ---------------------------------------------------------------------------
+
+def _py_base_hash(s: str, base: str) -> int:
+    if base == "xxhash":
+        return H.py_xxhash_base(s)
+    return int(hashlib.md5(s.encode()).hexdigest()[: H.HASH_BITS // 4], 16)
+
+
+def py_conv_union_sets(
+    rows: list[tuple], ngram: int = H.DEFAULT_NGRAM
+) -> dict[str, set]:
+    """rows: (conv_id, text-per-turn) -> conv_id -> union shingle set."""
+    out: dict[str, set] = {}
+    for cid, text in rows:
+        t = text if text is not None else ""
+        if len(t) <= ngram:
+            sh = {t}
+        else:
+            sh = {t[i : i + ngram] for i in range(len(t) - ngram + 1)}
+        out.setdefault(cid, set()).update(sh)
+    return out
+
+
+def py_conv_minhash(
+    rows: list[tuple],
+    num_perm: int = 64,
+    ngram: int = H.DEFAULT_NGRAM,
+    base: str = "xxhash",
+) -> dict[str, list[int]]:
+    """Signature over the conversation's UNION shingle set — the direct
+    (non-folded) rendering; bit-equality with ``conv_minhash`` proves the
+    semilattice identity end to end."""
+    import numpy as np
+
+    params = np.asarray(H.perm_params(num_perm), dtype=np.uint64)
+    out: dict[str, list[int]] = {}
+    for cid, sh in py_conv_union_sets(rows, ngram).items():
+        h = np.asarray(
+            [_py_base_hash(s, base) for s in sh], dtype=np.uint64
+        )
+        m = (h[:, None] * params[None, :, 0] + params[None, :, 1]) % np.uint64(
+            H.MERSENNE_P
+        )
+        out[cid] = [int(x) for x in m.min(axis=0)]
+    return out
+
+
+def py_conv_fuzzy_dedup(
+    rows: list[tuple],
+    num_perm: int = 64,
+    bands: int = 8,
+    ngram: int = H.DEFAULT_NGRAM,
+    sig_threshold: float = DEFAULT_SIG_THRESHOLD,
+    base: str = "xxhash",
+) -> dict[str, tuple[str, bool]]:
+    """Full-chain oracle -> {conv_id: (component, is_conv_dup)}."""
+    sigs = py_conv_minhash(rows, num_perm, ngram, base)
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple, list[str]] = {}
+    for cid, sig in sigs.items():
+        for b in range(bands):
+            sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            cat = ":".join(map(str, sl))
+            if base == "md5":
+                bk = hashlib.md5(cat.encode()).hexdigest()
+            else:
+                u = H.py_xxh64(cat.encode())
+                bk = u - (1 << 64) if u >= (1 << 63) else u
+            buckets.setdefault((b, bk), []).append(cid)
+
+    edges: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(set(members))
+        for m in ms[1:]:
+            edges.add((ms[0], m))
+
+    from ..oracle import _UnionFind
+
+    uf = _UnionFind()
+    for a, b in edges:
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        if agree / num_perm >= sig_threshold:
+            uf.union(a, b)
+    out = {}
+    for cid in sigs:
+        comp = uf.find(cid) if cid in uf.p else cid
+        out[cid] = (comp, comp != cid)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB rendering of the signature stage (md5 base) — engine parity for
+# the union/elementwise-min identity itself
+# ---------------------------------------------------------------------------
+
+def duckdb_conv_minhash_sql(
+    turns_table: str,
+    num_perm: int = 64,
+    ngram: int = H.DEFAULT_NGRAM,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> str:
+    """Per-conversation signature computed the DIRECT way (union the
+    per-turn base-hash lists, then K list_min passes) — a third engine's
+    vote that the folded Spark rendering computes the union-set
+    signature."""
+    hashes = H.duckdb_base_hashes_sql(f"COALESCE({text_col}, '')", ngram)
+    sig = H.duckdb_minhash_from_hashes_sql("_hs", num_perm)
+    return f"""
+WITH per_turn AS (
+  SELECT {conv_col} AS conv_id, {hashes} AS _bh FROM {turns_table}
+),
+per_conv AS (
+  SELECT conv_id, list_distinct(flatten(list(_bh))) AS _hs
+  FROM per_turn GROUP BY conv_id
+)
+SELECT conv_id, {sig} AS sig FROM per_conv
+"""

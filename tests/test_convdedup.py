@@ -1,0 +1,183 @@
+"""Conversation-grain fuzzy dedup (operators/convdedup.py): the semilattice
+identity (folded per-turn signature == union-set signature), full-chain
+oracle parity, order/partitioning invariance, DuckDB engine parity for the
+signature stage, NULL handling, and the map-side-combine plan shape."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions import hashing as H
+from redpajama_processor_spark.operators.convdedup import (
+    conv_fuzzy_dedup,
+    conv_minhash,
+    duckdb_conv_minhash_sql,
+    py_conv_fuzzy_dedup,
+    py_conv_minhash,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+SCHEMA = "conv_id string, turn_idx int, text string"
+
+BASE_TURNS = [
+    "Hello, I need help resetting my account password please.",
+    "Sure - I can help with that. What is the email on the account?",
+    "It's pat@example.com, I registered around March of last year.",
+    "Thanks. I've sent a reset link; it expires in thirty minutes.",
+    "Got it, the link worked and I'm back in. Thanks for the help!",
+]
+
+
+def _conv(cid, texts):
+    return [(cid, i, t) for i, t in enumerate(texts)]
+
+
+def _fixture_rows():
+    rows = []
+    # A: canonical conversation
+    rows += _conv("conv-a", BASE_TURNS)
+    # B: near-dup of A — one turn lightly edited (same shingle mass
+    # elsewhere). Whole-conversation Jaccard stays high.
+    edited = list(BASE_TURNS)
+    edited[2] = "It's pat@example.com, I registered around April of last year."
+    rows += _conv("conv-b", edited)
+    # C: SAME turns as A but reordered and renumbered — union is
+    # order-free, so C must land in A's component (the recall property
+    # concatenation-shingling would miss).
+    rows += [("conv-c", i, t) for i, t in enumerate(reversed(BASE_TURNS))]
+    # D, E: unrelated conversations
+    rows += _conv(
+        "conv-d",
+        [
+            "The quarterly report shows revenue growth across all regions.",
+            "Margins compressed slightly due to logistics costs in Q3.",
+        ],
+    )
+    rows += _conv(
+        "conv-e",
+        [
+            "Can you recommend a good hiking trail near the coast?",
+            "Try the cliffside loop; it is about seven kilometers round trip.",
+            None,  # NULL turn text: behaves as ''
+        ],
+    )
+    return rows
+
+
+def _py_rows(rows):
+    return [(cid, t) for cid, _, t in rows]
+
+
+def test_semilattice_identity_and_oracle_sig(spark):
+    """Folded Spark signature == direct union-set oracle signature, for
+    both base hashes and both affine paths."""
+    rows = _fixture_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    for base in ("xxhash", "md5"):
+        want = py_conv_minhash(_py_rows(rows), num_perm=16, base=base)
+        for use_numpy in (True, False):
+            got = {
+                r["conv_id"]: list(r["_minhash"])
+                for r in conv_minhash(
+                    df, num_perm=16, base=base, use_numpy=use_numpy
+                ).collect()
+            }
+            assert got == want, (base, use_numpy)
+
+
+def test_full_chain_matches_oracle(spark):
+    rows = _fixture_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["conv_id"]: (r["component"], r["is_conv_dup"])
+        for r in conv_fuzzy_dedup(df, num_perm=32, bands=8).collect()
+    }
+    want = py_conv_fuzzy_dedup(_py_rows(rows), num_perm=32, bands=8)
+    assert got == want
+    # the semantics the fixture encodes: b and c fold into a's component,
+    # d and e survive as their own
+    assert got["conv-a"] == ("conv-a", False)
+    assert got["conv-b"] == ("conv-a", True)
+    assert got["conv-c"] == ("conv-a", True)
+    assert got["conv-d"] == ("conv-d", False)
+    assert got["conv-e"] == ("conv-e", False)
+
+
+def test_partitioning_and_turn_order_invariance(spark):
+    rows = _fixture_rows()
+    ref = {
+        r["conv_id"]: (r["component"], r["is_conv_dup"])
+        for r in conv_fuzzy_dedup(
+            spark.createDataFrame(rows, SCHEMA).repartition(1),
+            num_perm=32,
+            bands=8,
+        ).collect()
+    }
+    shuffled = list(reversed(rows))
+    got = {
+        r["conv_id"]: (r["component"], r["is_conv_dup"])
+        for r in conv_fuzzy_dedup(
+            spark.createDataFrame(shuffled, SCHEMA).repartition(13),
+            num_perm=32,
+            bands=8,
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_duckdb_signature_parity(spark):
+    """Third engine: DuckDB computes the union-set signature directly
+    (flatten + list_distinct + K list_min) and must match the folded
+    Spark rendering on the md5 base."""
+    rows = _fixture_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["conv_id"]: list(r["_minhash"])
+        for r in conv_minhash(df, num_perm=16, base="md5").collect()
+    }
+    con = duckdb.connect()
+    con.register("turns", pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"]))
+    want = {
+        cid: list(sig)
+        for cid, sig in con.execute(
+            duckdb_conv_minhash_sql("turns", num_perm=16)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_long_conversation_folds_mapside(spark):
+    """A 3000-turn conversation next to 2-turn ones: the fold is a plain
+    hash aggregate (partial + final — no Window, no collect_list), and
+    the giant conversation's label is still correct."""
+    rows = [("big", i, f"repeated filler sentence number {i % 7} for bulk")
+            for i in range(3000)]
+    rows += _conv("small", ["tiny one", "tiny two"])
+    df = spark.createDataFrame(rows, SCHEMA).repartition(16)
+    sigs = conv_minhash(df, num_perm=16)
+    plan = audit_plan(sigs)
+    assert "Window" not in plan["plan"]
+    assert "collect_list" not in plan["plan"]
+    # partial_min markers prove the map-side combine
+    assert "partial_min" in plan["plan"] or "partial min" in plan["plan"].lower()
+    got = {r["conv_id"]: list(r["_minhash"]) for r in sigs.collect()}
+    want = py_conv_minhash(_py_rows(rows), num_perm=16)
+    assert got == want
+
+
+def test_sig_threshold_gates_edges(spark):
+    """With an impossible threshold nothing merges even though LSH
+    produced candidate buckets (exact-dup convs collide in every band)."""
+    rows = _conv("x1", BASE_TURNS) + _conv("x2", BASE_TURNS)
+    df = spark.createDataFrame(rows, SCHEMA)
+    merged = conv_fuzzy_dedup(df, num_perm=32, bands=8)
+    assert {r["conv_id"]: r["is_conv_dup"] for r in merged.collect()} == {
+        "x1": False,
+        "x2": True,
+    }
+    gated = conv_fuzzy_dedup(df, num_perm=32, bands=8, sig_threshold=1.01)
+    assert {r["conv_id"]: r["is_conv_dup"] for r in gated.collect()} == {
+        "x1": False,
+        "x2": False,
+    }
