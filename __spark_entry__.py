@@ -1652,6 +1652,22 @@ def q_transcript_conv_dedup(spark, sf_dir):
     return conv_fuzzy_dedup(t, num_perm=32, bands=8).orderBy("conv_id")
 
 
+def q_doc_rule_ablation(spark, sf_dir):
+    """Rule-ablation census (operators/quality.rule_ablation): per
+    heuristic rule, (n_failing, n_sole, n_attributed) over the documents
+    table — n_sole is the marginal recall cost of the rule (docs the
+    battery would additionally keep without it), n_attributed the
+    sequential first-failing attribution the kept/dropped counters use.
+    ONE narrow signal pass + ONE single-row aggregation (the only
+    Exchange) + a per-rule explode. Rows-only in the driver window;
+    python + DuckDB three-way parity and the attribution-partition
+    invariant are proven in tests/test_rule_ablation.py."""
+    from redpajama_processor_spark.operators.quality import rule_ablation
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return rule_ablation(d).orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries (both prior rounds stopped at exactly 50),
@@ -1733,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_span_removal": q_doc_span_removal,
         "transcript_conv_dedup": q_transcript_conv_dedup,
+        "doc_rule_ablation": q_doc_rule_ablation,
     }
 
 

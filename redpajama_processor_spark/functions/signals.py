@@ -231,6 +231,26 @@ def spark_signal_cols(
     }
 
 
+def rule_checks(
+    signals: dict[str, Column], include_stopword_rule: bool = False
+) -> list[tuple[str, Column]]:
+    """[(rule_name, passes-boolean)] in reference pipeline order — THE
+    single Spark copy of the threshold logic (keep/drop, first-failing
+    attribution AND the ablation census all derive from it)."""
+    rules = THRESHOLDS + ([GOPHER_STOPWORD_RULE] if include_stopword_rule else [])
+    out = []
+    for name, col, kind, lo, hi in rules:
+        c = signals[col]
+        if kind == "range":
+            ok = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        elif kind == "min":
+            ok = c >= F.lit(lo)
+        else:
+            ok = c <= F.lit(hi)
+        out.append((name, ok))
+    return out
+
+
 def spark_keep_and_rule(
     signals: dict[str, Column], include_stopword_rule: bool = False
 ) -> tuple[Column, Column]:
@@ -240,17 +260,9 @@ def spark_keep_and_rule(
     pipeline order (NeMo applies filters sequentially — the first filter to
     reject a doc is the one 'responsible', step7_quality_filtering.py:200).
     """
-    rules = THRESHOLDS + ([GOPHER_STOPWORD_RULE] if include_stopword_rule else [])
     keep = F.lit(True)
     whens = []
-    for name, col, kind, lo, hi in rules:
-        c = signals[col]
-        if kind == "range":
-            ok = (c >= F.lit(lo)) & (c <= F.lit(hi))
-        elif kind == "min":
-            ok = c >= F.lit(lo)
-        else:
-            ok = c <= F.lit(hi)
+    for name, ok in rule_checks(signals, include_stopword_rule):
         keep = keep & ok
         whens.append(F.when(~ok, F.lit(name)))
     # flat coalesce-of-whens = first failing rule; a fold of nested
@@ -436,6 +448,26 @@ def py_signals(text: str) -> dict[str, float]:
     else:
         out["dup_line_ratio"] = 0.0
     return out
+
+
+def py_rule_fails(
+    sig: dict[str, float], include_stopword_rule: bool = False
+) -> list[str]:
+    """ALL failing rule names in pipeline order (the ablation oracle's
+    view; py_keep_and_rule reports only the first)."""
+    rules = THRESHOLDS + ([GOPHER_STOPWORD_RULE] if include_stopword_rule else [])
+    fails = []
+    for name, col, kind, lo, hi in rules:
+        c = sig[col]
+        if kind == "range":
+            ok = lo <= c <= hi
+        elif kind == "min":
+            ok = c >= lo
+        else:
+            ok = c <= hi
+        if not ok:
+            fails.append(name)
+    return fails
 
 
 def py_keep_and_rule(

@@ -73,3 +73,161 @@ def observed_counts(df: DataFrame, text_col: str = "text"):
         F.sum(F.col("keep").cast("long")).alias("kept"),
     )
     return ann, obs
+
+
+# ---------------------------------------------------------------------------
+# Rule-ablation census: marginal attribution per heuristic rule
+# ---------------------------------------------------------------------------
+
+def rule_ablation(
+    df: DataFrame,
+    text_col: str = "text",
+    include_stopword_rule: bool = True,
+) -> DataFrame:
+    """Per-rule ablation census over the heuristic battery — the
+    threshold-tuning diagnostic: one row per rule with
+
+      n_failing    docs failing this rule (regardless of other rules)
+      n_sole       docs failing ONLY this rule — exactly the docs the
+                   battery would ADDITIONALLY keep if the rule were
+                   removed (its marginal cost in recall)
+      n_attributed docs whose first-failing rule is this one (the
+                   sequential-pipeline attribution rule_counters uses —
+                   n_attributed over-credits early rules and under-credits
+                   late ones relative to n_sole, which is why both views
+                   exist)
+      n_total / n_kept  corpus context, repeated per row.
+
+    Invariants (asserted by the oracle tests): sum(n_attributed) =
+    n_total - n_kept; n_sole <= n_attributed <= n_failing per rule
+    (attribution requires failing; a sole failure is always attributed
+    to its own rule).
+
+    Scale shape: ONE narrow signal pass (whole-stage codegen, shared
+    subexpressions with the fail indicators), ONE global aggregation to
+    a single row (map-side partial — the only Exchange), then a per-rule
+    explode of that row. No groupBy key, no skew surface; the reduce
+    side carries 3*n_rules+2 longs per partition.
+    """
+    sig = S.spark_signal_cols(F.col(text_col))
+    out = df.withColumns(dict(sig))
+    sig_cols = {k: F.col(k) for k in sig}
+    checks = S.rule_checks(sig_cols, include_stopword_rule)
+    _, drop_rule = S.spark_keep_and_rule(sig_cols, include_stopword_rule)
+    names = [n for n, _ in checks]
+    out = out.withColumns(
+        {f"_f_{n}": (~ok).cast("int") for n, ok in checks}
+    )
+    nf = None
+    for n in names:
+        nf = F.col(f"_f_{n}") if nf is None else nf + F.col(f"_f_{n}")
+    out = out.withColumn("_nf", nf).withColumn("_dr", drop_rule)
+
+    aggs = [
+        F.count(F.lit(1)).alias("_total"),
+        F.sum((F.col("_nf") == 0).cast("long")).alias("_kept"),
+    ]
+    for n in names:
+        aggs.append(F.sum(F.col(f"_f_{n}")).cast("long").alias(f"_fail_{n}"))
+        aggs.append(
+            F.sum(
+                ((F.col(f"_f_{n}") == 1) & (F.col("_nf") == 1)).cast("long")
+            ).alias(f"_sole_{n}")
+        )
+        aggs.append(
+            F.sum((F.col("_dr") == n).cast("long")).alias(f"_attr_{n}")
+        )
+    one = out.agg(*aggs)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"),
+                F.col(f"_fail_{n}").alias("n_failing"),
+                F.col(f"_sole_{n}").alias("n_sole"),
+                F.col(f"_attr_{n}").alias("n_attributed"),
+            )
+            for n in names
+        ]
+    )
+    return one.select(
+        F.explode(rows).alias("r"),
+        F.col("_total").alias("n_total"),
+        F.col("_kept").alias("n_kept"),
+    ).select(
+        "r.rule", "r.n_failing", "r.n_sole", "r.n_attributed",
+        "n_total", "n_kept",
+    )
+
+
+def py_rule_ablation(
+    texts: list[str], include_stopword_rule: bool = True
+) -> dict:
+    """Single-process oracle -> {rule: (n_failing, n_sole, n_attributed)}
+    plus '__total__'/'__kept__' entries."""
+    rules = S.THRESHOLDS + (
+        [S.GOPHER_STOPWORD_RULE] if include_stopword_rule else []
+    )
+    names = [r[0] for r in rules]
+    failing = {n: 0 for n in names}
+    sole = {n: 0 for n in names}
+    attr = {n: 0 for n in names}
+    kept = 0
+    for t in texts:
+        fails = S.py_rule_fails(S.py_signals(t), include_stopword_rule)
+        if not fails:
+            kept += 1
+            continue
+        for n in fails:
+            failing[n] += 1
+        if len(fails) == 1:
+            sole[fails[0]] += 1
+        attr[fails[0]] += 1
+    out = {n: (failing[n], sole[n], attr[n]) for n in names}
+    out["__total__"] = len(texts)
+    out["__kept__"] = kept
+    return out
+
+
+def duckdb_rule_ablation_sql(
+    src: str,
+    text_col: str = "text",
+    include_stopword_rule: bool = True,
+) -> str:
+    """Engine-parity SQL rendering (same single-aggregation shape)."""
+    rules = S.THRESHOLDS + (
+        [S.GOPHER_STOPWORD_RULE] if include_stopword_rule else []
+    )
+    sig = S.duckdb_signal_sql(text_col)
+    _, drop = S.duckdb_keep_and_rule_sql(sig, include_stopword_rule)
+    fail_exprs, names = [], []
+    for name, col, kind, lo, hi in rules:
+        c = sig[col]
+        if kind == "range":
+            ok = f"(({c}) >= {lo} AND ({c}) <= {hi})"
+        elif kind == "min":
+            ok = f"(({c}) >= {lo})"
+        else:
+            ok = f"(({c}) <= {hi})"
+        fail_exprs.append(f"CASE WHEN NOT {ok} THEN 1 ELSE 0 END AS f_{name}")
+        names.append(name)
+    nf = " + ".join(f"f_{n}" for n in names)
+    per_rule = []
+    for n in names:
+        per_rule.append(
+            f"SELECT '{n}' AS rule, "
+            f"SUM(f_{n})::BIGINT AS n_failing, "
+            f"SUM(CASE WHEN f_{n} = 1 AND nf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_sole, "
+            f"SUM(CASE WHEN dr = '{n}' THEN 1 ELSE 0 END)::BIGINT AS n_attributed, "
+            f"COUNT(*)::BIGINT AS n_total, "
+            f"SUM(CASE WHEN nf = 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept "
+            f"FROM f"
+        )
+    union = " UNION ALL ".join(per_rule)
+    return f"""
+WITH f0 AS (
+  SELECT {', '.join(fail_exprs)}, {drop} AS dr FROM {src}
+),
+f AS (SELECT *, {nf} AS nf FROM f0)
+{union}
+"""

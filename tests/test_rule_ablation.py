@@ -1,0 +1,107 @@
+"""Rule-ablation census (operators/quality.rule_ablation): python-oracle
+and DuckDB three-way parity, invariants, plan shape, and refactor guard
+for the shared rule_checks helper."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions import signals as S
+from redpajama_processor_spark.operators.quality import (
+    duckdb_rule_ablation_sql,
+    py_rule_ablation,
+    rule_ablation,
+)
+from redpajama_processor_spark.plans.audit import audit_plan
+
+GOOD = (
+    "The committee reviewed the annual report and found that the results "
+    "were consistent with expectations for the period under review and "
+    "recommended continued support of the existing programs in the region."
+)
+
+TEXTS = [
+    GOOD,
+    # fails ONLY word_count (8 words, but > 50 chars and otherwise clean)
+    "the remarkable committee delivered excellent results during deliberations",
+    # fails several rules at once (symbols + numbers + short)
+    "@@@ 111 ###",
+    # fails ONLY stopword_ratio: many long content words, no stopwords
+    "committee reviewed annual report found results consistent "
+    "expectations period review recommended continued support "
+    "existing programs region",
+    GOOD,  # duplicate kept doc (keeps counters honest)
+    "",    # fails word_count + char_count
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(t,) for t in TEXTS], "text string")
+
+
+def _collect(spark):
+    return {
+        r["rule"]: (
+            r["n_failing"], r["n_sole"], r["n_attributed"],
+            r["n_total"], r["n_kept"],
+        )
+        for r in rule_ablation(_df(spark)).collect()
+    }
+
+
+def test_matches_python_oracle(spark):
+    got = _collect(spark)
+    want = py_rule_ablation(TEXTS)
+    total, kept = want.pop("__total__"), want.pop("__kept__")
+    assert got == {n: (f, s, a, total, kept) for n, (f, s, a) in want.items()}
+
+
+def test_matches_duckdb(spark):
+    got = _collect(spark)
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"text": TEXTS}))
+    want = {
+        r[0]: tuple(int(x) for x in r[1:])
+        for r in con.execute(duckdb_rule_ablation_sql("docs")).fetchall()
+    }
+    assert got == want
+
+
+def test_invariants(spark):
+    got = _collect(spark)
+    n_total = next(iter(got.values()))[3]
+    n_kept = next(iter(got.values()))[4]
+    # attribution partitions the dropped docs
+    assert sum(a for _, _, a, _, _ in got.values()) == n_total - n_kept
+    for rule, (f, s, a, _, _) in got.items():
+        assert s <= a <= f, rule
+    # the fixture exercises every count class
+    assert got["word_count"][1] >= 1          # a sole word_count failure
+    assert got["stopword_ratio"][1] >= 1      # a sole stopword failure
+    assert any(f > a for f, _, a, _, _ in got.values())  # multi-fail doc
+
+
+def test_plan_single_aggregation(spark):
+    plan = audit_plan(rule_ablation(_df(spark)))
+    # one global agg = one Exchange (SinglePartition); no groupBy key,
+    # no Window, map-side partial present
+    assert plan["n_exchanges"] == 1
+    assert "Window" not in plan["plan"]
+
+
+def test_rule_checks_refactor_guard(spark):
+    """spark_keep_and_rule on top of rule_checks is unchanged: drop_rule
+    equals the python first-failing oracle on the fixture."""
+    sig = S.spark_signal_cols(F.col("text"))
+    keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
+    rows = (
+        _df(spark)
+        .withColumns({"keep": keep, "drop_rule": rule})
+        .select("text", "keep", "drop_rule")
+        .collect()
+    )
+    for r in rows:
+        k, dr = S.py_keep_and_rule(
+            S.py_signals(r["text"]), include_stopword_rule=True
+        )
+        assert (r["keep"], r["drop_rule"]) == (k, dr)
