@@ -1,0 +1,198 @@
+"""Asymmetric near-dup: shingle-set CONTAINMENT pairs.
+
+Symmetric fuzzy dedup (operators/dedup.fuzzy_dedup) keys on Jaccard, which
+collapses when the two documents differ in SIZE: a document fully quoted
+inside one 3x longer has J = |A|/|B| ~ 0.33 and sails under any 0.8
+threshold — yet for training-data curation it is exactly the
+quote-extraction / wrapper-boilerplate / subset-document case one wants
+surfaced (Lee et al. 2022 treat it at the substring level; this operator
+is the document-level set formulation: C(A→B) = |A∩B| / |A|).
+
+Design: the SAME MinHash/LSH machinery, two deliberate deviations —
+
+1. **Aggressive banding.** The LSH S-curve knee is (1/bands)^(rows/band
+   exp); containment candidates live at LOW Jaccard, so the default here
+   is 32 bands x 2 rows (knee ~ (1/32)^(1/2) ≈ 0.18): a fully-contained
+   doc at J = 1/3 collides in at least one band with probability ~0.98,
+   while the exact verify (below) keeps precision. Symmetric dedup's
+   8x8 banding would miss it ~90% of the time. num_perm/bands stay
+   caller-tunable; the docstring math is the sizing guide.
+2. **All-pairs bucket edges, width-capped.** Star edges (hub -> member)
+   are connectivity-preserving for connected components but NOT
+   pair-complete: a contained pair that shares a bucket with a smaller
+   unrelated id would only meet through the hub. Containment is a
+   pairwise REPORT, not a clustering, so buckets emit capped all-pairs
+   (``buckets_to_edges_allpairs``, default max_bucket=256 — a
+   boilerplate-flooded bucket is truncated deterministically, the cap
+   documented in the output contract).
+
+Verification is exact, not estimated: both ends' DISTINCT shingle-hash
+sets are joined back (semi-joined to candidates first, so shingle arrays
+materialize only for candidate docs — the verify_pairs_jaccard shape) and
+
+    inter            = |A ∩ B|            (array_intersect, hash-probed)
+    containment_src  = inter / |A|        (how much of src is inside dst)
+    containment_dst  = inter / |B|
+    jaccard          = inter / |A ∪ B|
+
+pairs are kept when max(containment_src, containment_dst) >=
+``containment_threshold``. Everything is pure JVM; the 30-bit hashed
+shingle sets make the intersect 8-byte comparisons (same argument and
+same collision-odds arithmetic as verify_pairs_jaccard's
+hash_shingles=True path, and the python oracle applies the SAME hash, so
+parity is exact).
+
+Scale shape: narrow per-doc signature + shingle-set pass, banded explode
+(num_perm rows per doc per the banding), bucket groupBy (map-side
+collect_set, width-capped), all-pairs within buckets (quadratic ONLY in
+capped bucket width), two hash joins for the verify. At 10^12 docs the
+dominant term is the banded shuffle — identical to symmetric fuzzy dedup
+at the same num_perm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from .dedup import add_minhash, buckets_to_edges_allpairs, lsh_buckets
+
+DEFAULT_CONTAINMENT = 0.8
+DEFAULT_MAX_BUCKET = 256
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 32,
+    ngram: int = H.DEFAULT_NGRAM,
+    containment_threshold: float = DEFAULT_CONTAINMENT,
+    base: str = "xxhash",
+    use_numpy: bool = True,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(src, dst, containment_src, containment_dst, jaccard) for every
+    candidate pair whose max one-sided containment >= threshold.
+
+    src < dst lexicographically (the all-pairs generator's order);
+    containment_src = |src ∩ dst| / |src|. NULL text behaves as ''.
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    sigs = add_minhash(
+        d, text_col="_t", num_perm=num_perm, ngram=ngram,
+        use_numpy=use_numpy, base=base,
+    ).select("_id", "_minhash").localCheckpoint(eager=False)
+
+    key_hash = "md5" if base == "md5" else "xxhash"
+    buckets = lsh_buckets(sigs, num_perm, bands, id_col="_id", key_hash=key_hash)
+    pairs = buckets_to_edges_allpairs(buckets, id_col="_id", max_bucket=max_bucket)
+
+    base_fn = H.base_hash_col if base == "md5" else H.xxhash_base_col
+    sh = d.join(
+        pairs.select(F.col("src").alias("_id"))
+        .union(pairs.select(F.col("dst").alias("_id")))
+        .distinct(),
+        "_id",
+        "left_semi",
+    ).select(
+        "_id",
+        F.array_distinct(
+            F.transform(H.shingles_col(F.col("_t"), ngram), base_fn)
+        ).alias("_sh"),
+    )
+    l = sh.select(F.col("_id").alias("src"), F.col("_sh").alias("_sh_a"))
+    r = sh.select(F.col("_id").alias("dst"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    out = (
+        pairs.join(l, "src")
+        .join(r, "dst")
+        .withColumn("containment_src", inter / F.size("_sh_a").cast("double"))
+        .withColumn("containment_dst", inter / F.size("_sh_b").cast("double"))
+        .withColumn(
+            "jaccard",
+            inter / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+        )
+        .filter(
+            F.greatest("containment_src", "containment_dst")
+            >= F.lit(containment_threshold)
+        )
+        .select("src", "dst", "containment_src", "containment_dst", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Single-process oracle (exact spec above)
+# ---------------------------------------------------------------------------
+
+def _py_hash(s: str, base: str) -> int:
+    if base == "xxhash":
+        return H.py_xxhash_base(s)
+    return int(hashlib.md5(s.encode()).hexdigest()[: H.HASH_BITS // 4], 16)
+
+
+def py_containment_pairs(
+    rows: list[tuple],
+    num_perm: int = 64,
+    bands: int = 32,
+    ngram: int = H.DEFAULT_NGRAM,
+    containment_threshold: float = DEFAULT_CONTAINMENT,
+    base: str = "xxhash",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> dict[tuple[str, str], tuple[float, float, float]]:
+    """rows: (doc_id, text) -> {(src, dst): (c_src, c_dst, jaccard)}."""
+    import numpy as np
+
+    params = np.asarray(H.perm_params(num_perm), dtype=np.uint64)
+    sh_of: dict[str, set[int]] = {}
+    sig_of: dict[str, list[int]] = {}
+    for did, text in rows:
+        t = text if text is not None else ""
+        if len(t) <= ngram:
+            raw = {t}
+        else:
+            raw = {t[i : i + ngram] for i in range(len(t) - ngram + 1)}
+        hs = {_py_hash(s, base) for s in raw}
+        sh_of[did] = hs
+        h = np.asarray(sorted(hs), dtype=np.uint64)
+        m = (h[:, None] * params[None, :, 0] + params[None, :, 1]) % np.uint64(
+            H.MERSENNE_P
+        )
+        sig_of[did] = [int(x) for x in m.min(axis=0)]
+
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple, list[str]] = {}
+    for did, sig in sig_of.items():
+        for b in range(bands):
+            sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            cat = ":".join(map(str, sl))
+            if base == "md5":
+                bk = hashlib.md5(cat.encode()).hexdigest()
+            else:
+                u = H.py_xxh64(cat.encode())
+                bk = u - (1 << 64) if u >= (1 << 63) else u
+            buckets.setdefault((b, bk), []).append(did)
+
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        ms = sorted(set(members))[:max_bucket]
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                pairs.add((a, b))
+
+    out = {}
+    for a, b in pairs:
+        sa, sb = sh_of[a], sh_of[b]
+        inter = len(sa & sb)
+        ca, cb = inter / len(sa), inter / len(sb)
+        if max(ca, cb) >= containment_threshold:
+            out[(a, b)] = (ca, cb, inter / len(sa | sb))
+    return out

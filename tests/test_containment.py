@@ -1,0 +1,84 @@
+"""Containment pairs (operators/containment.py): oracle parity, the
+asymmetric case symmetric dedup misses, partitioning invariance, width
+cap, NULL handling."""
+
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.containment import (
+    containment_pairs,
+    py_containment_pairs,
+)
+
+A = (
+    "The migration plan moves every tenant database to the new region in "
+    "four waves, with a freeze window of six hours per wave and automated "
+    "rollback if replication lag exceeds the agreed threshold."
+)
+B = (
+    A
+    + " Unrelated appendix: the catering budget for the offsite was "
+    "approved, the venue holds two hundred people, and the keynote will "
+    "cover roadmap themes for the following fiscal year. A second "
+    "appendix lists the on-call rotation for the migration weekend and "
+    "the escalation contacts for each regional provider."
+)
+ROWS = [
+    ("doc-a", A),
+    ("doc-b", B),
+    ("doc-c", "Entirely different prose about gardening: tomatoes need "
+              "staking, basil prefers full sun, and mulch keeps the soil "
+              "moist through the warm months of the growing season."),
+    ("doc-d", A),  # exact dup of a (contained both ways)
+    ("doc-e", None),  # NULL text behaves as ''
+]
+SCHEMA = "doc_id string, text string"
+
+
+def _got(spark, df, **kw):
+    return {
+        (r["src"], r["dst"]): (
+            r["containment_src"], r["containment_dst"], r["jaccard"]
+        )
+        for r in containment_pairs(df, **kw).collect()
+    }
+
+
+def test_matches_oracle_and_finds_asymmetric_pair(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _got(spark, df)
+    want = py_containment_pairs(ROWS)
+    assert got == want
+    # a ⊂ b: full one-sided containment at LOW jaccard — the pair
+    # symmetric fuzzy dedup's J >= 0.8 threshold rejects
+    ab = got[("doc-a", "doc-b")]
+    assert ab[0] == 1.0 and ab[2] < 0.8
+    # the exact-dup pair is contained both ways
+    ad = got[("doc-a", "doc-d")]
+    assert ad == (1.0, 1.0, 1.0)
+    # gardening doc pairs with nothing
+    assert not any("doc-c" in p for p in got)
+
+
+def test_partitioning_invariance(spark):
+    df1 = spark.createDataFrame(ROWS, SCHEMA).repartition(1)
+    df2 = spark.createDataFrame(list(reversed(ROWS)), SCHEMA).repartition(7)
+    assert _got(spark, df1) == _got(spark, df2)
+
+
+def test_md5_base_parity(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _got(spark, df, base="md5", use_numpy=False)
+    assert got == py_containment_pairs(ROWS, base="md5")
+    assert ("doc-a", "doc-b") in got
+
+
+def test_bucket_cap_is_deterministic(spark):
+    # 30 exact copies flood every bucket; cap 5 -> pairs only among the
+    # 5 smallest ids, mirrored by the oracle
+    rows = [(f"d-{i:02d}", A) for i in range(30)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _got(spark, df, max_bucket=5)
+    want = py_containment_pairs(rows, max_bucket=5)
+    assert got == want
+    ids = {x for p in got for x in p}
+    assert ids == {f"d-{i:02d}" for i in range(5)}
