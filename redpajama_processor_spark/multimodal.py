@@ -405,8 +405,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             return img[:, :, :3].copy()
         return img
     if payload[:4] == webp.WEBP_RIFF and payload[8:12] == webp.WEBP_FOURCC:
-        # lossless (VP8L) decodes pure-python; lossy (VP8) dispatches to
-        # the system libwebp inside decode_webp and raises when absent
+        # both lossless (VP8L) and lossy (VP8 keyframe, vp8.py) decode in
+        # pure python, incl. the ALPH lossy-alpha chunk
         return webp.decode_webp(payload)[:, :, :3].copy()
     raise NotImplementedError(
         f"unsupported image format (magic {payload[:8]!r}); AVIF etc. "

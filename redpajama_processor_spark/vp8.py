@@ -1,0 +1,1304 @@
+"""Lossy VP8 (keyframe / still-image) decoder in pure python + numpy.
+
+Implements the public RFC 6386 "VP8 Data Format and Decoding Guide"
+sequential keyframe decode — the only VP8 frame type that appears in
+still-image WebP files: boolean arithmetic decoder, frame/segment/filter
+header parse, intra mode decode (16x16 DC/V/H/TM, per-4x4 B_PRED with all
+10 submodes, chroma 8x8), token/coefficient decode with the banded
+context-adaptive probability tables, dequantization, the exact integer
+WHT/DCT inverses, and the normative in-loop deblocking filter (normal and
+simple profiles).  Output is the normative YUV 4:2:0 reconstruction; the
+RGBA path reproduces libwebp's fancy upsampler (9-3-3-1 double-rounded
+kernel) and fixed-point YUV->RGB conversion so full-pipeline output is
+byte-identical to ``WebPDecodeRGBA``.
+
+Large constant tables (quantizer lookups, default/update coefficient
+probabilities, keyframe B-mode probabilities) live in ``vp8_tables.py``,
+transcribed from the system libwebp's read-only data — they are public
+RFC 6386 constants; tests re-extract them from the live library and the
+decode-equality suite (bit-exact YUV vs ``WebPDecodeYUV``) would fail on
+any wrong entry.
+
+Also ships a fixture-grade keyframe ENCODER (bool encoder + header/mode/
+token writer) used by tests to build streams that force specific intra
+modes, filter profiles, segmentation maps, quantizer deltas, and
+partition counts — each such stream is decoded by BOTH this module and
+the system libwebp and compared bit-for-bit, an oracle no shared
+encoder/decoder bug can satisfy (same strategy as webp.py's VP8L
+fixtures and the Iceberg Murmur3 spec vectors).
+
+Reference parity note: the reference repo (dmvevents/redpajama-processor)
+has no codec code at all; this backs the multimodal featurize path
+(multimodal.py) for real-world lossy-WebP corpora.
+
+Throughput stance: entropy decoding is inherently sequential and runs in
+python (same stance as the JPEG Huffman and VP8L prefix-code stages);
+everything after it — dequant, batched IWHT/IDCT over all blocks of a
+macroblock, 16x16/8x8 prediction, loop-filter edge ops (vectorized along
+each 16/8-pixel edge), fancy upsampling, YUV->RGB — is numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .vp8_tables import (
+    AC_QLOOKUP,
+    COEFF_UPDATE_PROBS,
+    DC_QLOOKUP,
+    DEFAULT_COEFF_PROBS,
+    KF_BMODE_PROBS,
+)
+
+# ---------------------------------------------------------------------------
+# small RFC 6386 constants (spec text; verified end-to-end by the
+# decode-equality tests against the system libwebp)
+
+# whole-MB intra modes
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = range(5)
+# 4x4 submodes
+B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU = range(10)
+
+KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+KF_YMODE_PROBS = (145, 156, 163, 128)
+UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+KF_UV_MODE_PROBS = (142, 114, 183)
+BMODE_TREE = (
+    -B_DC, 2, -B_TM, 4, -B_VE, 6, 8, 12, -B_HE, 10, -B_RD, -B_VR,
+    -B_LD, 14, -B_VL, 16, -B_HD, -B_HU,
+)
+# implied submode of whole-MB modes, for B-mode neighbour contexts
+MODE_AS_SUB = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
+
+# coefficient tokens: 0..4 literal values, then extra-bit categories, EOB
+DCT_CAT1, DCT_CAT2, DCT_CAT3, DCT_CAT4, DCT_CAT5, DCT_CAT6, DCT_EOB = (
+    5, 6, 7, 8, 9, 10, 11,
+)
+COEFF_TREE = (
+    -DCT_EOB, 2, -0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16,
+    -DCT_CAT1, -DCT_CAT2, 18, 20, -DCT_CAT3, -DCT_CAT4, -DCT_CAT5, -DCT_CAT6,
+)
+CAT_PROBS = {
+    DCT_CAT1: (159,),
+    DCT_CAT2: (165, 145),
+    DCT_CAT3: (173, 148, 140),
+    DCT_CAT4: (176, 155, 140, 135),
+    DCT_CAT5: (180, 157, 141, 134, 130),
+    DCT_CAT6: (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+}
+CAT_BASE = {DCT_CAT1: 5, DCT_CAT2: 7, DCT_CAT3: 11, DCT_CAT4: 19,
+            DCT_CAT5: 35, DCT_CAT6: 67}
+
+ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+
+_START_CODE = b"\x9d\x01\x2a"
+
+
+# ---------------------------------------------------------------------------
+# boolean arithmetic decoder (RFC 6386 section 7)
+
+
+class _BoolDec:
+    __slots__ = ("d", "n", "pos", "rng", "val", "cnt")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.n = len(data)
+        b0 = data[0] if self.n > 0 else 0
+        b1 = data[1] if self.n > 1 else 0
+        self.val = (b0 << 8) | b1
+        self.pos = 2
+        self.rng = 255
+        self.cnt = 0
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.rng - 1) * prob) >> 8)
+        big = split << 8
+        if self.val >= big:
+            ret = 1
+            self.rng -= split
+            self.val -= big
+        else:
+            ret = 0
+            self.rng = split
+        rng = self.rng
+        while rng < 128:
+            self.val <<= 1
+            rng <<= 1
+            self.cnt += 1
+            if self.cnt == 8:
+                self.cnt = 0
+                if self.pos < self.n:
+                    self.val |= self.d[self.pos]
+                self.pos += 1
+        self.rng = rng
+        return ret
+
+    def bit(self) -> int:
+        return self.get(128)
+
+    def lit(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed(self, nbits: int) -> int:
+        v = self.lit(nbits)
+        return -v if self.bit() else v
+
+    def tree(self, t, p, start: int = 0) -> int:
+        i = start
+        while True:
+            i = t[i + self.get(p[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+# ---------------------------------------------------------------------------
+# header parsing (RFC 6386 sections 9, 19.2)
+
+
+def _clamp_q(q: int) -> int:
+    return 0 if q < 0 else 127 if q > 127 else q
+
+
+def _parse_headers(payload: bytes) -> dict:
+    if len(payload) < 10:
+        raise ValueError("VP8 payload too short for a frame header")
+    tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    if tag & 1:
+        raise NotImplementedError(
+            "VP8 inter frame: still-image WebP frames are keyframes; "
+            "animation/video inter frames need a reference-frame decoder"
+        )
+    part0_size = tag >> 5
+    if payload[3:6] != _START_CODE:
+        raise ValueError(f"bad VP8 keyframe start code {payload[3:6]!r}")
+    (wraw,) = struct.unpack_from("<H", payload, 6)
+    (hraw,) = struct.unpack_from("<H", payload, 8)
+    width, height = wraw & 0x3FFF, hraw & 0x3FFF
+    if width == 0 or height == 0:
+        raise ValueError("VP8 frame with zero dimension")
+    first_part = payload[10 : 10 + part0_size]
+    if len(first_part) < part0_size:
+        raise ValueError("truncated VP8 first partition")
+    rest = payload[10 + part0_size :]
+
+    bd = _BoolDec(first_part)
+    hdr: dict = {"width": width, "height": height}
+    bd.bit()  # color space (0 for the defined profile)
+    bd.bit()  # clamping type (decode is identical either way here)
+
+    seg_enabled = bd.bit()
+    update_map = 0
+    seg_abs = 0
+    seg_quant = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
+    tree_probs = [255, 255, 255]
+    if seg_enabled:
+        update_map = bd.bit()
+        update_data = bd.bit()
+        if update_data:
+            seg_abs = bd.bit()
+            seg_quant = [bd.signed(7) if bd.bit() else 0 for _ in range(4)]
+            seg_lf = [bd.signed(6) if bd.bit() else 0 for _ in range(4)]
+        if update_map:
+            tree_probs = [bd.lit(8) if bd.bit() else 255 for _ in range(3)]
+    hdr.update(
+        seg_enabled=seg_enabled, update_map=update_map, seg_abs=seg_abs,
+        seg_quant=seg_quant, seg_lf=seg_lf, tree_probs=tree_probs,
+    )
+
+    hdr["filter_type"] = bd.bit()  # 0 = normal, 1 = simple
+    hdr["filter_level"] = bd.lit(6)
+    hdr["sharpness"] = bd.lit(3)
+    ref_deltas = [0, 0, 0, 0]
+    mode_deltas = [0, 0, 0, 0]
+    hdr["lf_delta_enabled"] = bd.bit()
+    if hdr["lf_delta_enabled"]:
+        if bd.bit():  # mode_ref_lf_delta_update
+            for i in range(4):
+                if bd.bit():
+                    ref_deltas[i] = bd.signed(6)
+            for i in range(4):
+                if bd.bit():
+                    mode_deltas[i] = bd.signed(6)
+    hdr["ref_deltas"] = ref_deltas
+    hdr["mode_deltas"] = mode_deltas
+
+    nparts = 1 << bd.lit(2)
+    yac_qi = bd.lit(7)
+    ydc_d = bd.signed(4) if bd.bit() else 0
+    y2dc_d = bd.signed(4) if bd.bit() else 0
+    y2ac_d = bd.signed(4) if bd.bit() else 0
+    uvdc_d = bd.signed(4) if bd.bit() else 0
+    uvac_d = bd.signed(4) if bd.bit() else 0
+    hdr.update(yac_qi=yac_qi, ydc_d=ydc_d, y2dc_d=y2dc_d, y2ac_d=y2ac_d,
+               uvdc_d=uvdc_d, uvac_d=uvac_d)
+    bd.bit()  # refresh entropy probs (irrelevant for a single frame)
+
+    probs = DEFAULT_COEFF_PROBS.copy()
+    upd = COEFF_UPDATE_PROBS
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    if bd.get(int(upd[i, j, k, l])):
+                        probs[i, j, k, l] = bd.lit(8)
+    hdr["coeff_probs"] = [
+        [[list(map(int, probs[i, j, k])) for k in range(3)] for j in range(8)]
+        for i in range(4)
+    ]
+
+    hdr["mb_no_skip"] = bd.bit()
+    hdr["skip_prob"] = bd.lit(8) if hdr["mb_no_skip"] else 0
+
+    # token partitions: (nparts-1) 3-byte sizes, then the partitions
+    sizes_len = 3 * (nparts - 1)
+    if len(rest) < sizes_len:
+        raise ValueError("truncated VP8 partition size table")
+    parts = []
+    off = sizes_len
+    for p in range(nparts - 1):
+        sz = rest[3 * p] | (rest[3 * p + 1] << 8) | (rest[3 * p + 2] << 16)
+        if off + sz > len(rest):
+            raise ValueError("VP8 token partition overruns payload")
+        parts.append(rest[off : off + sz])
+        off += sz
+    parts.append(rest[off:])
+    hdr["partitions"] = parts
+    hdr["mode_bd"] = bd
+    return hdr
+
+
+def _dequant_factors(hdr: dict) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-segment (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) per RFC 14.1."""
+    out = []
+    dcq, acq = DC_QLOOKUP, AC_QLOOKUP
+    for seg in range(4):
+        if hdr["seg_enabled"]:
+            q = (hdr["seg_quant"][seg] if hdr["seg_abs"]
+                 else hdr["yac_qi"] + hdr["seg_quant"][seg])
+        else:
+            q = hdr["yac_qi"]
+        q = _clamp_q(q)
+        y1dc = int(dcq[_clamp_q(q + hdr["ydc_d"])])
+        y1ac = int(acq[q])
+        y2dc = int(dcq[_clamp_q(q + hdr["y2dc_d"])]) * 2
+        y2ac = int(acq[_clamp_q(q + hdr["y2ac_d"])]) * 155 // 100
+        if y2ac < 8:
+            y2ac = 8
+        uvdc = int(dcq[_clamp_q(q + hdr["uvdc_d"])])
+        if uvdc > 132:
+            uvdc = 132
+        uvac = int(acq[_clamp_q(q + hdr["uvac_d"])])
+        out.append((y1dc, y1ac, y2dc, y2ac, uvdc, uvac))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# coefficient/token decode (RFC 6386 section 13)
+
+
+def _decode_coeffs(bd, probs_plane, ctx, first, dq, aq, block):
+    """Decode one 4x4 coefficient block into ``block`` (len-16 list,
+    caller-zeroed), dequantizing in place. Returns 1 if any nonzero."""
+    get = bd.get
+    tree = COEFF_TREE
+    i = first
+    nz = 0
+    skip_eob = False
+    while i < 16:
+        p = probs_plane[BANDS[i]][ctx]
+        # tree walk, optionally skipping the EOB branch after a zero
+        node = 2 if skip_eob else 0
+        while True:
+            node = tree[node + get(p[node >> 1])]
+            if node <= 0:
+                break
+        tok = -node
+        if tok == DCT_EOB:
+            break
+        if tok == 0:
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        if tok <= 4:
+            val = tok
+        else:
+            extra = 0
+            for cp in CAT_PROBS[tok]:
+                extra = (extra << 1) | get(cp)
+            val = CAT_BASE[tok] + extra
+        if get(128):
+            val = -val
+        # the reference decoder stores dequantized coefficients as int16;
+        # adversarially large levels wrap (real encoders never emit them)
+        block[ZIGZAG[i]] = (
+            (val * (dq if i == 0 else aq) + 32768) & 65535
+        ) - 32768
+        nz = 1
+        ctx = 1 if (val == 1 or val == -1) else 2
+        skip_eob = False
+        i += 1
+    return nz
+
+
+# ---------------------------------------------------------------------------
+# exact integer inverse transforms (RFC 6386 section 14)
+
+_C1 = 20091  # cospi8sqrt2 - 1, 16-bit fixed point
+_C2 = 35468  # sinpi8sqrt2, 16-bit fixed point
+
+
+def _iwht4x4(ip: np.ndarray) -> np.ndarray:
+    """Inverse Walsh-Hadamard for the Y2 block. ip: (16,) int64."""
+    ip = ip.reshape(4, 4).astype(np.int64)
+    a1 = ip[0] + ip[3]
+    b1 = ip[1] + ip[2]
+    c1 = ip[1] - ip[2]
+    d1 = ip[0] - ip[3]
+    t = np.empty((4, 4), np.int64)
+    t[0] = a1 + b1
+    t[1] = c1 + d1
+    t[2] = a1 - b1
+    t[3] = d1 - c1
+    a1 = t[:, 0] + t[:, 3]
+    b1 = t[:, 1] + t[:, 2]
+    c1 = t[:, 1] - t[:, 2]
+    d1 = t[:, 0] - t[:, 3]
+    o = np.empty((4, 4), np.int64)
+    o[:, 0] = (a1 + b1 + 3) >> 3
+    o[:, 1] = (c1 + d1 + 3) >> 3
+    o[:, 2] = (a1 - b1 + 3) >> 3
+    o[:, 3] = (d1 - c1 + 3) >> 3
+    # outputs land in the int16 coefficient store (see _decode_coeffs)
+    return ((o.reshape(16) + 32768) & 65535) - 32768
+
+
+def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Batched exact VP8 iDCT. blocks: (n, 16) int64 -> (n, 4, 4) residue."""
+    b = blocks.reshape(-1, 4, 4).astype(np.int64)
+    # columns pass (vertical): operate along axis 1
+    a1 = b[:, 0] + b[:, 2]
+    b1 = b[:, 0] - b[:, 2]
+    t1 = (b[:, 1] * _C2) >> 16
+    t2 = b[:, 3] + ((b[:, 3] * _C1) >> 16)
+    c1 = t1 - t2
+    t1 = b[:, 1] + ((b[:, 1] * _C1) >> 16)
+    t2 = (b[:, 3] * _C2) >> 16
+    d1 = t1 + t2
+    tmp = np.empty_like(b)
+    tmp[:, 0] = a1 + d1
+    tmp[:, 3] = a1 - d1
+    tmp[:, 1] = b1 + c1
+    tmp[:, 2] = b1 - c1
+    # rows pass (horizontal): along axis 2, with final rounding
+    a1 = tmp[:, :, 0] + tmp[:, :, 2]
+    b1 = tmp[:, :, 0] - tmp[:, :, 2]
+    t1 = (tmp[:, :, 1] * _C2) >> 16
+    t2 = tmp[:, :, 3] + ((tmp[:, :, 3] * _C1) >> 16)
+    c1 = t1 - t2
+    t1 = tmp[:, :, 1] + ((tmp[:, :, 1] * _C1) >> 16)
+    t2 = (tmp[:, :, 3] * _C2) >> 16
+    d1 = t1 + t2
+    out = np.empty_like(b)
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    out[:, :, 1] = (b1 + c1 + 4) >> 3
+    out[:, :, 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (RFC 6386 section 12; pixel assignments as in the
+# normative reference decoder)
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _pred_b(mode, t, tr, left, tl):
+    """4x4 submode prediction. t/tr/left: len-4 int lists, tl scalar."""
+    d = np.empty((4, 4), np.int64)
+    if mode == B_DC:
+        d[:] = (t[0] + t[1] + t[2] + t[3]
+                + left[0] + left[1] + left[2] + left[3] + 4) >> 3
+    elif mode == B_TM:
+        la = np.array(left, np.int64).reshape(4, 1)
+        ta = np.array(t, np.int64).reshape(1, 4)
+        d[:] = np.clip(la + ta - tl, 0, 255)
+    elif mode == B_VE:
+        row = (_avg3(tl, t[0], t[1]), _avg3(t[0], t[1], t[2]),
+               _avg3(t[1], t[2], t[3]), _avg3(t[2], t[3], tr[0]))
+        d[:] = np.array(row, np.int64)
+    elif mode == B_HE:
+        i_, j_, k_, l_ = left
+        col = (_avg3(tl, i_, j_), _avg3(i_, j_, k_),
+               _avg3(j_, k_, l_), _avg3(k_, l_, l_))
+        d[:] = np.array(col, np.int64).reshape(4, 1)
+    elif mode == B_LD:
+        a, b, c, dd = t
+        e, f, g, h = tr
+        d[0, 0] = _avg3(a, b, c)
+        d[0, 1] = d[1, 0] = _avg3(b, c, dd)
+        d[0, 2] = d[1, 1] = d[2, 0] = _avg3(c, dd, e)
+        d[0, 3] = d[1, 2] = d[2, 1] = d[3, 0] = _avg3(dd, e, f)
+        d[1, 3] = d[2, 2] = d[3, 1] = _avg3(e, f, g)
+        d[2, 3] = d[3, 2] = _avg3(f, g, h)
+        d[3, 3] = _avg3(g, h, h)
+    elif mode == B_RD:
+        i_, j_, k_, l_ = left
+        a, b, c, dd = t
+        x = tl
+        d[3, 0] = _avg3(j_, k_, l_)
+        d[2, 0] = d[3, 1] = _avg3(i_, j_, k_)
+        d[1, 0] = d[2, 1] = d[3, 2] = _avg3(x, i_, j_)
+        d[0, 0] = d[1, 1] = d[2, 2] = d[3, 3] = _avg3(a, x, i_)
+        d[0, 1] = d[1, 2] = d[2, 3] = _avg3(b, a, x)
+        d[0, 2] = d[1, 3] = _avg3(c, b, a)
+        d[0, 3] = _avg3(dd, c, b)
+    elif mode == B_VR:
+        i_, j_, k_ = left[0], left[1], left[2]
+        a, b, c, dd = t
+        x = tl
+        d[0, 0] = d[2, 1] = _avg2(x, a)
+        d[0, 1] = d[2, 2] = _avg2(a, b)
+        d[0, 2] = d[2, 3] = _avg2(b, c)
+        d[0, 3] = _avg2(c, dd)
+        d[3, 0] = _avg3(k_, j_, i_)
+        d[2, 0] = _avg3(j_, i_, x)
+        d[1, 0] = d[3, 1] = _avg3(i_, x, a)
+        d[1, 1] = d[3, 2] = _avg3(x, a, b)
+        d[1, 2] = d[3, 3] = _avg3(a, b, c)
+        d[1, 3] = _avg3(b, c, dd)
+    elif mode == B_VL:
+        a, b, c, dd = t
+        e, f, g, h = tr
+        d[0, 0] = _avg2(a, b)
+        d[0, 1] = d[2, 0] = _avg2(b, c)
+        d[0, 2] = d[2, 1] = _avg2(c, dd)
+        d[0, 3] = d[2, 2] = _avg2(dd, e)
+        d[1, 0] = _avg3(a, b, c)
+        d[1, 1] = d[3, 0] = _avg3(b, c, dd)
+        d[1, 2] = d[3, 1] = _avg3(c, dd, e)
+        d[1, 3] = d[3, 2] = _avg3(dd, e, f)
+        d[2, 3] = _avg3(e, f, g)
+        d[3, 3] = _avg3(f, g, h)
+    elif mode == B_HD:
+        i_, j_, k_, l_ = left
+        a, b, c = t[0], t[1], t[2]
+        x = tl
+        d[0, 0] = d[1, 2] = _avg2(i_, x)
+        d[1, 0] = d[2, 2] = _avg2(j_, i_)
+        d[2, 0] = d[3, 2] = _avg2(k_, j_)
+        d[3, 0] = _avg2(l_, k_)
+        d[0, 3] = _avg3(a, b, c)
+        d[0, 2] = _avg3(x, a, b)
+        d[0, 1] = d[1, 3] = _avg3(i_, x, a)
+        d[1, 1] = d[2, 3] = _avg3(x, i_, j_)
+        d[2, 1] = d[3, 3] = _avg3(i_, j_, k_)
+        d[3, 1] = _avg3(j_, k_, l_)
+    elif mode == B_HU:
+        i_, j_, k_, l_ = left
+        d[0, 0] = _avg2(i_, j_)
+        d[0, 2] = d[1, 0] = _avg2(j_, k_)
+        d[1, 2] = d[2, 0] = _avg2(k_, l_)
+        d[0, 1] = _avg3(i_, j_, k_)
+        d[0, 3] = d[1, 1] = _avg3(j_, k_, l_)
+        d[1, 3] = d[2, 1] = _avg3(k_, l_, l_)
+        d[2, 2] = d[2, 3] = l_
+        d[3, :] = l_
+    else:
+        raise ValueError(f"bad B mode {mode}")
+    return d
+
+# ---------------------------------------------------------------------------
+# frame reconstruction
+
+
+def _pred_dc(plane, y0, x0, n, have_above, have_left):
+    if have_above and have_left:
+        s = int(plane[y0 - 1, x0 : x0 + n].sum()) + int(
+            plane[y0 : y0 + n, x0 - 1].sum()
+        )
+        return (s + n) >> (5 if n == 16 else 4)
+    if have_above:
+        s = int(plane[y0 - 1, x0 : x0 + n].sum())
+    elif have_left:
+        s = int(plane[y0 : y0 + n, x0 - 1].sum())
+    else:
+        return 128
+    return (s + (n >> 1)) >> (4 if n == 16 else 3)
+
+
+def _pred_block(plane, y0, x0, n, mode, have_above, have_left):
+    """Whole-block (16x16 luma / 8x8 chroma) prediction -> (n, n) int64."""
+    if mode == DC_PRED:
+        return np.full((n, n), _pred_dc(plane, y0, x0, n, have_above,
+                                        have_left), np.int64)
+    if mode == V_PRED:
+        return np.broadcast_to(
+            plane[y0 - 1, x0 : x0 + n].astype(np.int64), (n, n)
+        ).copy()
+    if mode == H_PRED:
+        return np.broadcast_to(
+            plane[y0 : y0 + n, x0 - 1].astype(np.int64).reshape(n, 1), (n, n)
+        ).copy()
+    # TM_PRED
+    above = plane[y0 - 1, x0 : x0 + n].astype(np.int64)
+    left = plane[y0 : y0 + n, x0 - 1].astype(np.int64)
+    tl = int(plane[y0 - 1, x0 - 1])
+    return np.clip(left.reshape(n, 1) + above.reshape(1, n) - tl, 0, 255)
+
+
+def decode_vp8_yuv(payload: bytes):
+    """VP8 keyframe payload -> (y, u, v) uint8 planes (normative RFC 6386
+    reconstruction, including the in-loop deblocking filter)."""
+    hdr = _parse_headers(payload)
+    w, h = hdr["width"], hdr["height"]
+    mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+    W, H = mb_w * 16, mb_h * 16
+    CW, CH = mb_w * 8, mb_h * 8
+
+    # padded planes: row 0 = above border, col 0 = left border; luma keeps
+    # 4 extra columns for the above-right pixels of B_PRED subblocks.
+    Y = np.empty((H + 1, W + 5), np.int64)
+    U = np.empty((CH + 1, CW + 1), np.int64)
+    V = np.empty((CH + 1, CW + 1), np.int64)
+    Y[0, :] = 127
+    U[0, :] = 127
+    V[0, :] = 127
+    Y[1:, 0] = 129
+    U[1:, 0] = 129
+    V[1:, 0] = 129
+
+    dq = _dequant_factors(hdr)
+    probs = hdr["coeff_probs"]
+    mode_bd: _BoolDec = hdr["mode_bd"]
+    parts = hdr["partitions"]
+    nparts = len(parts)
+    token_bds = [_BoolDec(p) for p in parts]
+    seg_decode = hdr["seg_enabled"] and hdr["update_map"]
+    tree_probs = hdr["tree_probs"]
+    mb_no_skip = hdr["mb_no_skip"]
+    skip_prob = hdr["skip_prob"]
+
+    # nonzero-coefficient contexts
+    above_y = [0] * (mb_w * 4)
+    above_u = [0] * (mb_w * 2)
+    above_v = [0] * (mb_w * 2)
+    above_y2 = [0] * mb_w
+    # B-mode contexts (implied submodes outside the frame are B_DC)
+    above_sub = [[B_DC] * 4 for _ in range(mb_w)]
+
+    # per-MB info for the loop filter: (segment, is_bpred, has_coeffs)
+    mb_info = np.zeros((mb_h, mb_w, 3), np.int64)
+
+    blocks = np.zeros((25, 16), np.int64)
+    for mby in range(mb_h):
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        left_sub = [B_DC] * 4
+        token_bd = token_bds[mby % nparts]
+        ytop = 1 + mby * 16
+        ctop = 1 + mby * 8
+        for mbx in range(mb_w):
+            seg = mode_bd.tree((2, 4, -0, -1, -2, -3), tree_probs) \
+                if seg_decode else 0
+            skip = mode_bd.get(skip_prob) if mb_no_skip else 0
+            ymode = mode_bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            if ymode == B_PRED:
+                submodes = []
+                for sb in range(16):
+                    r, c = sb >> 2, sb & 3
+                    a = above_sub[mbx][c] if r == 0 else submodes[sb - 4]
+                    l_ = left_sub[r] if c == 0 else submodes[sb - 1]
+                    submodes.append(mode_bd.tree(
+                        BMODE_TREE, KF_BMODE_PROBS[a, l_]))
+                above_sub[mbx] = submodes[12:16]
+                left_sub = [submodes[3], submodes[7], submodes[11],
+                            submodes[15]]
+            else:
+                sub = MODE_AS_SUB[ymode]
+                submodes = None
+                above_sub[mbx] = [sub] * 4
+                left_sub = [sub] * 4
+            uvmode = mode_bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+
+            has_y2 = ymode != B_PRED
+            y1dc, y1ac, y2dc, y2ac, uvdc, uvac = dq[seg]
+            blocks[:] = 0
+            any_nz = 0
+            if skip:
+                left_y[:] = [0] * 4
+                left_u[:] = [0] * 2
+                left_v[:] = [0] * 2
+                for k in range(4):
+                    above_y[mbx * 4 + k] = 0
+                for k in range(2):
+                    above_u[mbx * 2 + k] = 0
+                    above_v[mbx * 2 + k] = 0
+                if has_y2:
+                    left_y2 = 0
+                    above_y2[mbx] = 0
+            else:
+                if has_y2:
+                    ctx = above_y2[mbx] + left_y2
+                    nz = _decode_coeffs(token_bd, probs[1], ctx, 0,
+                                        y2dc, y2ac, blocks[24])
+                    above_y2[mbx] = left_y2 = nz
+                    any_nz |= nz
+                    yplane, first = 0, 1
+                else:
+                    yplane, first = 3, 0
+                for sb in range(16):
+                    r, c = sb >> 2, sb & 3
+                    ctx = above_y[mbx * 4 + c] + left_y[r]
+                    nz = _decode_coeffs(token_bd, probs[yplane], ctx, first,
+                                        y1dc, y1ac, blocks[sb])
+                    above_y[mbx * 4 + c] = left_y[r] = nz
+                    any_nz |= nz
+                for half, (ab, lf) in ((16, (above_u, left_u)),
+                                       (20, (above_v, left_v))):
+                    for sb in range(4):
+                        r, c = sb >> 1, sb & 1
+                        ctx = ab[mbx * 2 + c] + lf[r]
+                        nz = _decode_coeffs(token_bd, probs[2], ctx, 0,
+                                            uvdc, uvac, blocks[half + sb])
+                        ab[mbx * 2 + c] = lf[r] = nz
+                        any_nz |= nz
+
+            mb_info[mby, mbx] = (seg, 0 if has_y2 else 1, any_nz)
+
+            if has_y2:
+                blocks[0:16, 0] = _iwht4x4(blocks[24])[:]
+            resid = _idct_blocks(blocks[0:24])  # (24, 4, 4)
+
+            xl = 1 + mbx * 16
+            xc = 1 + mbx * 8
+            if ymode == B_PRED:
+                # MB-level above-right (used by every right-column subblock)
+                mb_ar = [int(v) for v in Y[ytop - 1, xl + 16 : xl + 20]]
+                for sb in range(16):
+                    r, c = sb >> 2, sb & 3
+                    py, px = ytop + r * 4, xl + c * 4
+                    t = [int(v) for v in Y[py - 1, px : px + 4]]
+                    tl = int(Y[py - 1, px - 1])
+                    left = [int(v) for v in Y[py : py + 4, px - 1]]
+                    if c == 3:
+                        tr = mb_ar
+                    else:
+                        tr = [int(v) for v in Y[py - 1, px + 4 : px + 8]]
+                    pred = _pred_b(submodes[sb], t, tr, left, tl)
+                    Y[py : py + 4, px : px + 4] = np.clip(
+                        pred + resid[sb], 0, 255)
+            else:
+                pred = _pred_block(Y, ytop, xl, 16, ymode, mby > 0, mbx > 0)
+                rs = resid[0:16].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+                pred += rs.reshape(16, 16)
+                Y[ytop : ytop + 16, xl : xl + 16] = np.clip(pred, 0, 255)
+            for plane, base in ((U, 16), (V, 20)):
+                pred = _pred_block(plane, ctop, xc, 8, uvmode, mby > 0,
+                                   mbx > 0)
+                rs = resid[base : base + 4].reshape(2, 2, 4, 4)
+                pred += rs.transpose(0, 2, 1, 3).reshape(8, 8)
+                plane[ctop : ctop + 8, xc : xc + 8] = np.clip(pred, 0, 255)
+
+        # above-right pixels past the frame's right edge: replicate the
+        # rightmost reconstructed sample of each row (verified against
+        # libwebp; 127 is only correct for the top border row)
+        Y[ytop : ytop + 16, W + 1 : W + 5] = Y[ytop : ytop + 16, W : W + 1]
+
+    y = Y[1:, 1 : W + 1]
+    u = U[1:, 1:]
+    v = V[1:, 1:]
+    if hdr["filter_level"] > 0:
+        _loop_filter(y, u, v, hdr, mb_info)
+    ch, cw = (h + 1) >> 1, (w + 1) >> 1
+    return (
+        y[:h, :w].astype(np.uint8),
+        u[:ch, :cw].astype(np.uint8),
+        v[:ch, :cw].astype(np.uint8),
+    )
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (RFC 6386 section 15)
+
+
+def _c128(v):
+    # np.minimum/np.maximum avoid np.clip's dispatch overhead, which
+    # dominates on the filter's tiny per-edge arrays
+    return np.minimum(np.maximum(v, -128), 127)
+
+
+def _normal_filter_seg(px, mb_edge, lim, interior, hev_t):
+    """Normal-profile filter over one edge. ``px``: (n, 8) int64 rows of
+    [p3 p2 p1 p0 q0 q1 q2 q3] in the unsigned pixel domain; filtered in
+    place."""
+    p3, p2, p1, p0 = px[:, 0], px[:, 1], px[:, 2], px[:, 3]
+    q0, q1, q2, q3 = px[:, 4], px[:, 5], px[:, 6], px[:, 7]
+    ap1p0 = np.abs(p1 - p0)
+    aq1q0 = np.abs(q1 - q0)
+    mask = (
+        (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= lim)
+        & (np.abs(p3 - p2) <= interior)
+        & (np.abs(p2 - p1) <= interior)
+        & (ap1p0 <= interior)
+        & (np.abs(q3 - q2) <= interior)
+        & (np.abs(q2 - q1) <= interior)
+        & (aq1q0 <= interior)
+    )
+    if not mask.any():
+        return
+    hev = (ap1p0 > hev_t) | (aq1q0 > hev_t)
+    sp2, sp1, sp0 = p2 - 128, p1 - 128, p0 - 128
+    sq0, sq1, sq2 = q0 - 128, q1 - 128, q2 - 128
+
+    # common adjustment (outer taps on): used by hev rows of the MB-edge
+    # filter and by all masked rows of the subblock filter
+    outer = _c128(sp1 - sq1)
+    if not mb_edge:
+        outer = np.where(hev, outer, 0)
+    a = _c128(outer + 3 * (sq0 - sp0))
+    f1 = _c128(a + 4) >> 3
+    f2 = _c128(a + 3) >> 3
+    ca_q0 = _c128(sq0 - f1) + 128
+    ca_p0 = _c128(sp0 + f2) + 128
+
+    if mb_edge:
+        w = _c128(_c128(sp1 - sq1) + 3 * (sq0 - sp0))
+        a27 = _c128((27 * w + 63) >> 7)
+        a18 = _c128((18 * w + 63) >> 7)
+        a9 = _c128((9 * w + 63) >> 7)
+        big = mask & ~hev
+        sm = mask & hev
+        px[:, 4] = np.where(big, _c128(sq0 - a27) + 128,
+                            np.where(sm, ca_q0, q0))
+        px[:, 3] = np.where(big, _c128(sp0 + a27) + 128,
+                            np.where(sm, ca_p0, p0))
+        px[:, 5] = np.where(big, _c128(sq1 - a18) + 128, q1)
+        px[:, 2] = np.where(big, _c128(sp1 + a18) + 128, p1)
+        px[:, 6] = np.where(big, _c128(sq2 - a9) + 128, q2)
+        px[:, 1] = np.where(big, _c128(sp2 + a9) + 128, p2)
+    else:
+        aa = (f1 + 1) >> 1
+        inner = mask & ~hev
+        px[:, 4] = np.where(mask, ca_q0, q0)
+        px[:, 3] = np.where(mask, ca_p0, p0)
+        px[:, 5] = np.where(inner, _c128(sq1 - aa) + 128, q1)
+        px[:, 2] = np.where(inner, _c128(sp1 + aa) + 128, p1)
+
+
+def _simple_filter_seg(px, lim):
+    """Simple-profile filter (luma only): p0/q0 adjust with outer taps."""
+    p1, p0, q0, q1 = px[:, 2], px[:, 3], px[:, 4], px[:, 5]
+    mask = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= lim
+    if not mask.any():
+        return
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    a = _c128(_c128(sp1 - sq1) + 3 * (sq0 - sp0))
+    f1 = _c128(a + 4) >> 3
+    f2 = _c128(a + 3) >> 3
+    px[:, 4] = np.where(mask, _c128(sq0 - f1) + 128, q0)
+    px[:, 3] = np.where(mask, _c128(sp0 + f2) + 128, p0)
+
+
+def _filter_v_edge(plane, y0, n, x, simple, mb_edge, lim, interior, hev_t):
+    px = plane[y0 : y0 + n, x - 4 : x + 4].copy()
+    if simple:
+        _simple_filter_seg(px, lim)
+    else:
+        _normal_filter_seg(px, mb_edge, lim, interior, hev_t)
+    plane[y0 : y0 + n, x - 4 : x + 4] = px
+
+
+def _filter_h_edge(plane, y, x0, n, simple, mb_edge, lim, interior, hev_t):
+    px = np.ascontiguousarray(plane[y - 4 : y + 4, x0 : x0 + n].T)
+    if simple:
+        _simple_filter_seg(px, lim)
+    else:
+        _normal_filter_seg(px, mb_edge, lim, interior, hev_t)
+    plane[y - 4 : y + 4, x0 : x0 + n] = px.T
+
+
+def _filter_v_edge_uv(u, v, y0, x, mb_edge, lim, interior, hev_t):
+    """Chroma vertical edge: U and V rows stacked into ONE filter call
+    (the planes are independent and share every parameter)."""
+    px = np.concatenate(
+        (u[y0 : y0 + 8, x - 4 : x + 4], v[y0 : y0 + 8, x - 4 : x + 4])
+    )
+    _normal_filter_seg(px, mb_edge, lim, interior, hev_t)
+    u[y0 : y0 + 8, x - 4 : x + 4] = px[:8]
+    v[y0 : y0 + 8, x - 4 : x + 4] = px[8:]
+
+
+def _filter_h_edge_uv(u, v, y, x0, mb_edge, lim, interior, hev_t):
+    px = np.concatenate(
+        (u[y - 4 : y + 4, x0 : x0 + 8].T, v[y - 4 : y + 4, x0 : x0 + 8].T)
+    )
+    _normal_filter_seg(px, mb_edge, lim, interior, hev_t)
+    u[y - 4 : y + 4, x0 : x0 + 8] = px[:8].T
+    v[y - 4 : y + 4, x0 : x0 + 8] = px[8:].T
+
+
+def _loop_filter(y, u, v, hdr, mb_info):
+    """Apply the in-loop deblocking filter in place (planes are the
+    MB-padded reconstructions, int64)."""
+    simple = hdr["filter_type"] == 1
+    sharpness = hdr["sharpness"]
+    base = hdr["filter_level"]
+    seg_levels = []
+    for s in range(4):
+        if hdr["seg_enabled"]:
+            lvl = (hdr["seg_lf"][s] if hdr["seg_abs"]
+                   else base + hdr["seg_lf"][s])
+        else:
+            lvl = base
+        seg_levels.append(min(63, max(0, lvl)))
+
+    mb_h, mb_w = mb_info.shape[:2]
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            seg, is_b, has_nz = (int(x) for x in mb_info[mby, mbx])
+            lvl = seg_levels[seg]
+            if hdr["lf_delta_enabled"]:
+                lvl += hdr["ref_deltas"][0]  # keyframes predict INTRA
+                if is_b:
+                    lvl += hdr["mode_deltas"][0]  # index 0 = B_PRED
+                lvl = min(63, max(0, lvl))
+            if lvl == 0:
+                continue
+            interior = lvl
+            if sharpness:
+                interior >>= 2 if sharpness > 4 else 1
+                if interior > 9 - sharpness:
+                    interior = 9 - sharpness
+            if interior < 1:
+                interior = 1
+            hev_t = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
+            mb_lim = (lvl + 2) * 2 + interior
+            sub_lim = lvl * 2 + interior
+            inner = bool(has_nz) or bool(is_b)
+
+            yy, yx = mby * 16, mbx * 16
+            cy, cx = mby * 8, mbx * 8
+            if mbx > 0:
+                _filter_v_edge(y, yy, 16, yx, simple, True, mb_lim,
+                               interior, hev_t)
+                if not simple:
+                    _filter_v_edge_uv(u, v, cy, cx, True, mb_lim,
+                                      interior, hev_t)
+            if inner:
+                for dx in (4, 8, 12):
+                    _filter_v_edge(y, yy, 16, yx + dx, simple, False,
+                                   sub_lim, interior, hev_t)
+                if not simple:
+                    _filter_v_edge_uv(u, v, cy, cx + 4, False, sub_lim,
+                                      interior, hev_t)
+            if mby > 0:
+                _filter_h_edge(y, yy, yx, 16, simple, True, mb_lim,
+                               interior, hev_t)
+                if not simple:
+                    _filter_h_edge_uv(u, v, cy, cx, True, mb_lim,
+                                      interior, hev_t)
+            if inner:
+                for dy in (4, 8, 12):
+                    _filter_h_edge(y, yy + dy, yx, 16, simple, False,
+                                   sub_lim, interior, hev_t)
+                if not simple:
+                    _filter_h_edge_uv(u, v, cy + 4, cx, False, sub_lim,
+                                      interior, hev_t)
+
+# ---------------------------------------------------------------------------
+# chroma upsampling + YUV -> RGB (libwebp-compatible output path)
+
+
+def _fancy_upsample(c: np.ndarray, h: int, w: int) -> np.ndarray:
+    """4:2:0 chroma plane -> full resolution with the 9-3-3-1 double-rounded
+    kernel used by libwebp's fancy upsampler (chroma samples sit at the
+    centre of each 2x2 luma quad; edges replicate)."""
+    ch, cw = c.shape
+    j = np.arange(h)
+    odd_r = (j & 1) == 1
+    heavy_r = np.where(odd_r, (j - 1) >> 1, j >> 1)
+    light_r = np.clip(np.where(odd_r, heavy_r + 1, heavy_r - 1), 0, ch - 1)
+    i = np.arange(w)
+    odd_c = (i & 1) == 1
+    heavy_c = np.where(odd_c, (i - 1) >> 1, i >> 1)
+    light_c = np.clip(np.where(odd_c, heavy_c + 1, heavy_c - 1), 0, cw - 1)
+
+    c64 = c.astype(np.int64)
+    hh = c64[np.ix_(heavy_r, heavy_c)]
+    hl = c64[np.ix_(heavy_r, light_c)]
+    lh = c64[np.ix_(light_r, heavy_c)]
+    ll = c64[np.ix_(light_r, light_c)]
+    avg = hh + hl + lh + ll + 8
+    diag = (avg + 2 * (hl + lh)) >> 3
+    return (diag + hh) >> 1
+
+
+def _yuv_to_rgb(y, u, v):
+    """Fixed-point BT.601 limited-range conversion, bit-identical to
+    libwebp's (verified against WebPDecodeRGBA in tests)."""
+    y, u, v = y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)
+    yg = (y * 19077) >> 8
+    r = yg + ((v * 26149) >> 8) - 14234
+    g = yg - ((u * 6419) >> 8) - ((v * 13320) >> 8) + 8708
+    b = yg + ((u * 33050) >> 8) - 17685
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out >> 6, 0, 255).astype(np.uint8)
+
+
+def decode_vp8(payload: bytes) -> np.ndarray:
+    """VP8 keyframe payload -> (h, w, 4) uint8 RGBA (alpha 255)."""
+    y, u, v = decode_vp8_yuv(payload)
+    h, w = y.shape
+    uf = _fancy_upsample(u, h, w)
+    vf = _fancy_upsample(v, h, w)
+    rgb = _yuv_to_rgb(y, uf, vf)
+    rgba = np.empty((h, w, 4), np.uint8)
+    rgba[:, :, :3] = rgb
+    rgba[:, :, 3] = 255
+    return rgba
+
+# ---------------------------------------------------------------------------
+# fixture-grade keyframe encoder (RFC 6386 sections 7.3, 19) — builds
+# small streams that force specific modes/filters/segmentations so tests
+# can compare this module's decode against the system libwebp bit-for-bit.
+
+
+class _BoolEnc:
+    def __init__(self):
+        self.out = bytearray()
+        self.rng = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.rng - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.rng -= split
+        else:
+            self.rng = split
+        while self.rng < 128:
+            self.rng <<= 1
+            if self.bottom & (1 << 31):  # carry into already-emitted bytes
+                i = len(self.out) - 1
+                while True:
+                    self.out[i] += 1
+                    if self.out[i] == 256:
+                        self.out[i] = 0
+                        i -= 1
+                    else:
+                        break
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= 0xFFFFFF
+                self.bit_count = 8
+
+    def bit(self, b: int) -> None:
+        self.put(128, 1 if b else 0)
+
+    def lit(self, v: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def signed(self, v: int, nbits: int) -> None:
+        self.lit(abs(v), nbits)
+        self.bit(v < 0)
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.put(128, 0)
+        return bytes(self.out)
+
+
+def _tree_paths(tree) -> dict:
+    out: dict = {}
+
+    def walk(idx, acc):
+        for b in (0, 1):
+            t = tree[idx + b]
+            step = acc + [(idx >> 1, b)]
+            if t <= 0:
+                out[-t] = step
+            else:
+                walk(t, step)
+
+    walk(0, [])
+    return out
+
+
+_COEFF_PATHS = _tree_paths(COEFF_TREE)
+_KF_YMODE_PATHS = _tree_paths(KF_YMODE_TREE)
+_UV_MODE_PATHS = _tree_paths(UV_MODE_TREE)
+_BMODE_PATHS = _tree_paths(BMODE_TREE)
+_SEG_TREE = (2, 4, -0, -1, -2, -3)
+_SEG_PATHS = _tree_paths(_SEG_TREE)
+
+
+def _put_tree(enc, paths, probs, value, skip_first=False):
+    path = paths[value]
+    if skip_first:
+        path = path[1:]
+    for pidx, b in path:
+        enc.put(probs[pidx], b)
+
+
+def _token_for(av: int) -> int:
+    if av <= 4:
+        return av
+    if av <= 6:
+        return DCT_CAT1
+    if av <= 10:
+        return DCT_CAT2
+    if av <= 18:
+        return DCT_CAT3
+    if av <= 34:
+        return DCT_CAT4
+    if av <= 66:
+        return DCT_CAT5
+    if av <= 2114:
+        return DCT_CAT6
+    raise ValueError(f"coefficient level {av} out of VP8 token range")
+
+
+def _put_block_tokens(enc, probs, plane, ctx, first, levels) -> int:
+    coeffs = [int(levels[z]) for z in ZIGZAG]
+    last = -1
+    for i in range(first, 16):
+        if coeffs[i]:
+            last = i
+    i = first
+    skip_eob = False
+    nz = 0
+    while i < 16:
+        p = probs[plane][BANDS[i]][ctx]
+        if i > last:
+            assert not skip_eob
+            _put_tree(enc, _COEFF_PATHS, p, DCT_EOB)
+            return nz
+        v = coeffs[i]
+        av = abs(v)
+        tok = _token_for(av)
+        _put_tree(enc, _COEFF_PATHS, p, tok, skip_first=skip_eob)
+        if tok >= DCT_CAT1:
+            extra = av - CAT_BASE[tok]
+            pl = CAT_PROBS[tok]
+            for k, cp in enumerate(pl):
+                enc.put(cp, (extra >> (len(pl) - 1 - k)) & 1)
+        if av:
+            enc.put(128, 1 if v < 0 else 0)
+            nz = 1
+        ctx = 0 if av == 0 else (1 if av == 1 else 2)
+        skip_eob = av == 0
+        i += 1
+    return nz
+
+
+def build_keyframe(
+    w: int,
+    h: int,
+    *,
+    ymodes,
+    uvmodes=None,
+    submodes=None,
+    levels=None,
+    filter_type: int = 0,
+    filter_level: int = 0,
+    sharpness: int = 0,
+    yac_qi: int = 4,
+    q_deltas=(0, 0, 0, 0, 0),
+    seg=None,
+    lf_deltas=None,
+    nparts: int = 1,
+    skip_prob: int = 200,
+) -> bytes:
+    """Assemble a VP8 keyframe payload. ``ymodes``: (mb_h, mb_w) ints;
+    ``submodes``: {(mby, mbx): [16 B-modes]} for B_PRED MBs (default all
+    B_DC); ``levels``: {(mby, mbx): {'y': (16,16), 'y2': (16,),
+    'u': (4,16), 'v': (4,16)}} quantized coefficient levels in raster
+    position order; ``seg``: dict(quant=[4], lf=[4], abs=bool,
+    map=(mb_h, mb_w), tree_probs=[3]); ``lf_deltas``: (ref[4], mode[4])."""
+    mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+    ymodes = np.asarray(ymodes)
+    assert ymodes.shape == (mb_h, mb_w)
+    if uvmodes is None:
+        uvmodes = np.zeros((mb_h, mb_w), np.int64)
+    else:
+        uvmodes = np.asarray(uvmodes)
+    submodes = submodes or {}
+    levels = levels or {}
+    probs = [
+        [[list(map(int, DEFAULT_COEFF_PROBS[i, j, k])) for k in range(3)]
+         for j in range(8)]
+        for i in range(4)
+    ]
+
+    enc = _BoolEnc()
+    enc.bit(0)  # color space
+    enc.bit(0)  # clamping
+    enc.bit(seg is not None)
+    if seg is not None:
+        enc.bit(1)  # update map
+        enc.bit(1)  # update data
+        enc.bit(seg.get("abs", True))
+        for val in seg["quant"]:
+            enc.bit(1)
+            enc.signed(val, 7)
+        for val in seg["lf"]:
+            enc.bit(1)
+            enc.signed(val, 6)
+        for p in seg.get("tree_probs", (128, 128, 128)):
+            enc.bit(1)
+            enc.lit(p, 8)
+    enc.bit(filter_type)
+    enc.lit(filter_level, 6)
+    enc.lit(sharpness, 3)
+    enc.bit(lf_deltas is not None)
+    if lf_deltas is not None:
+        ref, mode = lf_deltas
+        enc.bit(1)
+        for val in ref:
+            enc.bit(1)
+            enc.signed(val, 6)
+        for val in mode:
+            enc.bit(1)
+            enc.signed(val, 6)
+    enc.lit({1: 0, 2: 1, 4: 2, 8: 3}[nparts], 2)
+    enc.lit(yac_qi, 7)
+    for d in q_deltas:
+        if d:
+            enc.bit(1)
+            enc.signed(d, 4)
+        else:
+            enc.bit(0)
+    enc.bit(1)  # refresh entropy probs
+    upd = COEFF_UPDATE_PROBS
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    enc.put(int(upd[i, j, k, l]), 0)
+    enc.bit(1)  # mb_no_coeff_skip
+    enc.lit(skip_prob, 8)
+
+    tok_encs = [_BoolEnc() for _ in range(nparts)]
+    above_y = [0] * (mb_w * 4)
+    above_u = [0] * (mb_w * 2)
+    above_v = [0] * (mb_w * 2)
+    above_y2 = [0] * mb_w
+    above_sub = [[B_DC] * 4 for _ in range(mb_w)]
+    zeros = np.zeros((16, 16), np.int64)
+    zeros_uv = np.zeros((4, 16), np.int64)
+    zeros_y2 = np.zeros(16, np.int64)
+
+    for mby in range(mb_h):
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        left_sub = [B_DC] * 4
+        tenc = tok_encs[mby % nparts]
+        for mbx in range(mb_w):
+            ymode = int(ymodes[mby, mbx])
+            lv = levels.get((mby, mbx), {})
+            ylev = np.asarray(lv.get("y", zeros))
+            y2lev = np.asarray(lv.get("y2", zeros_y2))
+            ulev = np.asarray(lv.get("u", zeros_uv))
+            vlev = np.asarray(lv.get("v", zeros_uv))
+            has_y2 = ymode != B_PRED
+            if has_y2:
+                assert not ylev[:, 0].any(), "Y DC levels belong in y2"
+            else:
+                assert not y2lev.any(), "B_PRED MBs have no Y2 block"
+            skip = not (ylev.any() or y2lev.any() or ulev.any()
+                        or vlev.any())
+
+            if seg is not None:
+                _put_tree(enc, _SEG_PATHS, seg["tree_probs"],
+                          int(seg["map"][mby][mbx]))
+            enc.put(skip_prob, 1 if skip else 0)
+            _put_tree(enc, _KF_YMODE_PATHS, KF_YMODE_PROBS, ymode)
+            if ymode == B_PRED:
+                subs = submodes.get((mby, mbx), [B_DC] * 16)
+                for sb in range(16):
+                    r, c = sb >> 2, sb & 3
+                    a = above_sub[mbx][c] if r == 0 else subs[sb - 4]
+                    l_ = left_sub[r] if c == 0 else subs[sb - 1]
+                    _put_tree(enc, _BMODE_PATHS, KF_BMODE_PROBS[a, l_],
+                              subs[sb])
+                above_sub[mbx] = list(subs[12:16])
+                left_sub = [subs[3], subs[7], subs[11], subs[15]]
+            else:
+                sub = MODE_AS_SUB[ymode]
+                above_sub[mbx] = [sub] * 4
+                left_sub = [sub] * 4
+            _put_tree(enc, _UV_MODE_PATHS, KF_UV_MODE_PROBS,
+                      int(uvmodes[mby, mbx]))
+
+            if skip:
+                left_y[:] = [0] * 4
+                left_u[:] = [0] * 2
+                left_v[:] = [0] * 2
+                for k in range(4):
+                    above_y[mbx * 4 + k] = 0
+                for k in range(2):
+                    above_u[mbx * 2 + k] = 0
+                    above_v[mbx * 2 + k] = 0
+                if has_y2:
+                    left_y2 = 0
+                    above_y2[mbx] = 0
+                continue
+            if has_y2:
+                ctx = above_y2[mbx] + left_y2
+                nz = _put_block_tokens(tenc, probs, 1, ctx, 0, y2lev)
+                above_y2[mbx] = left_y2 = nz
+                yplane, first = 0, 1
+            else:
+                yplane, first = 3, 0
+            for sb in range(16):
+                r, c = sb >> 2, sb & 3
+                ctx = above_y[mbx * 4 + c] + left_y[r]
+                nz = _put_block_tokens(tenc, probs, yplane, ctx, first,
+                                       ylev[sb])
+                above_y[mbx * 4 + c] = left_y[r] = nz
+            for lev, ab, lf in ((ulev, above_u, left_u),
+                                (vlev, above_v, left_v)):
+                for sb in range(4):
+                    r, c = sb >> 1, sb & 1
+                    ctx = ab[mbx * 2 + c] + lf[r]
+                    nz = _put_block_tokens(tenc, probs, 2, ctx, 0, lev[sb])
+                    ab[mbx * 2 + c] = lf[r] = nz
+
+    part0 = enc.finish()
+    parts = [t.finish() for t in tok_encs]
+    tag = (len(part0) << 5) | (1 << 4)  # keyframe, version 0, shown
+    head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    head += _START_CODE + struct.pack("<HH", w, h)
+    sizes = b"".join(struct.pack("<I", len(p))[:3] for p in parts[:-1])
+    return head + part0 + sizes + b"".join(parts)
+
+
+def wrap_webp(vp8_payload: bytes) -> bytes:
+    """Wrap a raw VP8 keyframe payload in a WebP RIFF container."""
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    if len(vp8_payload) & 1:
+        chunk += b"\x00"
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)

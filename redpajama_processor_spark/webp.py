@@ -1,11 +1,12 @@
 """WebP codec: a pure-python/numpy VP8L (lossless) decoder implementing
 the public "WebP Lossless Bitstream Specification", a fixture-grade VP8L
-encoder, and a ctypes binding to the system ``libwebp.so`` used two ways:
-as an EXTERNAL ORACLE in tests (cross-validation in BOTH directions — an
-oracle that no shared encoder/decoder bug can satisfy, the same strategy
-as the Iceberg Murmur3 spec vectors), and as the decode path for LOSSY
-VP8 frames, whose intra-predictor + DCT stack is out of scope for the
-pure-python surface.
+encoder, the ALPH (lossy-alpha) chunk decoder, and a ctypes binding to
+the system ``libwebp.so`` used as an EXTERNAL ORACLE in tests
+(cross-validation in BOTH directions — an oracle that no shared
+encoder/decoder bug can satisfy, the same strategy as the Iceberg
+Murmur3 spec vectors).  LOSSY VP8 keyframes decode in pure python too,
+via vp8.py (RFC 6386), bit-identical to libwebp — so decode_webp needs
+no native library for any still-image WebP.
 
 Decoder coverage (the full lossless spec):
 - canonical prefix codes: simple (1-2 symbol) and normal (code-length
@@ -644,6 +645,13 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    return _decode_stream_rgba(br, w, h)
+
+
+def _decode_stream_rgba(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Decode a (headerless) VP8L image stream at known dimensions and
+    apply its inverse transforms — shared by the VP8L frame path and the
+    ALPH chunk's lossless-compressed alpha plane."""
     argb, transforms, adj_x = _decode_image_stream(br, w, h, True)
 
     for ttype, bits, data in reversed(transforms):
@@ -674,21 +682,91 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return rgba
 
 
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's row filter (none/horizontal/vertical/
+    gradient; modular uint8 arithmetic, top/left borders predict 0)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    p = plane.astype(np.int64)
+    if method == 1:  # horizontal: prefix sum per row, row0 col0 preds 0,
+        out = np.empty_like(p)  # later rows' col0 predicts from above
+        out[0] = np.cumsum(p[0]) & 255
+        for r in range(1, h):
+            out[r] = np.cumsum(p[r]) & 255
+            out[r] = (out[r] + out[r - 1, 0]) & 255
+        return out.astype(np.uint8)
+    if method == 2:  # vertical: row0 horizontal, then add row above
+        out = np.empty_like(p)
+        out[0] = np.cumsum(p[0]) & 255
+        if h > 1:
+            out[1:] = (np.cumsum(p[1:], axis=0) + out[0]) & 255
+        return out.astype(np.uint8)
+    if method == 3:  # gradient: clip(left + top - top_left), sequential
+        out = np.empty((h, w), np.int64)
+        out[0] = np.cumsum(p[0]) & 255
+        for r in range(1, h):
+            left = int(out[r - 1, 0])
+            tl = left
+            row = out[r]
+            prev = out[r - 1]
+            cur = p[r]
+            for c in range(w):
+                top = int(prev[c])
+                g = left + top - tl
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(cur[c]) + g) & 255
+                row[c] = left
+                tl = top
+        return out.astype(np.uint8)
+    raise ValueError(f"bad ALPH filter method {method}")
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload -> (h, w) uint8 alpha plane. Compression 0 is a
+    raw plane; 1 is a headerless VP8L stream whose green channel carries
+    the alpha (decoded by this module's lossless decoder)."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    comp = body[0] & 3
+    filt = (body[0] >> 2) & 3
+    data = body[1:]
+    if comp == 0:
+        if len(data) < w * h:
+            raise ValueError("raw ALPH plane shorter than width*height")
+        plane = np.frombuffer(data, np.uint8, w * h).reshape(h, w)
+    elif comp == 1:
+        rgba = _decode_stream_rgba(_BitReader(data), w, h)
+        plane = rgba[:, :, 1].copy()  # green channel
+    else:
+        raise ValueError(f"bad ALPH compression method {comp}")
+    return _unfilter_alpha(plane, filt)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP container -> (h, w, 4) uint8 RGBA. Lossless (VP8L) decodes in
-    pure python; lossy (VP8) dispatches to the system libwebp when
-    loadable, else raises naming it."""
+    """WebP container -> (h, w, 4) uint8 RGBA, fully in pure python:
+    lossless (VP8L) via this module's lossless decoder, lossy (VP8)
+    keyframes via vp8.py (RFC 6386), lossy alpha via the ALPH chunk."""
     if payload[:4] != WEBP_RIFF or payload[8:12] != WEBP_FOURCC:
         raise ValueError(f"not a WebP (magic {payload[:4]!r})")
     pos = 12
+    alph: bytes | None = None
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return decode_vp8l(body)
-        if fourcc == b"VP8 ":
-            return libwebp_decode_rgba(payload)
+        if fourcc == b"ALPH":
+            alph = body
+        elif fourcc == b"VP8 ":
+            from . import vp8 as _vp8
+
+            rgba = _vp8.decode_vp8(body)
+            if alph is not None:
+                h, w = rgba.shape[:2]
+                rgba[:, :, 3] = decode_alph(alph, w, h)
+            return rgba
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container has no VP8/VP8L frame")
 
@@ -852,6 +930,26 @@ def _load_libwebp():
         ]
         lib.WebPFree.restype = None
         lib.WebPFree.argtypes = [ctypes.c_void_p]
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+        lib.WebPEncodeRGBA.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
         _LIBWEBP = lib
         return lib
     _LIBWEBP_ERR = "libwebp shared library not found"
@@ -887,6 +985,73 @@ def libwebp_decode_rgba(payload: bytes) -> np.ndarray:
         )
     finally:
         lib.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+
+
+def libwebp_decode_yuv(payload: bytes):
+    """Decode a WebP via the system libwebp to raw YUV 4:2:0 planes —
+    the normative-reconstruction oracle for vp8.py's decode tests."""
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            f"system libwebp not loadable ({_LIBWEBP_ERR})"
+        )
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    yp = lib.WebPDecodeYUV(
+        payload, len(payload), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(up), ctypes.byref(vp), ctypes.byref(stride),
+        ctypes.byref(uv_stride),
+    )
+    if not yp:
+        raise ValueError("libwebp failed to decode payload to YUV")
+    try:
+        W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+        ch, cw = (H + 1) >> 1, (W + 1) >> 1
+
+        def _plane(ptr, rows, cols, rstride):
+            n = rows * rstride
+            buf = ctypes.cast(
+                ptr, ctypes.POINTER(ctypes.c_uint8 * n)
+            ).contents
+            return (
+                np.frombuffer(buf, dtype=np.uint8)
+                .reshape(rows, rstride)[:, :cols]
+                .copy()
+            )
+
+        return _plane(yp, H, W, S), _plane(up, ch, cw, US), _plane(
+            vp, ch, cw, US
+        )
+    finally:
+        lib.WebPFree(ctypes.cast(yp, ctypes.c_void_p))
+
+
+def libwebp_encode_lossy(img: np.ndarray, quality: float = 75.0) -> bytes:
+    """Lossy-encode RGB(A) via the system libwebp (test fixture source)."""
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            f"system libwebp not loadable ({_LIBWEBP_ERR})"
+        )
+    if img.shape[2] == 3:
+        img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    h, w = img.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeRGBA(
+        np.ascontiguousarray(img).tobytes(), w, h, w * 4,
+        float(quality), ctypes.byref(out),
+    )
+    if not size:
+        raise ValueError("libwebp lossy encode failed")
+    try:
+        buf = ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * size)).contents
+        return bytes(buf)
+    finally:
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
 
 
 def libwebp_encode_lossless(img: np.ndarray) -> bytes:

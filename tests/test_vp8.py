@@ -1,0 +1,454 @@
+"""Lossy VP8 (keyframe) decoder. Validation is externally anchored and
+two-sided:
+
+1. FIXTURE-ORACLE: this module's fixture-grade keyframe encoder builds
+   streams that force each of the 10 B submodes, every token category
+   (cat1..cat6 at their range edges), Y2/WHT, quantizer deltas, both
+   segmentation modes, loop-filter deltas, every filter profile/level/
+   sharpness corner, 2/4/8 token partitions, and cropped/odd dimensions;
+   each stream is decoded by BOTH vp8.py and the system libwebp and the
+   YUV planes compared bit-for-bit — an oracle no shared encoder/decoder
+   bug can satisfy.
+2. REAL-STREAM ORACLE: libwebp's own lossy encoder output (photographic
+   content across sizes and qualities, which exercises header
+   coefficient-probability updates and arbitrary encoder mode choices)
+   decodes to bit-exact YUV, and the full RGBA path (fancy upsampler +
+   fixed-point YUV->RGB) is byte-identical to WebPDecodeRGBA.
+3. The big probability tables are re-extracted from the live libwebp
+   .rodata and compared against vp8_tables.py.
+4. The boolean coder round-trips against its encoder under carry-stress
+   probabilities — no external library needed.
+5. A decode-throughput floor (same discipline as the PNG wavefront and
+   JPEG LUT floors).
+
+libwebp-dependent tests skip (with the reason) where the shared library
+is unavailable; the pure-python paths always run.
+"""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark import vp8, webp
+from redpajama_processor_spark.multimodal import decode_image
+
+needs_libwebp = pytest.mark.skipif(
+    not webp.libwebp_available(), reason="system libwebp not loadable"
+)
+
+
+def _vp8_body(container: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(container):
+        four = container[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", container, pos + 4)
+        if four == b"VP8 ":
+            return container[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _assert_yuv_exact(container: bytes):
+    ry, ru, rv = webp.libwebp_decode_yuv(container)
+    my, mu, mv = vp8.decode_vp8_yuv(_vp8_body(container))
+    np.testing.assert_array_equal(my, ry)
+    np.testing.assert_array_equal(mu, ru)
+    np.testing.assert_array_equal(mv, rv)
+
+
+def _photo(w, h, seed=1):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 4), np.uint8)
+    base = (128 + 100 * np.sin(xx / 13) * np.cos(yy / 17)
+            + 40 * np.sin((xx + yy) / 5)).clip(0, 255)
+    img[:, :, 0] = base
+    img[:, :, 1] = (np.roll(base, 7, axis=1) * 0.7
+                    + rng.randint(0, 60, (h, w))).clip(0, 255)
+    img[:, :, 2] = (255 - base) * 0.8
+    img[:, :, 3] = 255
+    img[h // 3 : h // 3 + 9, :, :3] = 255
+    img[:, w // 2 : w // 2 + 5, :3] = 0
+    lo = 2 * h // 3
+    img[lo:, 2 * w // 3 :, :3] = rng.randint(
+        0, 256, (h - lo, w - 2 * w // 3, 3))
+    return img
+
+
+def _rand_levels(rng, mb_h, mb_w, has_y2, dens=0.4, mag=12, y2mag=16):
+    out = {}
+    for r in range(mb_h):
+        for c in range(mb_w):
+            y = (rng.randint(-mag, mag + 1, (16, 16))
+                 * (rng.rand(16, 16) < dens)).astype(int)
+            d = {
+                "u": rng.randint(-9, 10, (4, 16)) * (rng.rand(4, 16) < dens),
+                "v": rng.randint(-9, 10, (4, 16)) * (rng.rand(4, 16) < dens),
+            }
+            if has_y2[r][c]:
+                y[:, 0] = 0
+                d["y2"] = (rng.randint(-y2mag, y2mag + 1, 16)
+                           * (rng.rand(16) < 0.6))
+            d["y"] = y
+            out[(r, c)] = d
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pure-python paths (no external library)
+
+
+def test_bool_coder_roundtrip_with_carry_stress():
+    rng = np.random.RandomState(0)
+    probs = list(rng.randint(1, 255, 3000)) + [1, 1, 1, 254, 254, 254] * 50
+    bits = list(rng.randint(0, 2, len(probs)))
+    enc = vp8._BoolEnc()
+    for p, b in zip(probs, bits):
+        enc.put(int(p), int(b))
+    data = enc.finish()
+    dec = vp8._BoolDec(data)
+    got = [dec.get(int(p)) for p in probs]
+    assert got == bits
+
+
+def test_flat_dc_stream_is_uniform_128():
+    # one DC_PRED MB, no coefficients, no filter: DC prediction with no
+    # neighbours is the spec constant 128 on every plane
+    p = vp8.build_keyframe(16, 16, ymodes=[[vp8.DC_PRED]], filter_level=0)
+    y, u, v = vp8.decode_vp8_yuv(p)
+    assert y.shape == (16, 16) and u.shape == (8, 8)
+    assert (y == 128).all() and (u == 128).all() and (v == 128).all()
+
+
+def test_inter_frame_raises_named():
+    p = bytearray(vp8.build_keyframe(16, 16, ymodes=[[0]]))
+    p[0] |= 1  # flip the keyframe bit
+    with pytest.raises(NotImplementedError, match="inter frame"):
+        vp8.decode_vp8_yuv(bytes(p))
+
+
+def test_garbage_raises():
+    with pytest.raises(ValueError, match="start code"):
+        vp8.decode_vp8_yuv(b"\x00\x00\x00XXXXXXXXXX")
+    p = vp8.build_keyframe(32, 32, ymodes=[[0, 0], [0, 0]])
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        vp8.decode_vp8_yuv(p[:12])
+
+
+def test_decode_throughput_floor():
+    # coefficient-rich 192x192 stream from the fixture encoder (no
+    # external library needed); entropy decode is sequential python, the
+    # rest numpy — measured ~0.15 MPix/s on this class of host
+    rng = np.random.RandomState(2)
+    mbs = 12
+    ym = rng.randint(0, 4, (mbs, mbs))
+    lv = _rand_levels(rng, mbs, mbs, [[True] * mbs] * mbs, dens=0.5)
+    p = vp8.build_keyframe(192, 192, ymodes=ym, levels=lv,
+                           filter_level=30, yac_qi=20)
+    t0 = time.perf_counter()
+    vp8.decode_vp8(p)
+    rate = 192 * 192 / (time.perf_counter() - t0) / 1e6
+    assert rate > 0.05, f"VP8 decode too slow: {rate:.3f} MPix/s"
+
+
+# ---------------------------------------------------------------------------
+# table recovery vs the live library
+
+
+@needs_libwebp
+def test_tables_match_live_library():
+    import ctypes.util
+
+    from redpajama_processor_spark import vp8_tables as T
+
+    name = ctypes.util.find_library("webp")
+    path = None
+    for cand in ("/usr/lib/x86_64-linux-gnu/" + (name or ""), name or ""):
+        try:
+            with open(cand, "rb"):
+                path = cand
+                break
+        except OSError:
+            continue
+    if path is None:
+        pytest.skip("libwebp file path not found for re-extraction")
+    raw = open(path, "rb").read()
+
+    def find(frag):
+        i = raw.find(bytes(frag))
+        assert i != -1, f"fragment {frag[:8]}... not found"
+        return i
+
+    dc = raw[find(T.RECOVERY_FRAGMENTS["DC_QLOOKUP"]) :][:128]
+    np.testing.assert_array_equal(np.frombuffer(dc, np.uint8), T.DC_QLOOKUP)
+    upd = raw[find(T.RECOVERY_FRAGMENTS["COEFF_UPDATE_PROBS"]) :][:1056]
+    np.testing.assert_array_equal(
+        np.frombuffer(upd, np.uint8).reshape(4, 8, 3, 11),
+        T.COEFF_UPDATE_PROBS,
+    )
+    cp_off = find(T.RECOVERY_FRAGMENTS["DEFAULT_COEFF_PROBS"]) - 33
+    cp = raw[cp_off : cp_off + 1056]
+    np.testing.assert_array_equal(
+        np.frombuffer(cp, np.uint8).reshape(4, 8, 3, 11),
+        T.DEFAULT_COEFF_PROBS,
+    )
+    kb = raw[find(T.RECOVERY_FRAGMENTS["KF_BMODE_PROBS"]) :][:900]
+    perm = T._PERM
+    np.testing.assert_array_equal(
+        np.frombuffer(kb, np.uint8).reshape(10, 10, 9)[perm][:, perm],
+        T.KF_BMODE_PROBS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixture-oracle: forced modes / tokens / headers vs libwebp, bit-exact
+
+
+@needs_libwebp
+@pytest.mark.parametrize("mode", range(10))
+def test_every_b_submode_exact(mode):
+    rng = np.random.RandomState(7 + mode)
+    ym = np.full((3, 3), vp8.B_PRED)
+    subs = {(r, c): [mode] * 16 for r in range(3) for c in range(3)}
+    lv = _rand_levels(rng, 3, 3, [[False] * 3] * 3)
+    p = vp8.build_keyframe(48, 48, ymodes=ym, submodes=subs, levels=lv,
+                           filter_level=0, yac_qi=20)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+def test_mixed_random_submodes_exact():
+    rng = np.random.RandomState(17)
+    ym = np.full((2, 4), vp8.B_PRED)
+    subs = {(r, c): list(rng.randint(0, 10, 16))
+            for r in range(2) for c in range(4)}
+    lv = {(r, c): {"y": rng.randint(-12, 13, (16, 16))
+                   * (rng.rand(16, 16) < 0.3)}
+          for r in range(2) for c in range(4)}
+    p = vp8.build_keyframe(64, 32, ymodes=ym, submodes=subs, levels=lv,
+                           filter_level=0, yac_qi=40)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+def test_token_categories_at_range_edges_exact():
+    # one sparse large coefficient per subblock spanning cat1..cat6,
+    # including the cat6 extremes 67 and 2114
+    ym = np.zeros((3, 4), int)
+    mags = [5, 6, 7, 10, 11, 18, 19, 34, 35, 66, 67, 120, 900, 2114]
+    lv = {}
+    k = 0
+    for r in range(3):
+        for c in range(4):
+            y = np.zeros((16, 16), int)
+            for sb in range(16):
+                y[sb, 1 + (k % 15)] = mags[k % len(mags)] * (1, -1)[k % 2]
+                k += 1
+            y2 = np.zeros(16, int)
+            y2[k % 16] = mags[k % len(mags)]
+            lv[(r, c)] = {"y": y, "y2": y2}
+    p = vp8.build_keyframe(64, 48, ymodes=ym, levels=lv, filter_level=18,
+                           yac_qi=0, q_deltas=(1, -1, 2, -2, 1))
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+def test_wholemb_modes_y2_and_quant_deltas_exact():
+    rng = np.random.RandomState(11)
+    ym = rng.randint(0, 4, (3, 4))
+    lv = _rand_levels(rng, 3, 4, [[True] * 4] * 3, dens=0.5)
+    p = vp8.build_keyframe(64, 48, ymodes=ym,
+                           uvmodes=rng.randint(0, 4, (3, 4)), levels=lv,
+                           filter_level=0, yac_qi=60,
+                           q_deltas=(3, -2, 5, -7, 8))
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+@pytest.mark.parametrize("lvl,sh", [(10, 0), (25, 3), (40, 5), (63, 7)])
+def test_normal_loop_filter_exact(lvl, sh):
+    rng = np.random.RandomState(100 + lvl)
+    ym = rng.randint(0, 5, (3, 3))
+    subs = {(r, c): list(rng.randint(0, 10, 16))
+            for r in range(3) for c in range(3) if ym[r, c] == vp8.B_PRED}
+    h2 = [[ym[r][c] != vp8.B_PRED for c in range(3)] for r in range(3)]
+    lv = _rand_levels(rng, 3, 3, h2, dens=0.35)
+    p = vp8.build_keyframe(48, 48, ymodes=ym, submodes=subs, levels=lv,
+                           uvmodes=rng.randint(0, 4, (3, 3)),
+                           filter_level=lvl, sharpness=sh, yac_qi=30)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+def test_simple_loop_filter_exact():
+    rng = np.random.RandomState(23)
+    ym = rng.randint(0, 4, (3, 3))
+    lv = _rand_levels(rng, 3, 3, [[True] * 3] * 3)
+    p = vp8.build_keyframe(48, 48, ymodes=ym, levels=lv, filter_type=1,
+                           filter_level=30, sharpness=2, yac_qi=30)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+def test_all_skip_inner_edge_rule_exact():
+    # skipped whole-MB-mode MBs must not have interior edges filtered
+    p = vp8.build_keyframe(48, 48, ymodes=np.zeros((3, 3), int),
+                           filter_level=35, yac_qi=10)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+@pytest.mark.parametrize("abs_mode", [True, False])
+def test_segmentation_exact(abs_mode):
+    rng = np.random.RandomState(31)
+    ym = rng.randint(0, 5, (3, 3))
+    subs = {(r, c): list(rng.randint(0, 10, 16))
+            for r in range(3) for c in range(3) if ym[r, c] == vp8.B_PRED}
+    h2 = [[ym[r][c] != vp8.B_PRED for c in range(3)] for r in range(3)]
+    lv = _rand_levels(rng, 3, 3, h2)
+    seg = {
+        "quant": [10, 30, 50, 70] if abs_mode else [0, 20, -10, 35],
+        "lf": [5, 20, 45, 63] if abs_mode else [0, 10, -5, 30],
+        "abs": abs_mode,
+        "map": rng.randint(0, 4, (3, 3)).tolist(),
+        "tree_probs": [100, 140, 180],
+    }
+    p = vp8.build_keyframe(48, 48, ymodes=ym, submodes=subs, levels=lv,
+                           seg=seg, filter_level=20, sharpness=1,
+                           lf_deltas=([4, 0, 0, 0], [-3, 0, 0, 0]),
+                           yac_qi=30)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+@pytest.mark.parametrize("nparts", [2, 4, 8])
+def test_token_partitions_exact(nparts):
+    rng = np.random.RandomState(41)
+    ym = rng.randint(0, 4, (5, 3))
+    lv = _rand_levels(rng, 5, 3, [[True] * 3] * 5)
+    p = vp8.build_keyframe(48, 80, ymodes=ym, levels=lv, nparts=nparts,
+                           filter_level=15, yac_qi=25)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+@needs_libwebp
+@pytest.mark.parametrize("w,h", [(17, 17), (33, 18), (48, 31), (1, 1),
+                                 (15, 3)])
+def test_cropped_dimensions_exact(w, h):
+    rng = np.random.RandomState(w * 100 + h)
+    mw, mh = (w + 15) // 16, (h + 15) // 16
+    ym = rng.randint(0, 4, (mh, mw))
+    lv = _rand_levels(rng, mh, mw, [[True] * mw] * mh)
+    p = vp8.build_keyframe(w, h, ymodes=ym, levels=lv, filter_level=12,
+                           yac_qi=15)
+    _assert_yuv_exact(vp8.wrap_webp(p))
+
+
+# ---------------------------------------------------------------------------
+# real-stream oracle: libwebp encoder output
+
+
+@needs_libwebp
+@pytest.mark.parametrize(
+    "w,h,q", [(96, 80, 75), (128, 128, 40), (61, 47, 90), (160, 96, 10),
+              (48, 48, 95)]
+)
+def test_libwebp_photo_yuv_exact(w, h, q):
+    wb = webp.libwebp_encode_lossy(_photo(w, h, seed=q), q)
+    _assert_yuv_exact(wb)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("w,h", [(96, 80), (61, 47), (17, 33), (2, 3)])
+def test_rgba_byte_identical(w, h):
+    wb = webp.libwebp_encode_lossy(_photo(w, h), 80)
+    ref = webp.libwebp_decode_rgba(wb)
+    mine = webp.decode_webp(wb)
+    np.testing.assert_array_equal(mine, ref)
+
+
+@needs_libwebp
+def test_lossy_alpha_byte_identical():
+    img = _photo(64, 48)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img[:, :, 3] = ((xx * 7 + yy * 3) % 200 + 30).astype(np.uint8)
+    wb = webp.libwebp_encode_lossy(img, 80)
+    assert b"ALPH" in wb[:64]  # encoder really produced a lossy-alpha file
+    np.testing.assert_array_equal(
+        webp.decode_webp(wb), webp.libwebp_decode_rgba(wb))
+
+
+@needs_libwebp
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_raw_alph_every_filter(filt):
+    # hand-built raw-compression ALPH chunk: forward-filter the plane so
+    # decode must invert it; compare against libwebp AND the original
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    alpha = ((xx * 11 + yy * 13) % 251).astype(np.int64)
+    f = np.empty_like(alpha)
+    if filt == 0:
+        f = alpha.copy()
+    elif filt == 1:
+        f[:, 0] = alpha[:, 0] - np.concatenate([[0], alpha[:-1, 0]])
+        f[:, 1:] = alpha[:, 1:] - alpha[:, :-1]
+    elif filt == 2:
+        f[0] = alpha[0] - np.concatenate([[0], alpha[0, :-1]])
+        f[1:] = alpha[1:] - alpha[:-1]
+    else:
+        for r in range(h):
+            for c in range(w):
+                if r == 0:
+                    pred = 0 if c == 0 else alpha[0, c - 1]
+                else:
+                    left = alpha[r, c - 1] if c > 0 else alpha[r - 1, 0]
+                    tl = alpha[r - 1, c - 1] if c > 0 else alpha[r - 1, 0]
+                    pred = min(255, max(0, left + alpha[r - 1, c] - tl))
+                f[r, c] = alpha[r, c] - pred
+    alph = bytes([filt << 2]) + (f & 255).astype(np.uint8).tobytes()
+    vb = vp8.build_keyframe(
+        w, h, ymodes=np.zeros(((h + 15) // 16, (w + 15) // 16), int),
+        filter_level=0)
+
+    def chunk(tag, b):
+        c = tag + struct.pack("<I", len(b)) + b
+        return c + (b"\x00" if len(b) & 1 else b"")
+
+    vp8x = struct.pack("<I", 1 << 4)[:4] + bytes(
+        ((w - 1) & 0xFF, ((w - 1) >> 8) & 0xFF, ((w - 1) >> 16) & 0xFF,
+         (h - 1) & 0xFF, ((h - 1) >> 8) & 0xFF, ((h - 1) >> 16) & 0xFF))
+    inner = chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph) + chunk(b"VP8 ", vb)
+    cont = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+    mine = webp.decode_webp(cont)
+    np.testing.assert_array_equal(mine[:, :, 3], alpha.astype(np.uint8))
+    np.testing.assert_array_equal(mine, webp.libwebp_decode_rgba(cont))
+
+
+@needs_libwebp
+def test_decode_image_dispatch_pure_python(monkeypatch):
+    # prove the lossy path no longer needs the native library: poison the
+    # binding and decode via the public featurize dispatch
+    wb = webp.libwebp_encode_lossy(_photo(48, 32), 70)
+    ref = webp.libwebp_decode_rgba(wb)[:, :, :3]
+    monkeypatch.setattr(webp, "_LIBWEBP", None)
+    monkeypatch.setattr(webp, "_LIBWEBP_ERR", "poisoned for test")
+    img = decode_image(wb)
+    np.testing.assert_array_equal(img, ref)
+
+
+@needs_libwebp
+def test_libwebp_decodes_our_fixture_streams():
+    # reverse direction: our keyframe encoder's output is real VP8
+    rng = np.random.RandomState(53)
+    ym = rng.randint(0, 5, (2, 2))
+    subs = {(r, c): list(rng.randint(0, 10, 16))
+            for r in range(2) for c in range(2) if ym[r, c] == vp8.B_PRED}
+    h2 = [[ym[r][c] != vp8.B_PRED for c in range(2)] for r in range(2)]
+    lv = _rand_levels(rng, 2, 2, h2)
+    p = vp8.build_keyframe(32, 32, ymodes=ym, submodes=subs, levels=lv,
+                           filter_level=22, yac_qi=35)
+    y, _, _ = webp.libwebp_decode_yuv(vp8.wrap_webp(p))
+    assert y.shape == (32, 32)
