@@ -451,8 +451,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM-16 WAV bytes -> (int16 samples, sample_rate); chunk-walks RIFF."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            f"not a WAV (magic {payload[:4]!r}); MP3/AAC etc. need an "
-            "audio lib — plug in via the langid.py lazy-init pattern"
+            f"not a WAV (magic {payload[:4]!r}); MP3/AAC PCM decode needs "
+            "an audio lib (plug in via the langid.py lazy-init pattern) — "
+            "MP3 duration/bitrate/channel METADATA is available without "
+            "one via mp3.mp3_metadata"
         )
     pos, rate, bits, channels, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
@@ -500,13 +502,18 @@ def decode_rawbmpv(payload: bytes) -> list[np.ndarray]:
 
 def decode_video(payload: bytes) -> list[np.ndarray]:
     """Video payload -> list of (h, w, 3) uint8 RGB frames. Dispatches on
-    container magic: RAWBMPV, animated GIF, and REAL MP4 (ISO BMFF demux
-    via mp4.py; Motion-JPEG tracks decode through the in-repo T.81 codec,
-    compressed codecs raise naming the missing decoder)."""
+    container magic: RAWBMPV, animated GIF, animated WebP (ANMF
+    compositing in webp.py; frames decode via the VP8L or RFC 6386 VP8
+    keyframe decoders), and REAL MP4 (ISO BMFF demux via mp4.py;
+    Motion-JPEG tracks decode through the in-repo T.81 codec, compressed
+    codecs raise naming the missing decoder)."""
     from . import mp4
 
     if payload[:6] in gif.GIF_MAGICS:
         return gif.decode_gif(payload)
+    if payload[:4] == webp.WEBP_RIFF and payload[8:12] == webp.WEBP_FOURCC:
+        return [f[:, :, :3].copy() for f, _ in
+                webp.decode_webp_frames(payload)]
     if mp4.is_mp4(payload):
         return mp4.decode_mp4_frames(payload)
     return decode_rawbmpv(payload)

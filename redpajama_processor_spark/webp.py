@@ -768,6 +768,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
                 rgba[:, :, 3] = decode_alph(alph, w, h)
             return rgba
         pos += 8 + size + (size & 1)
+    for fourcc, _body in _iter_chunks(payload, 12):
+        if fourcc == b"ANMF":  # animated: first composited frame (the
+            return decode_webp_frames(payload)[0][0]  # GIF convention)
     raise ValueError("WebP container has no VP8/VP8L frame")
 
 
@@ -1172,3 +1175,155 @@ _CODE_TO_PLANE[:] = [
     0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
     0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
 ]
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (container spec: VP8X + ANIM + ANMF chunks)
+
+
+def _iter_chunks(data: bytes, pos: int = 0):
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _decode_frame_rgba(alph: bytes | None, body_l: bytes | None,
+                       body_v: bytes | None) -> np.ndarray:
+    if body_l is not None:
+        return decode_vp8l(body_l)
+    if body_v is None:
+        raise ValueError("ANMF frame without VP8/VP8L payload")
+    from . import vp8 as _vp8
+
+    rgba = _vp8.decode_vp8(body_v)
+    if alph is not None:
+        h, w = rgba.shape[:2]
+        rgba[:, :, 3] = decode_alph(alph, w, h)
+    return rgba
+
+
+def decode_webp_frames(payload: bytes):
+    """Animated (or still) WebP -> list of (canvas_rgba, duration_ms).
+
+    Implements the public WebP container spec's ANMF compositing: frames
+    are placed at even (x, y) offsets on the VP8X canvas, alpha-blended
+    (B=0) or copied (B=1), and optionally disposed to transparent black
+    (D=1) before the next frame — the behaviour of libwebp's
+    WebPAnimDecoder, which treats the ANIM background colour as an
+    embedder hint and zero-fills instead. No animation demuxer exists in
+    this container (libwebpdemux/ffmpeg absent), so unlike the bit-exact
+    still-image suite the compositing is verified by property tests
+    (placement, overwrite-vs-blend, disposal, durations) against an
+    independent numpy compositor. A still WebP yields one frame with
+    duration 0."""
+    if payload[:4] != WEBP_RIFF or payload[8:12] != WEBP_FOURCC:
+        raise ValueError(f"not a WebP (magic {payload[:4]!r})")
+    canvas_w = canvas_h = None
+    animated = False
+    frames = []
+    alph = None
+    for fourcc, body in _iter_chunks(payload, 12):
+        if fourcc == b"VP8X":
+            canvas_w = _u24(body, 4) + 1
+            canvas_h = _u24(body, 7) + 1
+            animated = bool(body[0] & 0x02)
+        elif fourcc == b"ANMF":
+            fx = _u24(body, 0) * 2
+            fy = _u24(body, 3) * 2
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            dur = _u24(body, 12)
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            f_alph = f_l = f_v = None
+            for sub, sbody in _iter_chunks(body, 16):
+                if sub == b"ALPH":
+                    f_alph = sbody
+                elif sub == b"VP8L":
+                    f_l = sbody
+                elif sub == b"VP8 ":
+                    f_v = sbody
+            frames.append((fx, fy, fw, fh, dur, no_blend, dispose_bg,
+                           f_alph, f_l, f_v))
+        elif fourcc == b"ALPH":
+            alph = body
+        elif fourcc in (b"VP8 ", b"VP8L") and not animated:
+            rgba = _decode_frame_rgba(
+                alph, body if fourcc == b"VP8L" else None,
+                body if fourcc == b"VP8 " else None)
+            return [(rgba, 0)]
+    if not animated or not frames:
+        raise ValueError("WebP container has no image frames")
+
+    canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+    out = []
+    for (fx, fy, fw, fh, dur, no_blend, dispose_bg, f_alph, f_l,
+         f_v) in frames:
+        tile = _decode_frame_rgba(f_alph, f_l, f_v)
+        if tile.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"ANMF geometry {fw}x{fh} != frame {tile.shape[1]}x"
+                f"{tile.shape[0]}")
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("ANMF frame rect outside the canvas")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if no_blend:
+            region[:] = tile
+        else:
+            sa = tile[:, :, 3:4].astype(np.int64)
+            da = region[:, :, 3:4].astype(np.int64)
+            # spec alpha-over: out_a = sa + da*(1-sa); weights kept as
+            # integers scaled by 255 (oa below is out_a * 255)
+            oa = sa * 255 + da * (255 - sa)
+            num = (tile[:, :, :3] * sa * 255
+                   + region[:, :, :3] * da * (255 - sa))
+            den = np.maximum(oa, 1)
+            region[:, :, :3] = ((num + den // 2) // den).astype(np.uint8)
+            region[:, :, 3:4] = ((oa + 127) // 255).astype(np.uint8)
+        out.append((canvas.copy(), dur))
+        if dispose_bg:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+    return out
+
+
+def encode_webp_anim(frames, canvas=None, lossless=True) -> bytes:
+    """Fixture-grade animated-WebP writer: ``frames`` is a list of dicts
+    with keys rgba (h, w, 4), x, y, duration, no_blend, dispose_bg.
+    Frame payloads are VP8L (this module's lossless encoder), so the
+    round-trip through decode_webp_frames is exact."""
+    if canvas is None:
+        canvas = (max(f["x"] + f["rgba"].shape[1] for f in frames),
+                  max(f["y"] + f["rgba"].shape[0] for f in frames))
+    cw, chh = canvas
+
+    def chunk(tag, b):
+        c = tag + struct.pack("<I", len(b)) + b
+        return c + (b"\x00" if len(b) & 1 else b"")
+
+    def u24(v):
+        return struct.pack("<I", v)[:3]
+
+    body = chunk(b"VP8X", bytes([0x12, 0, 0, 0]) + u24(cw - 1)
+                 + u24(chh - 1))
+    body += chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    for f in frames:
+        if f["x"] & 1 or f["y"] & 1:
+            raise ValueError("ANMF offsets must be even")
+        sub = encode_webp(f["rgba"])  # full still container
+        inner = b"".join(
+            chunk(fc, fb) for fc, fb in _iter_chunks(sub, 12)
+            if fc in (b"VP8L", b"VP8 ", b"ALPH"))
+        h, w = f["rgba"].shape[:2]
+        flags = (0x02 if f.get("no_blend") else 0) | (
+            0x01 if f.get("dispose_bg") else 0)
+        hdr = (u24(f["x"] // 2) + u24(f["y"] // 2) + u24(w - 1)
+               + u24(h - 1) + u24(f.get("duration", 100)) + bytes([flags]))
+        body += chunk(b"ANMF", hdr + inner)
+    return WEBP_RIFF + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC + body

@@ -1,0 +1,166 @@
+"""Animated WebP (ANMF compositing) and MPEG-audio metadata parsing.
+
+No animation demuxer or MPEG decoder exists in this container
+(libwebpdemux/ffmpeg/mpg123 absent), so unlike the bit-exact still-image
+suites these are validated by (a) spec-constant checks — the classic
+417/418-byte 128 kbps@44100 Layer-III frame lengths, Layer-I and MPEG-2
+length arithmetic — and (b) an independent numpy reference compositor /
+frame walk inside the tests."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from redpajama_processor_spark import mp3, webp
+from redpajama_processor_spark.multimodal import decode_video
+
+
+def _rng():
+    return np.random.RandomState(3)
+
+
+def _tile(h, w, alpha, rng):
+    return np.dstack([
+        rng.randint(0, 256, (h, w, 3)).astype(np.uint8),
+        np.full((h, w), alpha, np.uint8),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# animated WebP
+
+
+def test_anim_roundtrip_placement_blend_dispose():
+    rng = _rng()
+    f1 = _tile(20, 32, 255, rng)
+    f2 = _tile(8, 10, 128, rng)
+    f3 = _tile(6, 8, 200, rng)
+    anim = webp.encode_webp_anim([
+        dict(rgba=f1, x=0, y=0, duration=50),
+        dict(rgba=f2, x=4, y=2, duration=70),
+        dict(rgba=f3, x=10, y=8, duration=90, no_blend=True,
+             dispose_bg=True),
+        dict(rgba=f2, x=0, y=0, duration=40),
+    ])
+    frames = webp.decode_webp_frames(anim)
+    assert [d for _, d in frames] == [50, 70, 90, 40]
+    c1, c2, c3, c4 = (f for f, _ in frames)
+    np.testing.assert_array_equal(c1, f1)
+
+    # independent reference for the blend: spec alpha-over on integers
+    sa = f2[:, :, 3:4].astype(np.int64)
+    da = np.full_like(sa, 255)
+    oa = sa * 255 + da * (255 - sa)
+    num = f2[:, :, :3] * sa * 255 + c1[2:10, 4:14, :3] * da * (255 - sa)
+    np.testing.assert_array_equal(
+        c2[2:10, 4:14, :3], ((num + oa // 2) // oa).astype(np.uint8))
+    np.testing.assert_array_equal(c2[0:2], c1[0:2])  # untouched rows
+
+    np.testing.assert_array_equal(c3[8:14, 10:18], f3)  # no-blend copy
+    # dispose-to-background zero-fills the f3 rect before frame 4
+    assert (c4[12:14, 16:18] == 0).all()
+
+
+def test_anim_still_passthrough_and_first_frame():
+    rng = _rng()
+    f1 = _tile(20, 32, 255, rng)
+    still = webp.encode_webp(f1)
+    frames = webp.decode_webp_frames(still)
+    assert len(frames) == 1 and frames[0][1] == 0
+    np.testing.assert_array_equal(frames[0][0], f1)
+    # decode_webp on an ANIMATED container yields the first composited
+    # frame (the GIF convention used across the featurize path)
+    anim = webp.encode_webp_anim([
+        dict(rgba=f1, x=0, y=0), dict(rgba=_tile(4, 4, 255, rng), x=2, y=2),
+    ])
+    np.testing.assert_array_equal(webp.decode_webp(anim), f1)
+
+
+def test_anim_decode_video_dispatch():
+    rng = _rng()
+    f1 = _tile(16, 16, 255, rng)
+    f2 = _tile(16, 16, 255, rng)
+    anim = webp.encode_webp_anim(
+        [dict(rgba=f1, x=0, y=0), dict(rgba=f2, x=0, y=0, no_blend=True)])
+    frames = decode_video(anim)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], f1[:, :, :3])
+    np.testing.assert_array_equal(frames[1], f2[:, :, :3])
+
+
+def test_anim_rejects_bad_geometry():
+    rng = _rng()
+    anim = bytearray(webp.encode_webp_anim(
+        [dict(rgba=_tile(16, 16, 255, rng), x=0, y=0)]))
+    with pytest.raises(ValueError, match="even"):
+        webp.encode_webp_anim([dict(rgba=_tile(4, 4, 255, rng), x=1, y=0)])
+    # corrupt the ANMF width field -> geometry mismatch must be caught
+    i = bytes(anim).find(b"ANMF") + 8
+    anim[i + 6] = 99
+    with pytest.raises(ValueError, match="geometry|canvas"):
+        webp.decode_webp_frames(bytes(anim))
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio metadata
+
+
+def test_frame_length_spec_constants():
+    # the canonical MP3 frame sizes: 128 kbps @ 44100 LIII = 417/418
+    assert len(mp3.build_frame()) == 417
+    assert len(mp3.build_frame(padding=1)) == 418
+    # Layer I: (12*32000/32000 + 0) * 4 = 48
+    assert len(mp3.build_frame(layer=1, bitrate=32, sample_rate=32000)) == 48
+    # MPEG-2 LIII halves the samples per frame: 576/8*64000/22050 = 208
+    assert len(mp3.build_frame(version="2", bitrate=64,
+                               sample_rate=22050)) == 208
+    # MPEG-2.5 8 kHz
+    assert len(mp3.build_frame(version="2.5", bitrate=32,
+                               sample_rate=8000)) == 288
+
+
+def test_walk_with_tags_and_junk():
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 2, 1]) + b"x" * (2 * 128 + 1)
+    body = b"".join(mp3.build_frame() for _ in range(60))
+    body += b"\xff\x00garbage" * 3  # sync-looking junk mid-stream
+    body += b"".join(mp3.build_frame(padding=1) for _ in range(40))
+    id3v1 = b"TAG" + b"\x00" * 125
+    m = mp3.mp3_metadata(id3v2 + body + id3v1)
+    assert m["frame_count"] == 100
+    assert m["id3v2"] and m["id3v1"] and m["junk_bytes"] > 0
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["duration_s"] == pytest.approx(100 * 1152 / 44100)
+    assert not m["vbr"]
+    assert 120 < m["bitrate_kbps"] < 136
+
+
+def test_vbr_and_xing():
+    first = bytearray(mp3.build_frame(bitrate=128))
+    off = 4 + 32  # MPEG1 stereo side-info
+    first[off : off + 4] = b"Xing"
+    first[off + 4 : off + 8] = struct.pack(">I", 3)  # frames + bytes
+    first[off + 8 : off + 12] = struct.pack(">I", 50)
+    first[off + 12 : off + 16] = struct.pack(">I", 99999)
+    rest = b"".join(mp3.build_frame(bitrate=b) for b in (96, 192, 320, 64))
+    m = mp3.mp3_metadata(bytes(first) + rest)
+    assert m["vbr"]
+    assert m["xing"] == {"tag": "Xing", "frames": 50, "bytes": 99999,
+                         "quality": None}
+    assert m["frame_count"] == 5
+
+
+def test_mono_mpeg25_and_layer2():
+    m = mp3.mp3_metadata(b"".join(
+        mp3.build_frame(version="2.5", layer=3, bitrate=40,
+                        sample_rate=11025, channels=1) for _ in range(7)))
+    assert (m["version"], m["layer"], m["channels"]) == ("2.5", 3, 1)
+    assert m["duration_s"] == pytest.approx(7 * 576 / 11025)
+    m2 = mp3.mp3_metadata(b"".join(
+        mp3.build_frame(layer=2, bitrate=192) for _ in range(4)))
+    assert m2["layer"] == 2 and m2["frame_count"] == 4
+
+
+def test_not_audio_raises():
+    with pytest.raises(ValueError, match="no MPEG audio frame"):
+        mp3.mp3_metadata(b"definitely not audio " * 20)
