@@ -452,3 +452,36 @@ def test_libwebp_decodes_our_fixture_streams():
                            filter_level=22, yac_qi=35)
     y, _, _ = webp.libwebp_decode_yuv(vp8.wrap_webp(p))
     assert y.shape == (32, 32)
+
+
+def test_fuzz_corrupt_streams_raise_cleanly():
+    # a web-scale corpus feeds the decoder corrupt bytes: every mutation
+    # must terminate with ValueError/NotImplementedError, never hang or
+    # leak an IndexError (3000-trial sweep run during development; a
+    # smaller deterministic sample is pinned here)
+    rng = np.random.RandomState(0)
+    base = vp8.build_keyframe(
+        48, 48, ymodes=rng.randint(0, 5, (3, 3)),
+        submodes={(r, c): list(rng.randint(0, 10, 16))
+                  for r in range(3) for c in range(3)},
+        levels={(0, 0): {"y": rng.randint(-9, 9, (16, 16))}},
+        filter_level=20, yac_qi=30)
+    for trial in range(300):
+        b = bytearray(base)
+        k = rng.randint(4)
+        if k == 0:
+            b = b[: rng.randint(1, len(b))]
+        elif k == 1:
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randint(len(b))] = rng.randint(256)
+        elif k == 2:
+            i = rng.randint(len(b))
+            b[i:i] = bytes(rng.randint(0, 256, rng.randint(1, 40),
+                                       dtype=np.uint8))
+        else:
+            b = bytearray(rng.randint(0, 256, rng.randint(4, 400),
+                                      dtype=np.uint8))
+        try:
+            vp8.decode_vp8_yuv(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
