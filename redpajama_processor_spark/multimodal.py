@@ -504,9 +504,10 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
     """Video payload -> list of (h, w, 3) uint8 RGB frames. Dispatches on
     container magic: RAWBMPV, animated GIF, animated WebP (ANMF
     compositing in webp.py; frames decode via the VP8L or RFC 6386 VP8
-    keyframe decoders), and REAL MP4 (ISO BMFF demux via mp4.py;
-    Motion-JPEG tracks decode through the in-repo T.81 codec, compressed
-    codecs raise naming the missing decoder)."""
+    keyframe decoders), APNG (acTL/fcTL/fdAT compositing below), and
+    REAL MP4 (ISO BMFF demux via mp4.py; Motion-JPEG tracks decode
+    through the in-repo T.81 codec, compressed codecs raise naming the
+    missing decoder)."""
     from . import mp4
 
     if payload[:6] in gif.GIF_MAGICS:
@@ -514,6 +515,9 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
     if payload[:4] == webp.WEBP_RIFF and payload[8:12] == webp.WEBP_FOURCC:
         return [f[:, :, :3].copy() for f, _ in
                 webp.decode_webp_frames(payload)]
+    if is_apng(payload):
+        return [f[:, :, :3].copy() for f, _ in
+                decode_apng_frames(payload)]
     if mp4.is_mp4(payload):
         return mp4.decode_mp4_frames(payload)
     return decode_rawbmpv(payload)
@@ -764,3 +768,168 @@ def gen_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
             meta = (16, 16, None, 5)
         rows.append((f"m-{i:06d}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# APNG: animated PNG (acTL / fcTL / fdAT, the public APNG spec that is
+# part of the PNG third edition). Each frame's fdAT payload is a plain
+# IDAT zlib stream for an (fcTL w, h) sub-image with the canvas IHDR's
+# bit depth / colour type, so frame decode REUSES decode_png_raw on a
+# synthesised single-frame PNG. No APNG decoder exists in this container
+# (PIL/ffmpeg absent), so like animated WebP the compositing is verified
+# by property tests against an independent numpy compositor over the
+# fixture-grade encode_apng writer below.
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """decode_png_raw channel layouts (1/2/3/4) -> (h, w, 4) RGBA."""
+    c = img.shape[2]
+    if c == 1:
+        rgb, a = np.repeat(img, 3, axis=2), None
+    elif c == 2:
+        rgb, a = np.repeat(img[:, :, :1], 3, axis=2), img[:, :, 1]
+    elif c == 3:
+        rgb, a = img, None
+    else:
+        rgb, a = img[:, :, :3], img[:, :, 3]
+    if a is None:
+        a = np.full(img.shape[:2], 255, np.uint8)
+    return np.dstack([rgb, a])
+
+
+def _alpha_over(region: np.ndarray, tile: np.ndarray) -> None:
+    """Spec alpha-over blend of tile onto region, in place (the same
+    integer rendering as webp.decode_webp_frames)."""
+    sa = tile[:, :, 3:4].astype(np.int64)
+    da = region[:, :, 3:4].astype(np.int64)
+    oa = sa * 255 + da * (255 - sa)
+    num = tile[:, :, :3] * sa * 255 + region[:, :, :3] * da * (255 - sa)
+    den = np.maximum(oa, 1)
+    region[:, :, :3] = ((num + den // 2) // den).astype(np.uint8)
+    region[:, :, 3:4] = ((oa + 127) // 255).astype(np.uint8)
+
+
+def is_apng(payload: bytes) -> bool:
+    return payload[:8] == PNG_MAGIC and b"acTL" in payload[:256]
+
+
+def decode_apng_frames(payload: bytes):
+    """APNG bytes -> list of (canvas_rgba, delay_ms) with fcTL
+    dispose_op (none / background / previous) and blend_op (source /
+    over) compositing. The default image is frame 0 only when an fcTL
+    precedes IDAT (per spec)."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError(f"not a PNG (magic {payload[:8]!r})")
+    pos = 8
+    ihdr = None
+    aux = b""  # PLTE/tRNS pass-through for the synthetic per-frame PNGs
+    frames = []  # (fctl dict or None-for-default-image, [data...])
+    cur = None
+    acTL = False
+    default_idat = []
+    default_is_frame = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        if pos + 8 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"acTL":
+            acTL = True
+        elif typ in (b"PLTE", b"tRNS"):
+            aux += _png_chunk(typ, data)
+        elif typ == b"fcTL":
+            f = dict(zip(
+                ("seq", "w", "h", "x", "y", "dnum", "dden", "dispose",
+                 "blend"),
+                struct.unpack(">IIIIIHHBB", data)))
+            cur = (f, [])
+            frames.append(cur)
+        elif typ == b"IDAT":
+            if cur is not None:  # fcTL before IDAT: default image is
+                default_is_frame = True  # the first animation frame
+                cur[1].append(data)
+            else:
+                default_idat.append(data)
+        elif typ == b"fdAT":
+            if cur is None:
+                raise ValueError("APNG fdAT before any fcTL")
+            cur[1].append(data[4:])  # strip the sequence number
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if not acTL or not frames:
+        raise ValueError("PNG has no animation control chunk (use "
+                         "decode_png for stills)")
+    cw, chh = struct.unpack_from(">II", ihdr, 0)
+
+    canvas = np.zeros((chh, cw, 4), np.uint8)
+    out = []
+    for i, (f, datas) in enumerate(frames):
+        if not datas:
+            raise ValueError("APNG frame with no image data")
+        fw, fh, fx, fy = f["w"], f["h"], f["x"], f["y"]
+        if fx + fw > cw or fy + fh > chh:
+            raise ValueError("APNG frame rect outside the canvas")
+        sub = (PNG_MAGIC
+               + _png_chunk(b"IHDR", struct.pack(
+                   ">IIBBBBB", fw, fh, ihdr[8], ihdr[9], 0, 0, ihdr[12]))
+               + aux
+               + _png_chunk(b"IDAT", b"".join(datas))
+               + _png_chunk(b"IEND", b""))
+        tile = _to_rgba(decode_png_raw(sub))
+        dispose = f["dispose"]
+        if i == 0 and dispose == 2:  # PREVIOUS on frame 0 acts as
+            dispose = 1  # BACKGROUND (spec)
+        saved = canvas[fy : fy + fh, fx : fx + fw].copy() \
+            if dispose == 2 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if f["blend"] == 0:
+            region[:] = tile
+        else:
+            _alpha_over(region, tile)
+        dden = f["dden"] or 100
+        out.append((canvas.copy(), f["dnum"] * 1000 // dden))
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+    if not default_is_frame and default_idat:
+        pass  # default image exists but is not part of the animation
+    return out
+
+
+def encode_apng(frames) -> bytes:
+    """Fixture-grade APNG writer: ``frames`` is a list of dicts with
+    keys rgba (h, w, 4), x, y, delay_ms, dispose (0/1/2), blend (0/1).
+    The first frame doubles as the default image (fcTL before IDAT)."""
+    if not frames:
+        raise ValueError("empty animation")
+    cw = max(f["x"] + f["rgba"].shape[1] for f in frames)
+    chh = max(f["y"] + f["rgba"].shape[0] for f in frames)
+    f0 = frames[0]
+    if f0["x"] or f0["y"] or f0["rgba"].shape[:2] != (chh, cw):
+        raise ValueError("first frame must cover the whole canvas")
+    out = PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", cw, chh, 8, 6, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        h, w = f["rgba"].shape[:2]
+        out += _png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, f["x"], f["y"],
+            f.get("delay_ms", 100), 1000, f.get("dispose", 0),
+            f.get("blend", 0)))
+        seq += 1
+        raw = b"".join(b"\x00" + f["rgba"][y].tobytes() for y in range(h))
+        z = zlib.compress(raw, 6)
+        if i == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")

@@ -164,3 +164,90 @@ def test_mono_mpeg25_and_layer2():
 def test_not_audio_raises():
     with pytest.raises(ValueError, match="no MPEG audio frame"):
         mp3.mp3_metadata(b"definitely not audio " * 20)
+
+
+# ---------------------------------------------------------------------------
+# APNG
+
+
+def _ref_compose(frames):
+    """Independent reference compositor for APNG semantics."""
+    cw = max(f["x"] + f["rgba"].shape[1] for f in frames)
+    ch = max(f["y"] + f["rgba"].shape[0] for f in frames)
+    canvas = np.zeros((ch, cw, 4), np.int64)
+    out = []
+    for i, f in enumerate(frames):
+        h, w, x, y = *f["rgba"].shape[:2], f["x"], f["y"]
+        dispose = f.get("dispose", 0)
+        if i == 0 and dispose == 2:
+            dispose = 1
+        saved = canvas[y : y + h, x : x + w].copy()
+        tile = f["rgba"].astype(np.int64)
+        reg = canvas[y : y + h, x : x + w]
+        if f.get("blend", 0) == 0:
+            reg[:] = tile
+        else:
+            sa, da = tile[:, :, 3:4], reg[:, :, 3:4]
+            oa = sa * 255 + da * (255 - sa)
+            num = tile[:, :, :3] * sa * 255 + reg[:, :, :3] * da * (255 - sa)
+            den = np.maximum(oa, 1)
+            reg[:, :, :3] = (num + den // 2) // den
+            reg[:, :, 3:4] = (oa + 127) // 255
+        out.append(canvas.astype(np.uint8).copy())
+        if dispose == 1:
+            canvas[y : y + h, x : x + w] = 0
+        elif dispose == 2:
+            canvas[y : y + h, x : x + w] = saved
+    return out
+
+
+def test_apng_roundtrip_vs_reference_compositor():
+    from redpajama_processor_spark import multimodal as mm
+
+    rng = _rng()
+    spec = [
+        dict(rgba=_tile(20, 30, 255, rng), x=0, y=0, delay_ms=40),
+        dict(rgba=_tile(6, 8, 120, rng), x=4, y=6, delay_ms=80, blend=1),
+        dict(rgba=_tile(10, 12, 255, rng), x=2, y=2, delay_ms=50,
+             dispose=1),
+        dict(rgba=_tile(6, 8, 200, rng), x=10, y=10, delay_ms=60,
+             dispose=2),
+        dict(rgba=_tile(6, 8, 90, rng), x=0, y=0, delay_ms=70, blend=1),
+    ]
+    apng = mm.encode_apng(spec)
+    got = mm.decode_apng_frames(apng)
+    exp = _ref_compose(spec)
+    assert [d for _, d in got] == [40, 80, 50, 60, 70]
+    for (canvas, _), ref in zip(got, exp):
+        np.testing.assert_array_equal(canvas, ref)
+
+
+def test_apng_default_image_and_dispatch():
+    from redpajama_processor_spark import multimodal as mm
+
+    rng = _rng()
+    f1 = _tile(20, 30, 255, rng)
+    apng = mm.encode_apng([
+        dict(rgba=f1, x=0, y=0),
+        dict(rgba=_tile(4, 6, 255, rng), x=2, y=2),
+    ])
+    # stills path ignores acTL and returns the default (first) image
+    np.testing.assert_array_equal(mm.decode_png(apng), f1[:, :, :3])
+    frames = mm.decode_video(apng)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], f1[:, :, :3])
+    assert mm.is_apng(apng) and not mm.is_apng(mm.encode_png(f1))
+
+
+def test_apng_rejects_bad_geometry_and_still():
+    from redpajama_processor_spark import multimodal as mm
+
+    rng = _rng()
+    with pytest.raises(ValueError, match="no animation control"):
+        mm.decode_apng_frames(mm.encode_png(_tile(4, 4, 255, rng)))
+    apng = bytearray(mm.encode_apng([
+        dict(rgba=_tile(16, 16, 255, rng), x=0, y=0)]))
+    i = bytes(apng).find(b"fcTL") + 4 + 4  # width field of the fcTL
+    apng[i : i + 4] = struct.pack(">I", 999)
+    with pytest.raises(ValueError, match="canvas|CRC|dimensions"):
+        mm.decode_apng_frames(bytes(apng))
