@@ -1,0 +1,164 @@
+"""Compressed-JSONL source/sink (sources/compressed.py).
+
+Pins the environment facts the module's routing is built on:
+native zstd READ works (incl. multi-frame), native zstd WRITE does
+not exist, and native lz4-frame read is SILENT DATA LOSS (0 rows,
+no error) — plus the Arrow reader/sink contracts."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from redpajama_processor_spark.sources.compressed import (
+    infer_jsonl_schema,
+    read_jsonl_arrow,
+    read_jsonl_auto,
+    sniff_codec,
+    write_jsonl_compressed,
+)
+
+ROWS = [
+    {"id": 1, "text": "alpha", "score": 0.5},
+    {"id": 2, "text": "beta", "score": 1.5},
+    {"id": 3, "text": None, "score": None},
+    {"id": 4, "text": "délta ünïcode", "score": -2.0},
+]
+DDL = "id bigint, text string, score double"
+
+
+def _jsonl(rows) -> bytes:
+    return b"".join(json.dumps(r).encode() + b"\n" for r in rows)
+
+
+def _write(tmp_path, name, codec, payloads):
+    c = pa.Codec(codec)
+    blob = b"".join(c.compress(p, asbytes=True) for p in payloads)
+    p = tmp_path / name
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_sniff_codec():
+    assert sniff_codec(b"\x28\xb5\x2f\xfd....") == "zstd"
+    assert sniff_codec(b"\x04\x22\x4d\x18....") == "lz4"
+    assert sniff_codec(b"\x1f\x8b\x08....") == "gzip"
+    assert sniff_codec(b"BZh91AY") == "bz2"
+    assert sniff_codec(b"{}", "x.jsonl") is None
+    # brotli: no magic, extension only
+    assert sniff_codec(b"\x1b\x03\x00", "x.jsonl.br") == "brotli"
+
+
+def test_native_lz4_frame_is_silent_loss(spark, tmp_path):
+    """The hazard this module closes: Spark's native reader yields
+    ZERO rows (not an error) on a public-frame-format .jsonl.lz4."""
+    p = _write(tmp_path, "a.jsonl.lz4", "lz4", [_jsonl(ROWS)])
+    native = spark.read.json(p)
+    assert native.count() == 0  # <- silent loss, pinned
+    ours = read_jsonl_arrow(spark, p, DDL)
+    assert ours.count() == len(ROWS)
+
+
+def test_arrow_reader_values_match_native_gzip(spark, tmp_path):
+    """Same rows through the Arrow path (lz4) and Spark's native path
+    (gzip) are value-identical."""
+    import gzip
+
+    lz = _write(tmp_path, "a.jsonl.lz4", "lz4", [_jsonl(ROWS)])
+    gz = tmp_path / "a.jsonl.gz"
+    gz.write_bytes(gzip.compress(_jsonl(ROWS)))
+    a = read_jsonl_arrow(spark, lz, DDL, add_filename=False).drop("_corrupt_record")
+    b = (
+        spark.read.schema(DDL).json(str(gz)).select("id", "text", "score")
+    )
+    la = sorted(map(tuple, a.collect()))
+    lb = sorted(map(tuple, b.collect()))
+    assert la == lb
+
+
+def test_multiframe_lz4(spark, tmp_path):
+    """Each frame its own compress() call — the seekable corpus layout."""
+    payloads = [_jsonl(ROWS[:2]), _jsonl(ROWS[2:])]
+    p = _write(tmp_path, "m.jsonl.lz4", "lz4", payloads)
+    assert read_jsonl_arrow(spark, p, DDL).count() == len(ROWS)
+
+
+def test_malformed_line_permissive_policy(spark, tmp_path):
+    data = _jsonl(ROWS[:2]) + b"this is not json\n" + _jsonl(ROWS[2:])
+    p = _write(tmp_path, "bad.jsonl.lz4", "lz4", [data])
+    df = read_jsonl_arrow(spark, p, DDL).toPandas()
+    assert len(df) == len(ROWS) + 1
+    bad = df[df["_corrupt_record"].notna()]
+    assert len(bad) == 1
+    assert bad["_corrupt_record"].iloc[0] == "this is not json"
+    assert bad["id"].isna().all()
+    # drop_malformed removes the bad row and the column
+    clean = read_jsonl_arrow(spark, p, DDL, drop_malformed=True)
+    assert clean.count() == len(ROWS)
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_filename_lineage_and_unexpected_fields(spark, tmp_path):
+    rows = [{"id": 9, "text": "x", "score": 0.0, "extra_field": "ignored"}]
+    p = _write(tmp_path, "lin.jsonl.lz4", "lz4", [_jsonl(rows)])
+    df = read_jsonl_arrow(spark, p, DDL)
+    r = df.collect()[0]
+    assert r["file_name"].endswith("lin.jsonl.lz4")
+    assert "extra_field" not in df.columns
+    assert r["id"] == 9
+
+
+def test_schema_inference(spark, tmp_path):
+    p = _write(tmp_path, "inf.jsonl.lz4", "lz4", [_jsonl(ROWS)])
+    sch = infer_jsonl_schema(spark, p)
+    names = {f.name: f.dataType.simpleString() for f in sch.fields}
+    assert names["id"] == "bigint"
+    assert names["text"] == "string"
+    assert names["score"] == "double"
+    df = read_jsonl_arrow(spark, p)  # schema=None -> inferred
+    assert df.count() == len(ROWS)
+
+
+@pytest.mark.parametrize("codec", ["zstd", "lz4", "gzip"])
+def test_sink_roundtrip(spark, tmp_path, codec):
+    src = spark.createDataFrame(
+        [(r["id"], r["text"], r["score"]) for r in ROWS], DDL
+    ).repartition(2)
+    out = str(tmp_path / f"out_{codec}")
+    manifest = write_jsonl_compressed(src, out, codec=codec, level=3)
+    assert sum(m["rows"] for m in manifest) == len(ROWS)
+    assert all(os.path.exists(m["path"]) for m in manifest)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = read_jsonl_arrow(spark, out + "/*", DDL, add_filename=False)
+    got = sorted(map(tuple, back.drop("_corrupt_record").collect()))
+    want = sorted((r["id"], r["text"], r["score"]) for r in ROWS)
+    assert got == want
+
+
+def test_sink_zstd_native_readback(spark, tmp_path):
+    """The sink's multi-frame zstd output is readable by Spark's own
+    native JSON scan — the interop the RedPajama-v2 layout relies on."""
+    src = spark.createDataFrame(
+        [(r["id"], r["text"], r["score"]) for r in ROWS], DDL
+    )
+    out = str(tmp_path / "zout")
+    write_jsonl_compressed(src, out, codec="zstd", batch_rows=2)
+    native = spark.read.schema(DDL).json(out + "/*.zst")
+    assert native.count() == len(ROWS)
+    got = sorted(map(tuple, native.select("id", "text", "score").collect()))
+    assert got == sorted((r["id"], r["text"], r["score"]) for r in ROWS)
+
+
+def test_auto_routing(spark, tmp_path):
+    lz = _write(tmp_path, "r.jsonl.lz4", "lz4", [_jsonl(ROWS)])
+    assert read_jsonl_auto(spark, lz, DDL).count() == len(ROWS)
+    z = _write(tmp_path, "r.jsonl.zst", "zstd", [_jsonl(ROWS)])
+    df = read_jsonl_auto(spark, z, DDL)
+    assert df.count() == len(ROWS)
+
+
+def test_sink_rejects_unknown_codec(spark):
+    src = spark.range(1)
+    with pytest.raises(ValueError, match="codec"):
+        write_jsonl_compressed(src, "/tmp/nope", codec="xz")
