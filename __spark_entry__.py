@@ -1685,6 +1685,56 @@ def q_doc_containment(spark, sf_dir):
     return containment_pairs(d, num_perm=32, bands=16).orderBy("src", "dst")
 
 
+def q_doc_html_extract(spark, sf_dir):
+    """HTML -> main-text extraction (functions/htmlextract.py): the
+    WET-extraction stage every CommonCrawl-derived pipeline runs before
+    any document heuristic. Input HTML is synthesized around the raw
+    documents text with pure Spark columns (title + script + link-nav +
+    <=12-word <p> chunks + link-footer), then the stdlib-parser extractor
+    strips markup, segments blocks, and prunes boilerplate by the
+    jusText-lite rule (>=3 words, link density <=0.5) in ONE narrow Arrow
+    pass. Rows-only in the driver window; the oracle is STRUCTURAL — the
+    expected output is derived from the raw text by the template's
+    inverse without touching the parser — plus hand fixtures and a
+    hypothesis tag-soup totality sweep (tests/test_htmlextract.py)."""
+    from redpajama_processor_spark.functions.htmlextract import extract_html
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = F.regexp_extract_all(
+        F.col("text"), F.lit(r"(?:\S+ ){0,11}\S+"), F.lit(0)
+    )
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script>var x = "<p>not text</p>";</script></head>'
+            '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+            '<a href="/contact">Contact</a></nav>'
+        ),
+        F.concat_ws(
+            "",
+            F.transform(
+                chunks, lambda c: F.concat(F.lit("<p>"), c, F.lit("</p>"))
+            ),
+        ),
+        F.lit(
+            '<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy'
+            "</a></footer></body></html>"
+        ),
+    )
+    out = extract_html(d.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id",
+        "html_title",
+        "n_blocks",
+        "n_kept_blocks",
+        F.when(F.col("html_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("html_text"), r"\s+")))
+        .alias("kept_words"),
+        F.round("link_density", 6).alias("link_density"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries (both prior rounds stopped at exactly 50),
@@ -1768,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_conv_dedup": q_transcript_conv_dedup,
         "doc_rule_ablation": q_doc_rule_ablation,
         "doc_containment": q_doc_containment,
+        "doc_html_extract": q_doc_html_extract,
     }
 
 

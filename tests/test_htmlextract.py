@@ -1,0 +1,178 @@
+"""HTML main-text extraction (functions/htmlextract.py): hand fixtures
+with analytically-known output, the template-inverse structural oracle
+for the registry query (derived from raw text without touching the
+parser), Spark==python parity, plan audit, and hypothesis tag-soup
+totality."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.functions.htmlextract import (
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_WORDS,
+    extract_html,
+    py_extract_html,
+)
+
+# ---------------------------------------------------------------------------
+# hand fixtures — expected values computed by hand from the spec
+# ---------------------------------------------------------------------------
+
+
+def test_fixture_full_page():
+    h = (
+        "<html><head><title>My &amp; Page</title>"
+        '<script>var x = "<p>not text</p>";</script>'
+        "<style>p { color: red }</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/x">About us</a></nav>'
+        "<h1>A real heading here</h1>"
+        "<p>This is the first real paragraph with enough words.</p>"
+        "<p>Short one.</p>"
+        '<div>Inline <b>bold</b> prose with a <a href="#">link word</a> '
+        "kept anyway.</div>"
+        '<ul><li><a href="/1">nav one</a></li>'
+        '<li><a href="/2">nav two</a></li></ul>'
+        "</body></html>"
+    )
+    got = py_extract_html(h)
+    assert got["html_title"] == "My & Page"
+    # blocks: nav(3w, density 1) / h1 / p1 / p2(2w) / div / li / li
+    assert got["n_blocks"] == 7
+    assert got["html_text"] == (
+        "A real heading here\n"
+        "This is the first real paragraph with enough words.\n"
+        "Inline bold prose with a link word kept anyway."
+    )
+    assert got["n_kept_blocks"] == 3
+
+
+def test_fixture_entities_whitespace_and_br():
+    got = py_extract_html(
+        "<p>alpha&nbsp;beta   gamma\n\tdelta</p>first half<br/>second half "
+        "three words</p>"
+    )
+    # &nbsp; is U+00A0, not ASCII space: collapse keeps it as one word
+    assert got["html_text"] == (
+        "alpha\xa0beta gamma delta\nsecond half three words"
+    )
+    assert got["n_blocks"] == 3  # p / pre-br / post-br
+    assert got["n_kept_blocks"] == 2  # 'first half' is 2 words, dropped
+
+
+def test_fixture_link_density_boundary():
+    # exactly half the chars inside <a>: 'aa bb cc dd' with 'aa bb ' linked
+    # anchor=5 ('aa bb' trimmed), total=11 -> 0.4545 <= 0.5 kept
+    got = py_extract_html('<p><a href="x">aa bb </a>cc dd</p>')
+    assert got["n_kept_blocks"] == 1
+    # all chars linked -> dropped
+    got = py_extract_html('<p><a href="x">aa bb cc dd</a></p>')
+    assert got["n_blocks"] == 1 and got["n_kept_blocks"] == 0
+
+
+def test_fixture_malformed_and_null():
+    assert py_extract_html(None) == {
+        "html_text": "",
+        "html_title": "",
+        "n_blocks": 0,
+        "n_kept_blocks": 0,
+        "link_density": 0.0,
+    }
+    got = py_extract_html("<p>broken <b>unclosed <a href=x>tail words here")
+    assert got["html_text"] == "broken unclosed tail words here"
+    # stray close tags never underflow the drop counter
+    got = py_extract_html("</script></head><p>still here three words</p>")
+    assert got["html_text"] == "still here three words"
+
+
+def test_fixture_nested_anchor_and_title_outside_head():
+    got = py_extract_html(
+        "<title>late title</title><p><a href=x>one <a href=y>two</a></a> "
+        "three four five</p>"
+    )
+    assert got["html_title"] == "late title"
+    assert got["n_kept_blocks"] == 1
+
+
+# ---------------------------------------------------------------------------
+# structural oracle: the registry query's template inverse
+# ---------------------------------------------------------------------------
+
+_CHUNK_RE = re.compile(r"(?:\S+ ){0,11}\S+")
+
+
+def _template_inverse(doc_id, text):
+    """Expected q_doc_html_extract row, from raw text + the spec alone."""
+    chunks = _CHUNK_RE.findall(text or "")
+    kept = [c for c in chunks if len(c.split()) >= MIN_BLOCK_WORDS]
+    return {
+        "doc_id": doc_id,
+        "html_title": f"Doc {doc_id}",
+        # nav + chunks + footer (nav/footer are link-dominated, dropped)
+        "n_blocks": len(chunks) + 2,
+        "n_kept_blocks": len(kept),
+        "kept_words": sum(len(c.split()) for c in kept),
+    }
+
+
+def test_registry_query_matches_template_inverse(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_doc_html_extract(spark, sf_dir).collect()
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in entry._t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    # precondition for the inverse: the corpus carries no markup chars
+    assert not any(re.search(r"[<>&\n]", t or "") for t in raw.values())
+    assert len(rows) == len(raw)
+    for r in rows:
+        want = _template_inverse(r["doc_id"], raw[r["doc_id"]])
+        got = {k: r[k] for k in want}
+        assert got == want, r["doc_id"]
+        assert 0.0 <= r["link_density"] <= 1.0
+
+
+def test_spark_matches_python_oracle_and_is_narrow(spark):
+    htmls = [
+        ("a", "<p>plain prose with five words.</p>"),
+        ("b", '<nav><a href="/">Home</a></nav><p>kept text here ok</p>'),
+        ("c", None),
+        ("d", "<script>x</script>no tags three words"),
+        ("e", "<title>t</title><br><p>x y z</p><footer>a b</footer>"),
+    ]
+    df = spark.createDataFrame(htmls, "doc_id string, html string")
+    out = extract_html(df, keep_html=False)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for doc_id, h in htmls:
+        want = py_extract_html(h)
+        g = got[doc_id]
+        assert {k: g[k] for k in want} == want, doc_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: pipelines into the scan
+
+
+# ---------------------------------------------------------------------------
+# totality: arbitrary tag soup never raises, outputs stay well-typed
+# ---------------------------------------------------------------------------
+
+_soup = st.text(
+    alphabet=st.sampled_from(
+        list("<>/&;= \n\tabpscript style a href quot amp #x41 !--")
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup)
+def test_tag_soup_totality(s):
+    got = py_extract_html(s)
+    assert isinstance(got["html_text"], str)
+    assert isinstance(got["html_title"], str)
+    assert got["n_kept_blocks"] <= got["n_blocks"]
+    assert 0.0 <= got["link_density"] or got["link_density"] == 0.0
