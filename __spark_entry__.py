@@ -1685,6 +1685,42 @@ def q_doc_containment(spark, sf_dir):
     return containment_pairs(d, num_perm=32, bands=16).orderBy("src", "dst")
 
 
+def q_doc_unigram_vocab(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINED on the documents
+    table by distributed hard-EM (operators/unigram.py): the learned vocab
+    as (piece_id, piece, count, logprob). Rows-only: iterative EM is not
+    ANSI-SQL-expressible; parity is instead proven bit-for-bit against the
+    single-process trainer (independent memoized-recursion Viterbi) and
+    across partitionings in tests/test_unigram.py. Deterministic: integer
+    expected counts, driver-side logs, longest-piece tie rule."""
+    from redpajama_processor_spark.operators.unigram import train_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_unigram(docs, vocab_size=256, max_piece_len=6, n_iters=3)
+    rows = [
+        (i, p, c, lp) for i, (p, c, lp) in enumerate(model.pieces, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, schema="piece_id int, piece string, count bigint, logprob double"
+    )
+
+
+def q_doc_unigram_stats(spark, sf_dir):
+    """Corpus tokenized with the corpus-trained unigram model: per-document
+    (n_pieces, n_unk, n_chars). Rows-only for the same reason as
+    doc_unigram_vocab; the distributed Viterbi encode is proven equal to
+    the oracle encoder in tests/test_unigram.py. Narrow: broadcast model,
+    zero shuffle."""
+    from redpajama_processor_spark.operators.unigram import (
+        train_unigram,
+        unigram_token_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_unigram(docs, vocab_size=256, max_piece_len=6, n_iters=3)
+    return unigram_token_stats(docs, model)
+
+
 def q_doc_html_extract(spark, sf_dir):
     """HTML -> main-text extraction (functions/htmlextract.py): the
     WET-extraction stage every CommonCrawl-derived pipeline runs before
@@ -1819,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rule_ablation": q_doc_rule_ablation,
         "doc_containment": q_doc_containment,
         "doc_html_extract": q_doc_html_extract,
+        "doc_unigram_vocab": q_doc_unigram_vocab,
+        "doc_unigram_stats": q_doc_unigram_stats,
     }
 
 

@@ -1,0 +1,468 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer: hard-EM training.
+
+Companion to operators/bpe.py — the OTHER subword algorithm production
+tokenizers use (Kudo 2018, "Subword Regularization"; the SentencePiece
+`--model_type=unigram` default). The reference repo counts whitespace
+tokens only (/root/reference/simple_processor.py.py:220); this is a
+north-star addition specced from the public papers, not a port.
+
+Unlike BPE (greedy bottom-up merges), the unigram model scores a VOCAB of
+candidate pieces with a probability each and segments by maximum
+likelihood (Viterbi); training alternates segmentation and re-estimation
+(EM), pruning low-mass pieces toward the target vocab size. This module
+trains with HARD EM (Viterbi E-step): each word form contributes its
+single best segmentation, so expected counts are INTEGERS and the whole
+iteration is exact — the same closed-form-over-integer-counts trick that
+makes the NB classifier and BPE bit-identical across partitionings, core
+counts and JVMs (soft EM's float accumulations cannot promise that under
+Spark's nondeterministic combine order).
+
+Spark-first decomposition — every stage bounded, the corpus read ONCE:
+
+  phase 1 — corpus-scale census (distributed): the exact pretoken
+      frequency table, reused verbatim from bpe.word_form_counts (explode
+      + map-side-combined groupBy). The ONLY pass over the corpus; the
+      census follows Heaps' law and is orders of magnitude smaller.
+  phase 2 — seed vocab (distributed): every substring of length
+      1..max_piece_len of every census form, weighted count(form) x
+      multiplicity, via nested JVM higher-order functions (sequence ->
+      transform -> flatten -> explode; zero UDF) + one groupBy(piece).
+      Cut = ALL single chars + top seed_size multi-char pieces
+      (TakeOrdered on weight desc, piece asc — bounded collect, the BPE /
+      IVF-centroid precedent).
+  phase 3 — hard-EM iterations (distributed E-step): broadcast the
+      current piece->logprob table; ONE mapInPandas pass over the CENSUS
+      (not the corpus) Viterbi-segments each distinct form and emits
+      (piece, count(form) x uses); groupBy(piece).sum gives exact integer
+      expected counts, collected driver-side (bounded by the seed size,
+      never by data). M-step + pruning are driver-side integer->log
+      arithmetic: single-char pieces are add-one smoothed and always
+      kept (coverage guarantee), multi-char pieces shrink by
+      ``shrink_factor`` per round toward the target.
+  phase 4 — encode (distributed, narrow): broadcast the final model,
+      Arrow-batched mapInPandas Viterbi with the bounded per-partition
+      word cache (same shape as bpe.encode_bpe); zero shuffle.
+
+Determinism contract: counts are integers, all float log-probs are
+derived driver-side from those integers in a fixed order, and Viterbi
+breaks score ties by the SMALLEST split point (= longest piece wins), so
+the learned model and every encoding are pure functions of the census.
+The single-process oracle (py_train_unigram / py_encode_unigram) is an
+independent implementation — memoized recursive Viterbi vs the UDF's
+iterative DP — that must agree bit-for-bit (tests/test_unigram.py).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bpe import _ENCODE_CACHE_MAX, _PRETOKEN_RE, word_form_counts
+
+UNK_ID = 0
+UNK_PIECE = "<unk>"
+#: fixed per-char log-prob for characters never seen at training time —
+#: an absolute constant so inference never depends on corpus statistics
+UNK_LOGPROB = -100.0
+
+
+@dataclass(frozen=True)
+class UnigramModel:
+    """(piece, count, logprob) rows in id order (UNK first). Picklable."""
+
+    pieces: tuple[tuple[str, int, float], ...]
+    max_piece_len: int
+    logprobs: dict = field(default_factory=dict, compare=False, repr=False)
+    vocab: dict = field(default_factory=dict, compare=False, repr=False)
+
+    def __post_init__(self):
+        lps = {p: lp for p, _, lp in self.pieces}
+        vocab = {UNK_PIECE: UNK_ID}
+        for p, _, _ in self.pieces:
+            vocab[p] = len(vocab)
+        object.__setattr__(self, "logprobs", lps)
+        object.__setattr__(self, "vocab", vocab)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi — iterative DP (the distributed rendering)
+# ---------------------------------------------------------------------------
+
+
+def _viterbi(word: str, lps: dict, max_len: int) -> list[str]:
+    """Max-likelihood segmentation over SUFFIXES: score[i] is the best
+    score for word[i:]. Candidate first pieces are tried LONGEST-first
+    with a strict >, so among equal-likelihood segmentations the one
+    whose piece-length sequence is lexicographically largest wins — a
+    total, position-independent tie rule both renderings implement.
+    Unknown single chars segment as themselves at UNK_LOGPROB so the DP
+    is total over any input."""
+    n = len(word)
+    score = [0.0] * (n + 1)
+    step = [1] * (n + 1)  # length of the chosen first piece of word[i:]
+    for i in range(n - 1, -1, -1):
+        best, best_l = float("-inf"), 1
+        for l in range(min(max_len, n - i), 0, -1):
+            lp = lps.get(word[i : i + l])
+            if lp is None:
+                if l > 1:
+                    continue
+                lp = UNK_LOGPROB
+            s = lp + score[i + l]
+            if s > best:
+                best, best_l = s, l
+        score[i], step[i] = best, best_l
+    out: list[str] = []
+    i = 0
+    while i < n:
+        out.append(word[i : i + step[i]])
+        i += step[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# phase 2: seed substring census (distributed, zero UDF)
+# ---------------------------------------------------------------------------
+
+
+def seed_substring_counts(census: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, weight) over all substrings of length 1..max_piece_len of
+    every census form, weight = count(form) x multiplicity-in-form.
+
+    Nested JVM higher-order functions only — the inner transform's body
+    closes over the outer lambda variable, not a recomputed expression,
+    so the quadratic-HOF pitfall does not apply. One shuffle keyed on the
+    piece."""
+    L = int(max_piece_len)
+    # substr(word, i, l) needs both lambda vars: build (i, l) pairs first
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(L), F.length("word") - i + 1),
+                ),
+                lambda l: F.struct(i.alias("i"), l.alias("l")),
+            ),
+        )
+    )
+    piece = F.explode(pairs).alias("il")
+    exploded = census.select("word", "count", piece).select(
+        F.expr("substring(word, il.i, il.l)").alias("piece"),
+        F.col("count"),
+    )
+    return exploded.groupBy("piece").agg(F.sum("count").alias("weight"))
+
+
+# ---------------------------------------------------------------------------
+# phase 3: hard-EM training
+# ---------------------------------------------------------------------------
+
+
+def _mstep(
+    counts: dict[str, int], vocab_pieces: list[str]
+) -> tuple[dict[str, float], dict[str, int]]:
+    """Integer counts -> logprobs. Single chars add-one smoothed (always
+    representable); multi-char pieces with zero count vanish."""
+    eff: dict[str, int] = {}
+    for p in vocab_pieces:
+        c = counts.get(p, 0)
+        if len(p) == 1:
+            c += 1  # smoothing: chars never drop to -inf
+        if c > 0:
+            eff[p] = c
+    total = sum(eff.values())
+    lt = math.log(total)
+    return {p: math.log(c) - lt for p, c in eff.items()}, eff
+
+
+def _prune(
+    eff: dict[str, int], keep_multi: int
+) -> list[str]:
+    """All single chars + top keep_multi multi-char pieces by
+    (count desc, piece asc)."""
+    chars = [p for p in eff if len(p) == 1]
+    multi = sorted(
+        (p for p in eff if len(p) > 1), key=lambda p: (-eff[p], p)
+    )[: max(keep_multi, 0)]
+    return chars + multi
+
+
+def _estep_spark(
+    census: DataFrame, lps: dict[str, float], max_len: int
+) -> dict[str, int]:
+    """Distributed Viterbi over the census; exact integer piece counts.
+
+    The collect is bounded by the current vocab size (the only pieces the
+    E-step can emit), never by census or corpus size."""
+    sc = census.sparkSession.sparkContext
+    b = sc.broadcast((lps, max_len))
+    schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table, L = b.value
+        for pdf in batches:
+            agg: Counter = Counter()
+            for w, c in zip(pdf["word"], pdf["count"]):
+                for p in _viterbi(w, table, L):
+                    agg[p] += int(c)
+            if agg:
+                yield pd.DataFrame(
+                    {"piece": list(agg), "n": list(agg.values())}
+                )
+
+    out = (
+        census.mapInPandas(run, schema=schema)
+        .groupBy("piece")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    return {r["piece"]: r["n"] for r in out}
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    n_iters: int = 4,
+    shrink_factor: float = 0.6,
+) -> UnigramModel:
+    """Fit a unigram-LM tokenizer on a corpus DataFrame (phases 1-3)."""
+    census = word_form_counts(df, text_col).persist()
+    try:
+        seed_multi = int(seed_size or 4 * vocab_size)
+        seeds = seed_substring_counts(census, max_piece_len)
+        chars = (
+            seeds.filter(F.length("piece") == 1)
+            .orderBy("piece")
+            .collect()
+        )
+        multi = (
+            seeds.filter(F.length("piece") > 1)
+            .orderBy(F.col("weight").desc(), F.col("piece").asc())
+            .limit(seed_multi)
+            .collect()
+        )
+        eff = {r["piece"]: int(r["weight"]) for r in chars}
+        eff.update({r["piece"]: int(r["weight"]) for r in multi})
+        if not eff:
+            raise ValueError("empty corpus: no pretokens to train on")
+        total = sum(eff.values())
+        lt = math.log(total)
+        lps = {p: math.log(c) - lt for p, c in eff.items()}
+
+        n_chars = len(chars)
+        target_multi = max(vocab_size - n_chars - 1, 0)  # -1: UNK slot
+        cur_multi = seed_multi
+        for it in range(int(n_iters)):
+            counts = _estep_spark(census, lps, max_piece_len)
+            lps, eff = _mstep(counts, list(lps))
+            last = it == n_iters - 1
+            cur_multi = (
+                target_multi
+                if last
+                else max(target_multi, int(cur_multi * shrink_factor))
+            )
+            kept = _prune(eff, cur_multi)
+            if len(kept) < len(eff):
+                lps, eff = _mstep(
+                    {p: eff[p] - (1 if len(p) == 1 else 0) for p in kept},
+                    kept,
+                )
+    finally:
+        census.unpersist()
+
+    order = sorted(eff, key=lambda p: (-eff[p], p))
+    pieces = tuple((p, eff[p], lps[p]) for p in order)
+    return UnigramModel(pieces=pieces, max_piece_len=max_piece_len)
+
+
+# ---------------------------------------------------------------------------
+# single-process oracle — independent implementation (memoized recursion)
+# ---------------------------------------------------------------------------
+
+
+def _py_viterbi(word: str, lps: dict, max_len: int) -> list[str]:
+    """Recursive memoized Viterbi over SUFFIXES: best(i) segments
+    word[i:]. First-piece candidates are tried LONGEST-first so an equal
+    score keeps the longer piece — provably the same tie rule as the
+    iterative DP's smallest-j preference, reached by a different path."""
+    from functools import lru_cache
+
+    n = len(word)
+
+    @lru_cache(maxsize=None)
+    def best(i: int) -> tuple[float, tuple[str, ...]]:
+        if i == n:
+            return 0.0, ()
+        top = (float("-inf"), ())
+        for l in range(min(max_len, n - i), 0, -1):
+            p = word[i : i + l]
+            lp = lps.get(p)
+            if lp is None:
+                if l > 1:
+                    continue
+                lp = UNK_LOGPROB
+            s, rest = best(i + l)
+            cand = (lp + s, (p,) + rest)
+            if cand[0] > top[0]:
+                top = cand
+        return top
+
+    return list(best(0)[1])
+
+
+def py_train_unigram(
+    texts: list[str],
+    vocab_size: int = 1024,
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    n_iters: int = 4,
+    shrink_factor: float = 0.6,
+) -> UnigramModel:
+    """Pure-Python trainer over in-memory texts: the parity oracle."""
+    census: Counter = Counter()
+    for t in texts:
+        census.update(_PRETOKEN_RE.findall(t or ""))
+
+    seed_multi = int(seed_size or 4 * vocab_size)
+    weights: Counter = Counter()
+    for w, c in census.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                weights[w[i : i + l]] += c
+    chars = sorted(p for p in weights if len(p) == 1)
+    multi = sorted(
+        (p for p in weights if len(p) > 1),
+        key=lambda p: (-weights[p], p),
+    )[:seed_multi]
+    eff = {p: weights[p] for p in chars + multi}
+    total = sum(eff.values())
+    lt = math.log(total)
+    lps = {p: math.log(c) - lt for p, c in eff.items()}
+
+    target_multi = max(vocab_size - len(chars) - 1, 0)
+    cur_multi = seed_multi
+    for it in range(int(n_iters)):
+        counts: Counter = Counter()
+        for w, c in census.items():
+            for p in _py_viterbi(w, lps, max_piece_len):
+                counts[p] += c
+        lps, eff = _mstep(counts, list(lps))
+        last = it == n_iters - 1
+        cur_multi = (
+            target_multi
+            if last
+            else max(target_multi, int(cur_multi * shrink_factor))
+        )
+        kept = _prune(eff, cur_multi)
+        if len(kept) < len(eff):
+            lps, eff = _mstep(
+                {p: eff[p] - (1 if len(p) == 1 else 0) for p in kept}, kept
+            )
+
+    order = sorted(eff, key=lambda p: (-eff[p], p))
+    pieces = tuple((p, eff[p], lps[p]) for p in order)
+    return UnigramModel(pieces=pieces, max_piece_len=max_piece_len)
+
+
+def py_encode_unigram(
+    text: str, model: UnigramModel, cache: dict | None = None
+) -> list[int]:
+    """Single-process encode via the oracle Viterbi."""
+    if cache is None:
+        cache = {}
+    ids: list[int] = []
+    vocab = model.vocab
+    for w in _PRETOKEN_RE.findall(text or ""):
+        hit = cache.get(w)
+        if hit is None:
+            hit = [
+                vocab.get(p, UNK_ID)
+                for p in _py_viterbi(w, model.logprobs, model.max_piece_len)
+            ]
+            cache[w] = hit
+        ids.extend(hit)
+    return ids
+
+
+# ---------------------------------------------------------------------------
+# phase 4: distributed encode (broadcast model, Arrow batches, word cache)
+# ---------------------------------------------------------------------------
+
+
+def encode_unigram(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    out_col: str = "piece_ids",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` — unigram piece ids per row.
+
+    Narrow mapInPandas with the bounded Zipf-head cache (same memory
+    contract as bpe.encode_bpe); the corpus is never shuffled."""
+    sc = df.sparkSession.sparkContext
+    b_model = sc.broadcast(model)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = b_model.value
+        lps, L, vocab = m.logprobs, m.max_piece_len, m.vocab
+        cache: dict = {}
+        for pdf in batches:
+            if len(cache) > _ENCODE_CACHE_MAX:
+                cache.clear()
+            out = []
+            for t in pdf[text_col]:
+                ids: list[int] = []
+                for w in _PRETOKEN_RE.findall(t or ""):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = [
+                            vocab.get(p, UNK_ID)
+                            for p in _viterbi(w, lps, L)
+                        ]
+                        cache[w] = hit
+                    ids.extend(hit)
+                out.append(ids)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def unigram_token_stats(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_pieces, n_unk, n_chars) per document. Narrow, no shuffle."""
+    enc = encode_unigram(df.select(id_col, text_col), model, text_col)
+    return enc.select(
+        F.col(id_col),
+        F.size("piece_ids").alias("n_pieces"),
+        F.size(
+            F.filter("piece_ids", lambda x: x == F.lit(UNK_ID))
+        ).alias("n_unk"),
+        F.length(text_col).alias("n_chars"),
+    )

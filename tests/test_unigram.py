@@ -1,0 +1,152 @@
+"""Unigram-LM tokenizer (operators/unigram.py): bit-for-bit parity between
+the distributed hard-EM trainer and the single-process oracle, partition
+invariance, the tie rule, coverage/UNK behaviour, compression sanity, and
+the narrow-encode plan audit."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.unigram import (
+    UNK_ID,
+    UNK_LOGPROB,
+    _py_viterbi,
+    _viterbi,
+    encode_unigram,
+    py_encode_unigram,
+    py_train_unigram,
+    train_unigram,
+    unigram_token_stats,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quicker brown foxes jumped over the lazy dogs",
+    "sparkling streams process sparkly sparks sparking sparked",
+    "tokenization tokenizes tokens into token pieces repeatedly",
+    "repeated repeated repeated words words words here here",
+    "internationalization and internationalized internals",
+] * 3
+KW = dict(vocab_size=64, max_piece_len=6, n_iters=3)
+
+
+def _df(spark, parts=4):
+    return spark.createDataFrame(
+        [(t,) for t in TEXTS], "text string"
+    ).repartition(parts)
+
+
+def test_train_matches_oracle_bitwise(spark):
+    m_s = train_unigram(_df(spark), **KW)
+    m_p = py_train_unigram(TEXTS, **KW)
+    assert m_s.pieces == m_p.pieces  # counts AND float logprobs exact
+    assert m_s.vocab == m_p.vocab
+
+
+def test_train_partition_invariant(spark):
+    m2 = train_unigram(_df(spark, parts=2), **KW)
+    m8 = train_unigram(_df(spark, parts=8), **KW)
+    assert m2.pieces == m8.pieces
+
+
+def test_encode_matches_oracle_and_roundtrips(spark):
+    m = py_train_unigram(TEXTS, **KW)
+    df = _df(spark).withColumn("rid", F.monotonically_increasing_id())
+    got = encode_unigram(df, m).collect()
+    inv = {i: p for p, i in m.vocab.items()}
+    for r in got:
+        want = py_encode_unigram(r["text"], m)
+        assert r["piece_ids"] == want
+        # lossless on the training corpus: no UNK, pieces rebuild words
+        assert UNK_ID not in r["piece_ids"]
+        rebuilt = "".join(inv[i] for i in r["piece_ids"])
+        assert rebuilt == r["text"].replace(" ", "")
+
+
+def test_unseen_char_encodes_as_unk(spark):
+    m = py_train_unigram(TEXTS, **KW)
+    assert "@" not in m.vocab and "q" in m.vocab
+    ids = py_encode_unigram("the @@ dog", m)
+    assert ids.count(UNK_ID) == 2
+    df = spark.createDataFrame([("the @@ dog",)], "text string")
+    assert encode_unigram(df, m).collect()[0]["piece_ids"] == ids
+
+
+def test_vocab_covers_all_corpus_chars_and_respects_size():
+    m = py_train_unigram(TEXTS, **KW)
+    corpus_chars = {c for t in TEXTS for c in t if c != " "}
+    assert corpus_chars <= {p for p, _, _ in m.pieces if len(p) == 1}
+    assert len(m.vocab) <= KW["vocab_size"]
+    assert all(len(p) <= KW["max_piece_len"] for p, _, _ in m.pieces)
+
+
+def test_learns_multichar_pieces_that_compress():
+    m = py_train_unigram(TEXTS, **KW)
+    pieces = {p for p, _, _ in m.pieces}
+    assert {"spark", "token", "the"} <= pieces
+    n_chars = sum(len(w) for t in TEXTS for w in t.split())
+    n_pieces = sum(len(py_encode_unigram(t, m)) for t in TEXTS)
+    assert n_pieces < 0.5 * n_chars  # beats the char-level baseline 2x
+
+
+def test_tie_rule_prefers_longest_first_piece():
+    # symmetric scores: ab+c and a+bc tie exactly -> longest first piece
+    lps = {"ab": -1.0, "bc": -1.0, "a": -2.0, "c": -2.0, "b": -5.0}
+    assert _viterbi("abc", lps, 2) == ["ab", "c"]
+    assert _py_viterbi("abc", lps, 2) == ["ab", "c"]
+
+
+def test_viterbi_renderings_agree_on_dense_ties():
+    # all pieces equiprobable: every segmentation of length k ties; both
+    # renderings must still pick the identical (greedy-longest) one
+    lps = {}
+    word = "abcabcab"
+    for i in range(len(word)):
+        for l in range(1, 4):
+            if i + l <= len(word):
+                lps[word[i : i + l]] = -1.0
+    assert _viterbi(word, lps, 3) == _py_viterbi(word, lps, 3)
+    assert _viterbi(word, lps, 3) == ["abc", "abc", "ab"]
+
+
+def test_encode_plan_is_narrow(spark):
+    m = py_train_unigram(TEXTS, vocab_size=32, max_piece_len=4, n_iters=2)
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    plan = (
+        encode_unigram(df, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_registry_queries_match_oracle(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    texts = [
+        r["text"]
+        for r in entry._t(spark, sf_dir, "documents").select("text").collect()
+    ]
+    m_p = py_train_unigram(texts, vocab_size=256, max_piece_len=6, n_iters=3)
+    vocab_rows = entry.q_doc_unigram_vocab(spark, sf_dir).collect()
+    got = tuple((r["piece"], r["count"], r["logprob"]) for r in vocab_rows)
+    assert got == m_p.pieces
+    assert [r["piece_id"] for r in vocab_rows] == list(
+        range(1, len(m_p.pieces) + 1)
+    )
+    stats = entry.q_doc_unigram_stats(spark, sf_dir)
+    row = stats.agg(
+        F.sum("n_pieces").alias("p"),
+        F.sum("n_unk").alias("u"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_docs = len(texts)
+    assert row["n"] == n_docs and row["u"] == 0
+    want_pieces = sum(len(py_encode_unigram(t, m_p)) for t in texts)
+    assert row["p"] == want_pieces
+
+
+def test_unk_logprob_is_absolute_constant():
+    # inference on unseen chars must not depend on corpus statistics
+    assert UNK_LOGPROB == -100.0
