@@ -1685,6 +1685,25 @@ def q_doc_containment(spark, sf_dir):
     return containment_pairs(d, num_perm=32, bands=16).orderBy("src", "dst")
 
 
+def q_doc_lsh_calibration(spark, sf_dir):
+    """LSH detection-curve measurement (operators/lshcal.py) at the
+    REFERENCE banding the reference fixes by fiat — 260 minhash perms /
+    20 bands / 24-char shingles (step6_fuzzy_deduplication.py:49-51):
+    plant mutated twins of sampled documents at controlled word-mutation
+    rates, run the engine's own minhash+banding on them in-row (no join,
+    no shuffle), and report empirical detection rate per rate against the
+    theoretical S-curve 1-(1-j^r)^b. Rows-only in the driver window;
+    bit-for-bit pair-level parity vs the python oracle (same xxhash
+    mutation decisions, same signatures), partitioning invariance and the
+    calibration tolerance are proven in tests/test_lshcal.py."""
+    from redpajama_processor_spark.operators.lshcal import lsh_calibration
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_calibration(
+        d, num_perm=260, bands=20, ngram=24, sample_docs=150
+    )
+
+
 def q_doc_unigram_vocab(spark, sf_dir):
     """Unigram-LM (SentencePiece-style) tokenizer TRAINED on the documents
     table by distributed hard-EM (operators/unigram.py): the learned vocab
@@ -1857,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html_extract": q_doc_html_extract,
         "doc_unigram_vocab": q_doc_unigram_vocab,
         "doc_unigram_stats": q_doc_unigram_stats,
+        "doc_lsh_calibration": q_doc_lsh_calibration,
     }
 
 

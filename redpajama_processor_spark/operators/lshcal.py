@@ -1,0 +1,317 @@
+"""LSH calibration: measure the fuzzy-dedup detection curve, don't guess it.
+
+At 100 TB you cannot eyeball whether MinHash/LSH at (num_perm, bands)
+actually catches the near-duplicates you care about — the knobs trade
+recall against candidate-pair volume along the S-curve
+P(detect | jaccard=s) = 1 - (1 - s^r)^b (Leskovec/Rajaraman/Ullman,
+"Mining of Massive Datasets" ch.3, public). The reference repo fixes
+260 perms / 20 bands by fiat (/root/reference/step6_fuzzy_deduplication.py:
+49-51) with no measurement of what that catches; this operator produces
+the measurement: it plants KNOWN near-duplicates at controlled mutation
+rates, runs the engine's own minhash/banding on them, and reports the
+empirical detection rate per rate against the theoretical curve — the
+same measured-recall discipline as the IVF-ANN recall floor.
+
+Mechanism (fully deterministic, zero Python in the hot path):
+
+  1. probe sample — TakeOrdered on xxhash64('sample'|id): a bounded,
+     partitioning-invariant pseudo-random sample of ``sample_docs`` docs.
+  2. mutated twins — for each mutation rate m, each word of a probe doc
+     is independently replaced by an out-of-vocabulary token with
+     probability m, decided by pmod(xxhash64('mut'|salt|rate|pos|word))
+     — pure JVM columns, bit-reproducible anywhere, and the SAME decision
+     the python oracle makes via py_xxh64.
+  3. signatures — the engine's own shingles_col -> xxhash base ->
+     affine-min minhash (identical constants to operators/dedup), for
+     original and twin IN THE SAME ROW: no join, no shuffle.
+  4. detection — LSH banding collides iff some band's signature slice is
+     identical: F.exists over band slices, again in-row. This is exactly
+     "the pair shares a bucket", the event the S-curve models.
+  5. truth — exact Jaccard over the distinct 30-bit-hashed shingle sets
+     (the verify_pairs_jaccard fast path), plus the per-pair theoretical
+     detect probability 1-(1-j^r)^b.
+  6. census — one groupBy(rate): n_pairs, mean jaccard, empirical detect
+     rate, mean theoretical rate. Detection counts are exact integers;
+     the float means are rounded to 6 places.
+
+Scale shape: cost is O(sample_docs x len(rates)) regardless of corpus
+size; the only wide ops are the TakeOrdered sample and the final tiny
+groupBy. The corpus itself is scanned once for the sample and never
+shuffled.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+DEFAULT_RATES = (0.0, 0.02, 0.05, 0.08, 0.12, 0.18, 0.25, 0.4)
+_MUT_MOD = 1_000_000
+_REPL_MOD = 100_000_000
+
+
+def _pmod_xxh_col(key: Column, mod: int) -> Column:
+    return F.pmod(F.xxhash64(key), F.lit(mod))
+
+
+def _py_pmod_xxh(key: str, mod: int) -> int:
+    h = H.py_xxh64(key.encode("utf-8"))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h % mod
+
+
+def mutated_twin_col(
+    text: Column, rate: float, rate_idx: int, salt: str = "cal"
+) -> Column:
+    """Word-level deterministic mutation: position i's word is replaced by
+    an OOV token iff pmod(xxhash64('mut|salt|rate_idx|i|word')) < rate.
+    Pure JVM; '' stays ''."""
+    thr = int(rate * _MUT_MOD)
+    ridx = F.lit(str(int(rate_idx)))
+    words = F.split(F.trim(text), " +")
+    mut = F.transform(
+        words,
+        lambda w, i: F.when(
+            _pmod_xxh_col(
+                F.concat_ws(
+                    "|", F.lit("mut"), F.lit(salt), ridx,
+                    i.cast("string"), w,
+                ),
+                _MUT_MOD,
+            )
+            < F.lit(thr),
+            F.concat(
+                F.lit("q"),
+                _pmod_xxh_col(
+                    F.concat_ws(
+                        "|", F.lit("repl"), F.lit("mut"), F.lit(salt),
+                        ridx, i.cast("string"), w,
+                    ),
+                    _REPL_MOD,
+                ).cast("string"),
+            ),
+        ).otherwise(w),
+    )
+    return F.when(F.trim(text) == "", F.lit("")).otherwise(
+        F.concat_ws(" ", mut)
+    )
+
+
+def py_mutated_twin(
+    text: str, rate: float, rate_idx: int, salt: str = "cal"
+) -> str:
+    """Python mirror of mutated_twin_col (same xxhash64 decisions)."""
+    t = (text or "").strip()
+    if t == "":
+        return ""
+    thr = int(rate * _MUT_MOD)
+    out = []
+    for i, w in enumerate(re.split(" +", t)):
+        key = f"mut|{salt}|{rate_idx}|{i}|{w}"
+        if _py_pmod_xxh(key, _MUT_MOD) < thr:
+            out.append("q" + str(_py_pmod_xxh(f"repl|{key}", _REPL_MOD)))
+        else:
+            out.append(w)
+    return " ".join(out)
+
+
+def _band_collision_col(
+    sig_a: Column, sig_b: Column, num_perm: int, bands: int
+) -> Column:
+    rpb = num_perm // bands
+    return F.exists(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.slice(sig_a, b * rpb + 1, rpb)
+        == F.slice(sig_b, b * rpb + 1, rpb),
+    )
+
+
+def lsh_calibration_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    ngram: int = H.DEFAULT_NGRAM,
+    rates: tuple = DEFAULT_RATES,
+    sample_docs: int = 200,
+    salt: str = "cal",
+) -> DataFrame:
+    """Per-probe-pair rows: (doc_id, mutation_rate, jaccard, detected,
+    theory). One row per (sampled doc, rate)."""
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rpb = num_perm // bands
+    probe = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .orderBy(
+            F.xxhash64(
+                F.concat_ws(
+                    "|", F.lit("sample"), F.lit(salt),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            "doc_id",
+        )
+        .limit(int(sample_docs))
+    )
+    rate_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rate_idx"),
+                F.lit(float(r)).alias("mutation_rate"),
+            )
+            for i, r in enumerate(rates)
+        ]
+    )
+    exploded = probe.select(
+        "doc_id", "text", F.explode(rate_structs).alias("rs")
+    ).select("doc_id", "text", "rs.rate_idx", "rs.mutation_rate")
+    twin = F.coalesce(
+        *[
+            F.when(
+                F.col("rate_idx") == i,
+                mutated_twin_col(F.col("text"), r, i, salt),
+            )
+            for i, r in enumerate(rates)
+        ]
+    )
+    # materialize each stage as a REAL column: minhash_from_hashes_col
+    # references its input K times and the twin expression is itself a
+    # rates-wide coalesce — inlining either (CollapseProject duplicates
+    # only single-use/cheap exprs, so multi-use columns stay put) would
+    # blow the expression tree up K x rates-fold (the add_minhash _bh
+    # precedent, operators/dedup.py:210-214)
+    with_twin = exploded.withColumn("twin", twin)
+    hashed = with_twin.withColumns(
+        {
+            "_bh_a": F.transform(
+                H.shingles_col(F.col("text"), ngram), H.xxhash_base_col
+            ),
+            "_bh_b": F.transform(
+                H.shingles_col(F.col("twin"), ngram), H.xxhash_base_col
+            ),
+        }
+    )
+    annotated = (
+        hashed.withColumns(
+            {
+                "_sig_a": H.minhash_from_hashes_col(F.col("_bh_a"), num_perm),
+                "_sig_b": H.minhash_from_hashes_col(F.col("_bh_b"), num_perm),
+                "_set_a": F.array_distinct("_bh_a"),
+                "_set_b": F.array_distinct("_bh_b"),
+            }
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_set_a", "_set_b")).cast("double")
+            / F.size(F.array_union("_set_a", "_set_b")).cast("double"),
+        )
+        .withColumn(
+            "detected",
+            _band_collision_col(
+                F.col("_sig_a"), F.col("_sig_b"), num_perm, bands
+            ),
+        )
+        .withColumn(
+            "theory",
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(rpb))),
+                F.lit(float(bands)),
+            ),
+        )
+    )
+    return annotated.select(
+        "doc_id", "mutation_rate", "jaccard", "detected", "theory"
+    )
+
+
+def lsh_calibration(
+    docs: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """The calibration census: one row per mutation rate —
+    (mutation_rate, n_pairs, n_detected, mean_jaccard, detect_rate,
+    theory_rate). n_pairs/n_detected are exact integers."""
+    pairs = lsh_calibration_pairs(docs, **kwargs)
+    return (
+        pairs.groupBy("mutation_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("detected").cast("long")).alias("n_detected"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.round(
+                F.avg(F.col("detected").cast("double")), 6
+            ).alias("detect_rate"),
+            F.round(F.avg("theory"), 6).alias("theory_rate"),
+        )
+        .orderBy("mutation_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-process oracle (mirrors every hash decision bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+def py_calibration_pairs(
+    rows: list[tuple],
+    num_perm: int = 128,
+    bands: int = 16,
+    ngram: int = H.DEFAULT_NGRAM,
+    rates: tuple = DEFAULT_RATES,
+    sample_docs: int = 200,
+    salt: str = "cal",
+) -> list[dict]:
+    """Pure-python mirror of lsh_calibration_pairs over (id, text) rows."""
+    from ..oracle import _minhash, _shingles
+
+    rpb = num_perm // bands
+    params = H.perm_params(num_perm)
+
+    def sample_key(doc_id):
+        h = H.py_xxh64(f"sample|{salt}|{doc_id}".encode("utf-8"))
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h
+
+    probe = sorted(
+        (
+            (doc_id, t)
+            for doc_id, t in rows
+            if t is not None and t.strip() != ""
+        ),
+        key=lambda r: (sample_key(r[0]), r[0]),
+    )[: int(sample_docs)]
+
+    out = []
+    for doc_id, text in probe:
+        sh_a = {H.py_xxhash_base(s) for s in _shingles(text, ngram)}
+        sig_a = _minhash(text, params, base="xxhash")
+        for i, r in enumerate(rates):
+            twin = py_mutated_twin(text, r, i, salt)
+            sh_b = {H.py_xxhash_base(s) for s in _shingles(twin, ngram)}
+            sig_b = _minhash(twin, params, base="xxhash")
+            j = len(sh_a & sh_b) / len(sh_a | sh_b)
+            detected = any(
+                sig_a[b * rpb : (b + 1) * rpb] == sig_b[b * rpb : (b + 1) * rpb]
+                for b in range(bands)
+            )
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "mutation_rate": float(r),
+                    "jaccard": j,
+                    "detected": detected,
+                    "theory": 1.0 - (1.0 - j ** float(rpb)) ** float(bands),
+                }
+            )
+    return out

@@ -1,0 +1,133 @@
+"""LSH calibration (operators/lshcal.py): bit-for-bit pair parity vs the
+python oracle, partitioning invariance, census consistency, calibration
+against the theoretical S-curve, and the bounded-plan audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpajama_processor_spark.operators.lshcal import (
+    lsh_calibration,
+    lsh_calibration_pairs,
+    mutated_twin_col,
+    py_calibration_pairs,
+    py_mutated_twin,
+)
+
+KW = dict(num_perm=128, bands=16, sample_docs=120)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def pair_rows(docs):
+    return sorted(
+        (r.asDict() for r in lsh_calibration_pairs(docs, **KW).collect()),
+        key=lambda d: (d["doc_id"], d["mutation_rate"]),
+    )
+
+
+def test_pairs_match_oracle_bitwise(docs, pair_rows):
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    want = sorted(
+        py_calibration_pairs(rows, **KW),
+        key=lambda d: (d["doc_id"], d["mutation_rate"]),
+    )
+    assert len(pair_rows) == len(want) == KW["sample_docs"] * 8
+    for g, w in zip(pair_rows, want):
+        assert g["doc_id"] == w["doc_id"]
+        assert g["mutation_rate"] == w["mutation_rate"]
+        assert g["detected"] == w["detected"]
+        assert g["jaccard"] == w["jaccard"]  # identical float arithmetic
+        assert abs(g["theory"] - w["theory"]) < 1e-12
+
+
+def test_partitioning_invariant(docs, pair_rows):
+    again = sorted(
+        (
+            r.asDict()
+            for r in lsh_calibration_pairs(
+                docs.repartition(7), **KW
+            ).collect()
+        ),
+        key=lambda d: (d["doc_id"], d["mutation_rate"]),
+    )
+    assert again == pair_rows
+
+
+def test_census_consistent_with_pairs_and_anchored(docs, pair_rows):
+    census = {
+        r["mutation_rate"]: r.asDict()
+        for r in lsh_calibration(docs, **KW).collect()
+    }
+    for rate, row in census.items():
+        sub = [p for p in pair_rows if p["mutation_rate"] == rate]
+        assert row["n_pairs"] == len(sub) == KW["sample_docs"]
+        assert row["n_detected"] == sum(p["detected"] for p in sub)
+    # rate 0: the twin IS the original — always detected, jaccard 1
+    assert census[0.0]["detect_rate"] == 1.0
+    assert census[0.0]["mean_jaccard"] == 1.0
+    # jaccard strictly decays with mutation rate
+    rates = sorted(census)
+    mj = [census[r]["mean_jaccard"] for r in rates]
+    assert all(a > b for a, b in zip(mj, mj[1:]))
+    # detection never recovers as similarity drops (small-sample slack)
+    dr = [census[r]["detect_rate"] for r in rates]
+    assert all(a >= b - 0.1 for a, b in zip(dr, dr[1:]))
+
+
+def test_empirical_tracks_theory(docs, pair_rows):
+    """The engine's measured S-curve must sit on the published formula:
+    per rate, |empirical - mean theoretical| within binomial noise
+    (n=120 -> 95% half-width <= ~0.09 at worst)."""
+    census = lsh_calibration(docs, **KW).collect()
+    for r in census:
+        assert abs(r["detect_rate"] - r["theory_rate"]) <= 0.12, r
+
+
+def test_mutation_is_deterministic_and_rate_scaled(spark):
+    text = " ".join(f"word{i}" for i in range(400))
+    assert py_mutated_twin(text, 0.0, 0) == text
+    t1 = py_mutated_twin(text, 0.2, 1)
+    assert t1 == py_mutated_twin(text, 0.2, 1)  # pure function
+    # different rate_idx -> different decisions
+    assert t1 != py_mutated_twin(text, 0.2, 2)
+    frac = sum(
+        a != b for a, b in zip(text.split(), t1.split())
+    ) / 400
+    assert 0.1 <= frac <= 0.3
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        mutated_twin_col(F.col("text"), 0.2, 1).alias("t")
+    ).collect()[0]["t"]
+    assert got == t1
+
+
+def test_plan_is_bounded(docs):
+    """The only ordering op is the TakeOrdered probe sample; the corpus is
+    never globally shuffled (no Exchange beyond the sample/agg path)."""
+    plan = (
+        lsh_calibration_pairs(docs, **KW)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_registry_query_shape(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_doc_lsh_calibration(spark, sf_dir).collect()
+    assert [r["mutation_rate"] for r in rows] == sorted(
+        r["mutation_rate"] for r in rows
+    )
+    assert all(r["n_pairs"] == 150 for r in rows)
+    # reference banding 260/20 has knee ~0.79: rate-0 pairs all detected
+    assert rows[0]["detect_rate"] == 1.0
