@@ -690,6 +690,74 @@ def phase9() -> dict:
     }
 
 
+def phase10() -> dict:
+    """Round-5 session-3 operators at 10x docs (50k -> 500k of the phase-2
+    mixture): unigram-LM trainer (census-bound — cost tracks DISTINCT word
+    forms, not corpus rows, so expect strongly sub-linear on the
+    fixed-vocabulary mixture), HTML extraction (narrow per-byte Arrow pass
+    — expect ~linear), LSH calibration (probe-bounded — the sample is
+    fixed, so cost should stay ~FLAT while the corpus grows 10x; only the
+    TakeOrdered sample sees the extra rows)."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_documents_spark
+    from redpajama_processor_spark.functions.htmlextract import extract_html
+    from redpajama_processor_spark.operators.lshcal import lsh_calibration
+    from redpajama_processor_spark.operators.unigram import train_unigram
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-s3ops", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = (50_000, 500_000)
+    for n in sizes:
+        p = _docs_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_documents_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    t: dict[str, dict[int, float]] = {
+        "html_extract": {}, "unigram_train": {}, "lsh_calibration": {},
+    }
+    for n in sizes:
+        docs = spark.read.parquet(_docs_path(n))
+        _noop(docs.select("doc_id"))  # warm the scan
+        html = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "<html><head><title>d</title>"
+                    "<script>var x=1;</script></head><body>"
+                    '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'
+                ),
+                F.col("text"),
+                F.lit('</p><footer><a href="/t">Terms</a></footer>'
+                      "</body></html>"),
+            ).alias("html"),
+        )
+        t["html_extract"][n] = _timed(lambda d=html: _noop(extract_html(d)))
+        t["unigram_train"][n] = _timed(
+            lambda d=docs: train_unigram(
+                d, vocab_size=256, max_piece_len=6, n_iters=2
+            )
+        )
+        t["lsh_calibration"][n] = _timed(
+            lambda d=docs: _noop(lsh_calibration(d, sample_docs=150))
+        )
+    spark.stop()
+    out = {"sizes": list(sizes)}
+    for op, times in t.items():
+        ratio = times[sizes[1]] / times[sizes[0]]
+        per_unit = ratio / (sizes[1] / sizes[0])
+        out[op] = {
+            "t_small": times[sizes[0]],
+            "t_big": times[sizes[1]],
+            "ratio": round(ratio, 2),
+            "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+        }
+    return out
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -720,6 +788,9 @@ def main() -> None:
         _save(res)
     if phase in ("9", "all"):
         res["phase9_convdedup"] = phase9()
+        _save(res)
+    if phase in ("10", "all"):
+        res["phase10_s3ops"] = phase10()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 

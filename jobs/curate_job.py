@@ -130,6 +130,16 @@ def main() -> None:
         "near-dup conversation count lands in the metrics JSON",
     )
     ap.add_argument(
+        "--with-tokenizer",
+        default=None,
+        metavar="ALGO:VOCAB",
+        help="after curation, fit a subword tokenizer on the KEPT turns' "
+        "scrubbed text (ALGO 'bpe' or 'unigram', e.g. unigram:4096), "
+        "annotate every turn with n_pieces (the token budget the packing "
+        "stage consumes), and record vocab size + total piece count in "
+        "the metrics JSON",
+    )
+    ap.add_argument(
         "--storage",
         choices=["parquet", "iceberg"],
         default="parquet",
@@ -297,6 +307,49 @@ def main() -> None:
         result = result.join(labels, "conv_id", "left")
         conv_dup_n = labels.filter("is_conv_dup").count()
 
+    tok_meta = None
+    if args.with_tokenizer:
+        from pyspark.sql import functions as F
+
+        algo, _, v = args.with_tokenizer.partition(":")
+        vocab_size = int(v) if v else 4096
+        kept_text = result.filter("keep").select(
+            F.col("scrubbed_text").alias("text")
+        )
+        if algo == "bpe":
+            from redpajama_processor_spark.operators.bpe import (
+                encode_bpe,
+                train_bpe,
+            )
+
+            model = train_bpe(
+                kept_text, num_merges=max(vocab_size - 256, 1)
+            )
+            enc = encode_bpe(
+                result, model, text_col="scrubbed_text", out_col="_pieces"
+            )
+        elif algo == "unigram":
+            from redpajama_processor_spark.operators.unigram import (
+                encode_unigram,
+                train_unigram,
+            )
+
+            model = train_unigram(kept_text, vocab_size=vocab_size)
+            enc = encode_unigram(
+                result, model, text_col="scrubbed_text", out_col="_pieces"
+            )
+        else:
+            ap.error(f"unknown tokenizer algo {algo!r} (bpe|unigram)")
+        result = enc.withColumn("n_pieces", F.size("_pieces")).drop(
+            "_pieces"
+        )
+        total = result.agg(F.sum("n_pieces").alias("t")).collect()[0]["t"]
+        tok_meta = {
+            "algo": algo,
+            "vocab_size": len(model.vocab),
+            "total_pieces": int(total or 0),
+        }
+
     census = {
         r["rule"]: r["count"] for r in rule_census(result).collect()
     }
@@ -315,6 +368,8 @@ def main() -> None:
         meta["conv_census"] = conv_census
     if conv_dup_n is not None:
         meta["near_dup_conversations"] = conv_dup_n
+    if tok_meta is not None:
+        meta["tokenizer"] = tok_meta
     if args.with_pii:
         from pyspark.sql import functions as F
 

@@ -106,7 +106,8 @@ def py_mutated_twin(
     text: str, rate: float, rate_idx: int, salt: str = "cal"
 ) -> str:
     """Python mirror of mutated_twin_col (same xxhash64 decisions)."""
-    t = (text or "").strip()
+    # 0x20-only trim: the engine-portable rule (F.trim strips spaces only)
+    t = (text or "").strip(" ")
     if t == "":
         return ""
     thr = int(rate * _MUT_MOD)
@@ -287,7 +288,7 @@ def py_calibration_pairs(
         (
             (doc_id, t)
             for doc_id, t in rows
-            if t is not None and t.strip() != ""
+            if t is not None and t.strip(" ") != ""
         ),
         key=lambda r: (sample_key(r[0]), r[0]),
     )[: int(sample_docs)]

@@ -1,0 +1,43 @@
+"""End-to-end spark-submit-shaped job test: run jobs/curate_job.py as a
+subprocess (its own JVM, like a cluster submit) with the tokenizer flag and
+check the output table and metrics JSON."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_job_with_unigram_tokenizer(spark, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "curate_job.py"),
+            "--synthetic-convs", "30",
+            "--no-fuzzy",
+            "--with-tokenizer", "unigram:128",
+            "--output", out_dir,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    tok = meta["tokenizer"]
+    assert tok["algo"] == "unigram"
+    assert 2 <= tok["vocab_size"] <= 128
+    assert tok["total_pieces"] > 0
+    got = spark.read.parquet(out_dir)
+    assert "keep" in got.columns and "scrubbed_text" in got.columns
+    assert meta["rows"] == got.count() > 0
+    # the annotation column is computed post-write (metrics-only), so the
+    # written table stays the curate() contract; total_pieces must still
+    # account for every row including dropped ones (n_pieces >= kept rows)
+    assert tok["total_pieces"] >= meta["kept"]

@@ -150,3 +150,29 @@ def test_registry_queries_match_oracle(spark, sf_dir):
 def test_unk_logprob_is_absolute_constant():
     # inference on unseen chars must not depend on corpus statistics
     assert UNK_LOGPROB == -100.0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the two Viterbi renderings agree on arbitrary inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abcd", min_size=0, max_size=12)
+_vocab = st.dictionaries(
+    keys=st.text(alphabet="abcd", min_size=1, max_size=4),
+    # a coarse grid of scores makes exact ties COMMON, stressing the
+    # tie rule rather than avoiding it
+    values=st.sampled_from([-1.0, -2.0, -3.0]),
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_word, _vocab)
+def test_viterbi_renderings_agree_everywhere(word, vocab):
+    got = _viterbi(word, vocab, 4)
+    want = _py_viterbi(word, vocab, 4)
+    assert got == want
+    assert "".join(got) == word  # any segmentation must rebuild the word
