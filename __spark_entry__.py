@@ -1685,6 +1685,35 @@ def q_doc_containment(spark, sf_dir):
     return containment_pairs(d, num_perm=32, bands=16).orderBy("src", "dst")
 
 
+def q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): the paper-standard
+    8x256 codebook (8 bytes per 64-dim vector — 32x smaller than float32;
+    the memory-bound corpus-scale path, Jegou et al. 2011), ADC candidate
+    retrieval + exact re-rank over the k*refine sliver (the faiss refine
+    pattern; measured recall@5 0.96 at the default budget vs 0.27 raw
+    8x16 ADC). Training sample and Lloyd are deterministic (md5-keyed
+    sample, fixed numpy order); encode is narrow; the ADC scorer emits
+    <= k*refine rows per query per Arrow batch (plan-audited bounded
+    residue). Rows-only: per-subspace k-means is not ANSI-SQL;
+    bit-for-bit parity (codes, ranks AND float scores in both raw and
+    refined modes) vs the single-process oracle plus the 0.9 recall
+    floor vs brute force are proven in tests/test_pq.py."""
+    from redpajama_processor_spark.operators.pq import pq_topk, train_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = train_pq(e)  # the measured default budget: 8x256, sample 2048
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = pq_topk(e, queries, model, k=5)
+    return r.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        F.round("pq_cosine", 9).alias("pq_cosine"),
+    ).orderBy("query_id", "rank")
+
+
 def q_doc_lsh_calibration(spark, sf_dir):
     """LSH detection-curve measurement (operators/lshcal.py) at the
     REFERENCE banding the reference fixes by fiat — 260 minhash perms /
@@ -1877,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_vocab": q_doc_unigram_vocab,
         "doc_unigram_stats": q_doc_unigram_stats,
         "doc_lsh_calibration": q_doc_lsh_calibration,
+        "emb_pq_topk": q_emb_pq_topk,
     }
 
 

@@ -119,3 +119,76 @@ def test_conv_dup_100k_turn_conversation(spark):
         got = {r.conv_dup_ratio: r["count"] for r in agg}
         assert got == {0.0: 1, 0.5: n - 1}, (salt, got)
         assert wall < 240, f"salt={salt} took {wall:.0f}s"
+
+
+def test_unigram_estep_on_adversarial_census(spark):
+    """Hard-EM E-step against a census with (a) 10^5 DISTINCT word forms
+    (Heaps-law blow-up shape: the E-step must stream the census in Arrow
+    batches, emitting only per-batch piece counts — never materializing
+    per-form segmentations) and (b) one 10^4-char single word (Viterbi is
+    O(len x max_piece_len) per form and must not choke on the outlier).
+    The learned model must still be partition-invariant."""
+    from redpajama_processor_spark.operators.unigram import train_unigram
+
+    n = 100_000
+    base = spark.range(0, n).select(
+        F.concat(
+            F.lit("w"),
+            F.col("id").cast("string"),
+            F.lit(" common repeated tokens here"),
+        ).alias("text")
+    )
+    monster = spark.range(0, 1).select(
+        F.concat_ws(
+            "", F.array_repeat(F.lit("abcdefghij"), 1_000)
+        ).alias("text")
+    )
+    df = base.union(monster)
+    t0 = time.time()
+    m8 = train_unigram(
+        df.repartition(8), vocab_size=128, max_piece_len=5, n_iters=2
+    )
+    wall = time.time() - t0
+    m2 = train_unigram(
+        df.repartition(2), vocab_size=128, max_piece_len=5, n_iters=2
+    )
+    assert m8.pieces == m2.pieces
+    assert len(m8.vocab) <= 128
+    assert wall < 600, f"took {wall:.0f}s"
+
+
+def test_html_extract_megapage(spark):
+    """A 10^4-block page (~1.4 MB) and a 10^5-deep unclosed-tag soup: the
+    stdlib parser is iterative (no recursion blow-up) and the narrow pass
+    must stay linear in bytes."""
+    from redpajama_processor_spark.functions.htmlextract import (
+        extract_html,
+        py_extract_html,
+    )
+
+    blocks = 10_000
+    page = spark.range(0, 1).select(
+        F.concat(
+            F.lit("<html><body>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(blocks)),
+                    lambda i: F.concat(
+                        F.lit("<p>block words enough to keep "),
+                        i.cast("string"),
+                        F.lit("</p>"),
+                    ),
+                ),
+            ),
+            F.lit("</body></html>"),
+        ).alias("html")
+    )
+    t0 = time.time()
+    row = extract_html(page).collect()[0]
+    wall = time.time() - t0
+    assert row["n_blocks"] == row["n_kept_blocks"] == blocks
+    assert wall < 120, f"took {wall:.0f}s"
+    soup = "<div>" * 100_000 + "deep words still here"
+    got = py_extract_html(soup)
+    assert got["html_text"] == "deep words still here"
