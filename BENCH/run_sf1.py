@@ -758,6 +758,59 @@ def phase10() -> dict:
     return out
 
 
+def phase11() -> dict:
+    """Product quantization at 10x embeddings (operators/pq.py), the
+    phase-3 corpora: train is sample-bounded (expect flat), encode is a
+    narrow Arrow pass (expect ~linear), refined pq_topk streams codes and
+    re-ranks a bounded sliver (expect sub-linear — fixed costs dominate
+    the small size)."""
+    from pyspark.sql import functions as F
+
+    from redpajama_processor_spark.datagen import gen_embeddings_spark
+    from redpajama_processor_spark.operators.pq import (
+        encode_pq, pq_topk, train_pq,
+    )
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-pq", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = (20_000, 200_000)
+    for n in sizes:
+        p = _emb_path(n)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            gen_embeddings_spark(spark, n).write.mode("overwrite").parquet(p)
+
+    t: dict[str, dict[int, float]] = {
+        "pq_train": {}, "pq_encode": {}, "pq_topk_refined": {},
+    }
+    for n in sizes:
+        e = spark.read.parquet(_emb_path(n))
+        q = e.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        _noop(e.select("vec_id"))
+        t["pq_train"][n] = _timed(lambda: train_pq(e))
+        model = train_pq(e)
+        t["pq_encode"][n] = _timed(
+            lambda: _noop(encode_pq(e.select("vec_id", "embedding"), model))
+        )
+        t["pq_topk_refined"][n] = _timed(
+            lambda: _noop(pq_topk(e, q, model, k=5))
+        )
+    spark.stop()
+    out = {"sizes": list(sizes)}
+    for op, times in t.items():
+        ratio = times[sizes[1]] / times[sizes[0]]
+        per_unit = ratio / (sizes[1] / sizes[0])
+        out[op] = {
+            "t_small": times[sizes[0]], "t_big": times[sizes[1]],
+            "ratio": round(ratio, 2), "per_unit": round(per_unit, 3),
+            "superlinear": per_unit > SUPERLINEAR_TOL,
+        }
+    return out
+
+
 def main() -> None:
     phase = sys.argv[sys.argv.index("--phase") + 1] if "--phase" in sys.argv else "all"
     os.makedirs("/tmp/rp_bench", exist_ok=True)
@@ -791,6 +844,9 @@ def main() -> None:
         _save(res)
     if phase in ("10", "all"):
         res["phase10_s3ops"] = phase10()
+        _save(res)
+    if phase in ("11", "all"):
+        res["phase11_pq"] = phase11()
         _save(res)
     print(json.dumps(res, indent=2, sort_keys=True))
 
