@@ -1714,6 +1714,35 @@ def q_emb_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.py, the faiss IVFADC index): coarse
+    16-cell quantizer + 8x256 codebooks trained on RESIDUALS with
+    per-cell codes under n_assign=2 multi-assignment, n_probe=8
+    cell-pruned scan reading only (cell, 8-int codes), cell-conditioned
+    ADC lookup tables, exact re-rank of the k*refine sliver. Rows-only;
+    bit-for-bit parity (cells, codes, ranks AND scores, raw and refined)
+    vs the single-process oracle plus the 0.9 recall@5 floor vs brute
+    force (measured 0.95 at the default budget) are proven in
+    tests/test_pq.py."""
+    from redpajama_processor_spark.operators.pq import (
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = train_ivfpq(e)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = ivfpq_topk(e, queries, model, k=5)
+    return r.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        F.round("pq_cosine", 9).alias("pq_cosine"),
+    ).orderBy("query_id", "rank")
+
+
 def q_doc_lsh_calibration(spark, sf_dir):
     """LSH detection-curve measurement (operators/lshcal.py) at the
     REFERENCE banding the reference fixes by fiat — 260 minhash perms /
@@ -1907,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_stats": q_doc_unigram_stats,
         "doc_lsh_calibration": q_doc_lsh_calibration,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
     }
 
 

@@ -329,9 +329,22 @@ def pq_topk(
             F.col("_rank").cast("long").alias("rank"),
             (-F.col("_negscore")).alias("pq_cosine"),
         )
-    # exact re-rank over the bounded candidate sliver (<= k*refine*|Q|):
-    # fetch the candidates' true vectors (broadcast semi-join — the corpus
-    # is scanned, never shuffled) and score them against the exact query
+    return _refine_exact(top, corpus, queries, k, id_col, vec_col, query_id_col)
+
+
+def _refine_exact(
+    top: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank over the bounded candidate sliver
+    (<= k*refine*|Q| rows): fetch the candidates' true vectors (broadcast
+    semi-join — the corpus is scanned, never shuffled) and score them
+    against the exact query."""
     from .ann import _topk_reduce, cosine_col
 
     cand = top.select(query_id_col, id_col)
@@ -399,6 +412,357 @@ def py_pq_topk(
             if not np.isnan(s[j]) and vids[j] != qid
         ]
         cand.sort()
+        cand = cand[:k_cand]
+        if k_cand > k:
+            qv = query_rows[qi][1]
+            rer = []
+            for _, vid in cand:
+                c = _py_cosine(qv, by_id[vid])
+                if not np.isnan(c):
+                    rer.append((-c, vid))
+            rer.sort()
+            cand = rer[:k]
+        for rank, (neg, vid) in enumerate(cand[:k], start=1):
+            score = -neg if k_cand == k else round(-neg, 6)
+            out.append((qid, int(vid), rank, score))
+    return sorted(out, key=lambda r: (r[0], r[2]))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual PQ codes — the faiss IVFADC index
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IVFPQModel:
+    """Coarse centroids + a PQ codebook trained on RESIDUALS
+    (vector minus its nearest centroid, Jegou 2011 §IV 'IVFADC'):
+    residuals are far more compressible than raw vectors, and the cell id
+    prunes the scan to n_probe cells per query."""
+
+    centroids: tuple  # (C, D) nested tuples
+    pq: PQModel
+    n_centroids: int
+
+    def cent_arr(self) -> np.ndarray:
+        return np.asarray(self.centroids, dtype=np.float64)
+
+
+def _assign_cells(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest centroid by L2 (the paper's coarse quantizer); argmin ties
+    -> smallest cell id."""
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_n: int = 2048,
+    lloyd_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQModel:
+    """Coarse k-means + per-subspace residual codebooks, both on the SAME
+    bounded md5-keyed sample (one collect total)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .withColumn(
+            "_ck",
+            F.md5(F.concat(F.lit("pq-"), F.col(id_col).cast("string"))),
+        )
+        .orderBy("_ck", id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus: nothing to train IVF-PQ on")
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    if len(X) < max(n_codes, n_centroids):
+        raise ValueError(
+            f"sample of {len(X)} vectors < n_codes/n_centroids; "
+            "lower them or raise sample_n"
+        )
+    C = _lloyd(X, n_centroids, lloyd_rounds)
+    R = X - C[_assign_cells(X, C)]
+    dsub = dims // m
+    books = []
+    for s in range(m):
+        books.append(
+            tuple(map(tuple, _lloyd(R[:, s * dsub : (s + 1) * dsub],
+                                    n_codes, lloyd_rounds)))
+        )
+    pq = PQModel(tuple(books), dims, m, n_codes)
+    return IVFPQModel(tuple(map(tuple, C)), pq, n_centroids)
+
+
+def encode_ivfpq(
+    df: DataFrame,
+    model: IVFPQModel,
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Index rows (ivf_cell: int, pq_codes: array<int>): each vector is
+    registered under its ``n_assign`` nearest cells, with the residual
+    codes computed AGAINST THAT CELL (so ADC reconstruction is always
+    cell-consistent). n_assign=1 keeps one row per input row; n_assign=2
+    doubles the index — the same recall-vs-size lever (and cost) as
+    ivf_topk's multi-assignment. Narrow."""
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((model, int(n_assign)))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("ivf_cell", T.IntegerType()),
+            T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mod, na = b.value
+        C = mod.cent_arr()
+        books = mod.pq.arrays()
+        for pdf in batches:
+            if not len(pdf):
+                pdf = pdf.copy()
+                pdf["ivf_cell"] = pd.Series(dtype="int32")
+                pdf["pq_codes"] = pd.Series(dtype=object)
+                yield pdf
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :na]
+            parts = []
+            for a in range(na):
+                cells = order[:, a]
+                codes = _encode_block(V - C[cells], books)
+                p = pdf.copy()
+                p["ivf_cell"] = cells.astype(np.int32)
+                p["pq_codes"] = [list(map(int, c)) for c in codes]
+                parts.append(p)
+            yield pd.concat(parts, ignore_index=True)
+
+    return df.where(F.col(vec_col).isNotNull()).mapInPandas(
+        run, schema=schema
+    )
+
+
+def py_encode_ivfpq(vec, model: IVFPQModel, n_assign: int = 1) -> list:
+    """Row-at-a-time oracle: [(cell, codes)] for the n_assign nearest
+    cells (residuals per cell)."""
+    C = model.cent_arr()
+    v = np.asarray(vec, dtype=np.float64)
+    d2 = ((C - v) ** 2).sum(axis=1)
+    order = np.argsort(d2, kind="stable")[:n_assign]
+    books = model.pq.arrays()
+    dsub = model.pq.dims // model.pq.m
+    out = []
+    for cell in order:
+        r = v - C[cell]
+        codes = []
+        for s in range(model.pq.m):
+            dd = ((books[s] - r[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+            codes.append(int(dd.argmin()))
+        out.append((int(cell), codes))
+    return out
+
+
+def _ivfpq_tables(model: IVFPQModel, qvecs: np.ndarray, n_probe: int):
+    """Per-query probe lists + cell-conditioned ADC tables.
+
+    x_hat = c_cell + r_hat, so per (query, cell):
+      dot(q, x_hat)  = sum_m LUT[q, cell, m, code_m]
+                       with LUT[q,cell,m,j] = dot(q_m, c_cell_m + book_mj)
+      |x_hat|^2      = sum_m XNORM[cell, m, code_m]
+                       with XNORM[cell,m,j] = |c_cell_m + book_mj|^2
+    Table sizes: |Q| x n_probe x M x K and C x M x K floats — KBs-to-MBs,
+    broadcastable at any corpus size."""
+    C = model.cent_arr()  # (C, D)
+    books = model.pq.arrays()  # (M, K, dsub)
+    mm, kk, dsub = books.shape
+    cc = len(C)
+    Csub = C.reshape(cc, mm, dsub)
+    # recon[c, m, j, d] = c_sub + book
+    recon = Csub[:, :, None, :] + books[None, :, :, :]
+    xnorm = (recon ** 2).sum(axis=3)  # (C, M, K)
+    qsub = qvecs.reshape(len(qvecs), mm, dsub)
+    # lut[q, c, m, j] = dot(q_m, recon[c, m, j])
+    lut = np.einsum("qmd,cmjd->qcmj", qsub, recon)
+    qnorm = np.sqrt((qvecs ** 2).sum(axis=1))
+    # probe order: L2 distance to centroid, ties -> smaller cell id
+    d2 = ((qvecs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    return probes, lut, xnorm, qnorm
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    model: IVFPQModel | None = None,
+    k: int = 5,
+    n_probe: int = 8,
+    refine: int = 8,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    **train_kw,
+) -> DataFrame:
+    """IVF-PQ ANN (faiss IVFADC): scan only the n_probe nearest cells per
+    query, ADC-score residual codes with cell-conditioned tables, exact
+    re-rank of the k*refine sliver. The scan side reads (cell, 8-int
+    codes) — never the vectors — and emits <= k*refine rows per query per
+    Arrow batch; the corpus is never shuffled. ``n_assign`` registers
+    each vector in its n nearest cells (per-cell residual codes) — the
+    measured recall lever. Measured recall@5 vs brute force on the
+    clustered sf0.001 fixture (disjoint queries, deterministic):
+
+      budget (K_residual, n_assign, n_probe)     recall@5
+      64,  1, 6                                  0.70
+      64,  2, 6                                  0.82
+      256, 2, 6                                  0.91 (registry rendering)
+      256, 2, 8  <- default                      0.95
+
+    n_assign doubles the code index (the same trade ivf_topk makes);
+    the residual codebook resolution (K=256, the paper's 8-bit
+    standard) is the bigger lever. Returns
+    (query_id, vec_id, rank, pq_cosine)."""
+    if model is None:
+        model = train_ivfpq(
+            corpus, id_col=id_col, vec_col=vec_col, **train_kw
+        )
+    k_cand = k * refine if refine and refine > 1 else k
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qvecs = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    probes, lut, xnorm, qnorm = _ivfpq_tables(model, qvecs, n_probe)
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((qids, probes, lut, xnorm, qnorm))
+    enc = encode_ivfpq(
+        corpus.select(id_col, vec_col), model, n_assign=n_assign
+    ).drop(vec_col)
+
+    qid_field = queries.schema[query_id_col].dataType
+    id_field = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field),
+            T.StructField("_negscore", T.DoubleType()),
+            T.StructField(id_col, id_field),
+        ]
+    )
+    mcols = np.arange(model.pq.m)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, probes_, lut_, xn_, qn_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["ivf_cell"].to_numpy()
+            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
+            vids = pdf[id_col].to_numpy()
+            out_q, out_s, out_v = [], [], []
+            for qi, qid in enumerate(ids):
+                hit = np.isin(cells, probes_[qi]) & (vids != qid)
+                idx = np.flatnonzero(hit)
+                if not len(idx):
+                    continue
+                ccell = cells[idx]
+                ccode = codes[idx]
+                dots = lut_[qi, ccell[:, None], mcols, ccode].sum(axis=1)
+                xn = np.sqrt(xn_[ccell[:, None], mcols, ccode].sum(axis=1))
+                denom = qn_[qi] * xn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(denom != 0, dots / denom, np.nan)
+                ok = np.flatnonzero(~np.isnan(s))
+                if not len(ok):
+                    continue
+                v_sel, s_sel = vids[idx][ok], s[ok]
+                # best-score-first within each vid (multi-assign emits the
+                # same vid under several cells), then best entry per vid,
+                # then the k_cand cut under the composing total order —
+                # dedup BEFORE the cut so duplicates never displace a
+                # distinct candidate the global merge would have kept
+                ordu = np.lexsort((v_sel, -s_sel))
+                _, first = np.unique(v_sel[ordu], return_index=True)
+                keep = ordu[np.sort(first)]
+                cut = keep[
+                    np.lexsort((v_sel[keep], -s_sel[keep]))[:k_cand]
+                ]
+                out_q.extend([qid] * len(cut))
+                out_s.extend((-s_sel[cut]).tolist())
+                out_v.extend(v_sel[cut].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: out_q,
+                        "_negscore": out_s,
+                        id_col: out_v,
+                    }
+                )
+
+    part = enc.mapInPandas(run, schema=schema)
+    if n_assign and n_assign > 1:
+        # a vector indexed in two probed cells appears twice with two
+        # cell-dependent ADC scores — keep its best before ranking; this
+        # groupBy runs over the BOUNDED residue (<= k_cand * |Q| *
+        # n_batches rows), not the corpus
+        part = part.groupBy(query_id_col, id_col).agg(
+            F.min("_negscore").alias("_negscore")
+        ).select(query_id_col, "_negscore", id_col)
+    top = bounded_group_topk(
+        part, [query_id_col], ["_negscore", id_col], k_cand
+    )
+    if k_cand == k:
+        return top.select(
+            query_id_col,
+            id_col,
+            F.col("_rank").cast("long").alias("rank"),
+            (-F.col("_negscore")).alias("pq_cosine"),
+        )
+    return _refine_exact(top, corpus, queries, k, id_col, vec_col, query_id_col)
+
+
+def py_ivfpq_topk(
+    corpus_rows: list[tuple], query_rows: list[tuple],
+    model: IVFPQModel, k: int = 5, n_probe: int = 8, refine: int = 8,
+    n_assign: int = 2,
+) -> list[tuple]:
+    """Oracle: exact replication of cell pruning + residual ADC + refine."""
+    qids = [q for q, _ in query_rows]
+    qvecs = np.asarray([v for _, v in query_rows], dtype=np.float64)
+    probes, lut, xnorm, qnorm = _ivfpq_tables(model, qvecs, n_probe)
+    encoded = [
+        (i, cell, codes)
+        for i, v in corpus_rows
+        for cell, codes in py_encode_ivfpq(v, model, n_assign=n_assign)
+    ]
+    by_id = dict(corpus_rows)
+    k_cand = k * refine if refine and refine > 1 else k
+    mcols = np.arange(model.pq.m)
+    out = []
+    for qi, qid in enumerate(qids):
+        probe_set = set(int(c) for c in probes[qi])
+        best: dict = {}
+        for vid, cell, codes in encoded:
+            if cell not in probe_set or vid == qid:
+                continue
+            code = np.asarray(codes)
+            dot = float(lut[qi, cell, mcols, code].sum())
+            xn = float(np.sqrt(xnorm[cell, mcols, code].sum()))
+            denom = float(qnorm[qi]) * xn
+            if denom == 0:
+                continue
+            neg = -(dot / denom)
+            if vid not in best or neg < best[vid]:
+                best[vid] = neg
+        cand = sorted((neg, vid) for vid, neg in best.items())
         cand = cand[:k_cand]
         if k_cand > k:
             qv = query_rows[qi][1]

@@ -161,3 +161,161 @@ def test_registry_query_matches_oracle(spark, sf_dir, rows):
     qrows = [(i, v) for i, v in rows if i < 10]
     want = py_pq_topk(rows, qrows, m, k=5)
     assert [g[:3] for g in got] == [w[:3] for w in want]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse cells + residual codes)
+# ---------------------------------------------------------------------------
+
+from redpajama_processor_spark.operators.pq import (  # noqa: E402
+    IVFPQModel,
+    encode_ivfpq,
+    ivfpq_topk,
+    py_encode_ivfpq,
+    py_ivfpq_topk,
+    train_ivfpq,
+)
+
+IKW = dict(n_centroids=16, m=8, n_codes=64, sample_n=400, lloyd_rounds=3)
+
+
+@pytest.fixture(scope="module")
+def ivf_model(emb):
+    return train_ivfpq(emb, **IKW)
+
+
+def test_ivfpq_train_partition_invariant(emb, ivf_model):
+    assert train_ivfpq(emb.repartition(5), **IKW) == ivf_model
+
+
+def test_ivfpq_encode_matches_oracle(emb, rows, ivf_model):
+    got = {
+        r["vec_id"]: (r["ivf_cell"], r["pq_codes"])
+        for r in encode_ivfpq(
+            emb.select("vec_id", "embedding"), ivf_model
+        ).collect()
+    }
+    for vid, vec in rows[:100]:
+        [(cell, codes)] = py_encode_ivfpq(vec, ivf_model)
+        assert got[vid] == (cell, codes), vid
+    # cells are used and bounded
+    cells = {c for c, _ in got.values()}
+    assert cells <= set(range(IKW["n_centroids"])) and len(cells) > 1
+
+
+def test_ivfpq_multi_assign_index(emb, rows, ivf_model):
+    """n_assign=2 doubles the index; both entries carry cell-consistent
+    residual codes matching the oracle."""
+    enc = encode_ivfpq(
+        emb.select("vec_id", "embedding"), ivf_model, n_assign=2
+    ).collect()
+    assert len(enc) == 2 * len(rows)
+    got = {}
+    for r in enc:
+        got.setdefault(r["vec_id"], []).append((r["ivf_cell"], r["pq_codes"]))
+    for vid, vec in rows[:50]:
+        want = py_encode_ivfpq(vec, ivf_model, n_assign=2)
+        assert sorted(got[vid]) == sorted(want), vid
+        assert got[vid][0][0] != got[vid][1][0]  # two distinct cells
+
+
+def test_ivfpq_topk_matches_oracle_bitwise(emb, rows, ivf_model):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qrows = [(i, v) for i, v in rows if i < 10]
+    for refine in (1, 8):
+        got = sorted(
+            (
+                (r["query_id"], r["vec_id"], r["rank"], r["pq_cosine"])
+                for r in ivfpq_topk(
+                    emb, queries, ivf_model, k=5, refine=refine
+                ).collect()
+            ),
+            key=lambda r: (r[0], r[2]),
+        )
+        want = py_ivfpq_topk(rows, qrows, ivf_model, k=5, refine=refine)
+        assert got == want, refine
+
+
+def test_ivfpq_recall_floor_vs_brute_force(emb, ivf_model):
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 130)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # the default budget: K=256 residual codes, n_assign=2, n_probe=8
+    default_model = train_ivfpq(emb, sample_n=400)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(emb, queries, default_model, k=5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall  # measured 0.947, deterministic
+    # single-assign at the SAME budget is measurably worse: the
+    # multi-assign index is what earns the floor
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            emb, queries, default_model, k=5, n_assign=1
+        ).collect()
+    }
+    assert recall > len(truth & single) / len(truth)
+
+
+def test_ivfpq_encode_plan_is_narrow(emb, ivf_model):
+    plan = (
+        encode_ivfpq(emb.select("vec_id", "embedding"), ivf_model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ivfpq_registry_query_matches_oracle(spark, sf_dir, rows):
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in entry.q_emb_ivfpq_topk(spark, sf_dir).collect()
+        ),
+        key=lambda r: (r[0], r[2]),
+    )
+    m = train_ivfpq_defaults_oracle(rows)
+    qrows = [(i, v) for i, v in rows if i < 10]
+    want = [w[:3] for w in py_ivfpq_topk(rows, qrows, m, k=5)]
+    assert got == want
+
+
+def train_ivfpq_defaults_oracle(rows):
+    """Mirror of train_ivfpq at the registry's defaults, single-process."""
+    import hashlib
+
+    import numpy as np
+
+    from redpajama_processor_spark.operators.pq import (
+        PQModel,
+        _assign_cells,
+        _lloyd,
+    )
+
+    keyed = sorted(
+        (hashlib.md5(f"pq-{i}".encode()).hexdigest(), i, v)
+        for i, v in rows
+        if v is not None
+    )[:2048]
+    X = np.asarray([v for _, _, v in keyed], dtype=np.float64)
+    C = _lloyd(X, 16, 3)
+    R = X - C[_assign_cells(X, C)]
+    dsub = X.shape[1] // 8
+    books = tuple(
+        tuple(map(tuple, _lloyd(R[:, s * dsub : (s + 1) * dsub], 256, 3)))
+        for s in range(8)
+    )
+    return IVFPQModel(
+        tuple(map(tuple, C)), PQModel(books, X.shape[1], 8, 256), 16
+    )
