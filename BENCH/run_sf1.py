@@ -768,7 +768,7 @@ def phase11() -> dict:
 
     from redpajama_processor_spark.datagen import gen_embeddings_spark
     from redpajama_processor_spark.operators.pq import (
-        encode_pq, pq_topk, train_pq,
+        encode_pq, ivfpq_topk, pq_topk, train_ivfpq, train_pq,
     )
     from redpajama_processor_spark.session import get_spark
 
@@ -783,6 +783,7 @@ def phase11() -> dict:
 
     t: dict[str, dict[int, float]] = {
         "pq_train": {}, "pq_encode": {}, "pq_topk_refined": {},
+        "ivfpq_topk": {},
     }
     for n in sizes:
         e = spark.read.parquet(_emb_path(n))
@@ -792,11 +793,19 @@ def phase11() -> dict:
         _noop(e.select("vec_id"))
         t["pq_train"][n] = _timed(lambda: train_pq(e))
         model = train_pq(e)
+        # warm the Python UDF workers on all cores before timing the
+        # Arrow passes (cold spin-up measured 28 s vs 4.8 s warm — it
+        # would dominate the first timed rep)
+        _noop(encode_pq(e.select("vec_id", "embedding"), model))
         t["pq_encode"][n] = _timed(
             lambda: _noop(encode_pq(e.select("vec_id", "embedding"), model))
         )
         t["pq_topk_refined"][n] = _timed(
             lambda: _noop(pq_topk(e, q, model, k=5))
+        )
+        ivf_model = train_ivfpq(e)
+        t["ivfpq_topk"][n] = _timed(
+            lambda: _noop(ivfpq_topk(e, q, ivf_model, k=5))
         )
     spark.stop()
     out = {"sizes": list(sizes)}
