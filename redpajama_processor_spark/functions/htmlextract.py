@@ -109,6 +109,7 @@ class _Extractor(HTMLParser):
         self._drop_depth = 0
         self._anchor_depth = 0
         self._in_title = False
+        self._head_depth = 0
 
     # -- block assembly ----------------------------------------------------
 
@@ -130,11 +131,15 @@ class _Extractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in DROP_TAGS:
             self._drop_depth += 1
+            if tag == "head":
+                self._head_depth += 1
             self._flush()
             return
         if tag == "title":
-            # captured even inside the (dropped) head element
-            self._in_title = True
+            # the page title lives in head; a <title> inside another
+            # dropped element (svg tooltip, template) is NOT the title
+            if self._drop_depth == 0 or self._head_depth:
+                self._in_title = True
             return
         if self._drop_depth:
             return
@@ -152,9 +157,11 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag in DROP_TAGS:
-            # tolerate stray close tags (drop_depth never goes negative)
+            # tolerate stray close tags (depths never go negative)
             if self._drop_depth:
                 self._drop_depth -= 1
+            if tag == "head" and self._head_depth:
+                self._head_depth -= 1
             self._flush()
             return
         if tag == "title":

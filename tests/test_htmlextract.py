@@ -87,6 +87,20 @@ def test_fixture_malformed_and_null():
     assert got["html_text"] == "still here three words"
 
 
+def test_svg_title_is_not_the_page_title():
+    # an SVG <title> is a tooltip; only head-level (or top-level) titles
+    # name the page
+    got = py_extract_html(
+        "<head><title>real title</title></head>"
+        "<body><svg><title>tooltip</title><circle/></svg>"
+        "<p>actual prose with words</p></body>"
+    )
+    assert got["html_title"] == "real title"
+    assert got["html_text"] == "actual prose with words"
+    got = py_extract_html("<svg><title>tooltip</title></svg><p>a b c</p>")
+    assert got["html_title"] == ""
+
+
 def test_fixture_nested_anchor_and_title_outside_head():
     got = py_extract_html(
         "<title>late title</title><p><a href=x>one <a href=y>two</a></a> "
