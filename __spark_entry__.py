@@ -59,8 +59,54 @@ from redpajama_processor_spark.operators import snapshot as _SNAP
 # helpers
 # ---------------------------------------------------------------------------
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table; spread=True parallelizes under-split scans.
+
+    The sf tables are single parquet files with ONE row group, so the scan
+    is a single task and every narrow stage downstream (minhash, signals,
+    langid — the expensive compute) runs on one core of the cluster. That
+    is the "one huge unsplittable file" input-skew case (optimization
+    guide §2.5): repartition immediately after the read.
+
+    spread is OPT-IN per query because the exchange is only worth paying
+    when the consumer is compute-bound (per-row text/vector work): paired
+    5-rep windows measured 4.2x on doc_quality_filter and 3.2x on
+    doc_lsh_pairs with spread, but +0.1-0.2 s on the shuffle-bound
+    relational queries (top_customers 0.39->0.50, events_hourly
+    0.31->0.54) where the added exchange IS the whole cost. Scale-adaptive
+    by construction — the repartition fires ONLY when the scan yields
+    fewer partitions than the cluster's parallelism AND the file is big
+    enough to matter, so a real many-file corpus reads exactly as before.
+    Results identical (row-level operators are partition-invariant,
+    verified plain-vs-spread at sf0.1 on nine queries)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    n = spark.sparkContext.defaultParallelism
+    if _input_bytes(path) >= _SPREAD_MIN_BYTES and df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
+#: Don't pay an exchange to spread a table smaller than one task's worth of
+#: work (sf0.001/sf0.01 inputs, the broadcast-side dims).
+_SPREAD_MIN_BYTES = 512 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    try:
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return 0
 
 
 def _cents(col):
@@ -92,7 +138,7 @@ _SQL_DOCS_DUP = (
 
 
 def _docs_near(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     c = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
@@ -108,7 +154,7 @@ _SQL_DOCS_NEAR = (
 
 
 def _emb_dup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _t(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     c = e.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda v: v * F.lit(1.1).cast("float")).alias(
@@ -311,7 +357,7 @@ def q_doc_signals(spark, sf_dir):
     """Heuristic signal battery + token/fingerprint columns (the former
     standalone doc_tokens entry is folded in so the driver's 50-query
     correctness budget covers every family)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sig = S.spark_signal_cols(F.col("text"))
     cols = [F.col("doc_id")]
     for name in S.SIGNAL_COLS:
@@ -328,7 +374,7 @@ def q_doc_signals(spark, sf_dir):
 
 
 def q_doc_quality_filter(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sig = S.spark_signal_cols(F.col("text"))
     keep, rule = S.spark_keep_and_rule(sig, include_stopword_rule=True)
     return d.select(
@@ -345,7 +391,7 @@ def q_doc_rule_census(spark, sf_dir):
 
 
 def q_doc_language_histogram(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return (
         d.withColumn("pred_lang", spark_langid_col(F.col("text")))
         .groupBy("pred_lang")
@@ -381,7 +427,7 @@ def q_doc_minhash_sig(spark, sf_dir):
     """MinHash signature digest — Spark computes via the numpy Arrow-UDF
     scale path; the oracle recomputes via the pure-SQL md5 formulation.
     Equality proves numpy == JVM-native == SQL renderings agree."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sigs = D.add_minhash(d, "text", MINHASH_K, MINHASH_NGRAM, use_numpy=True)
     return sigs.select(
         "doc_id",
@@ -420,7 +466,7 @@ def q_doc_simhash(spark, sf_dir):
     the same window — its two shuffles cost more than the per-instance
     md5s it saves at this corpus shape — so the zero-shuffle hybrid stays
     the default."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return H.add_simhash(d, "text").select("doc_id", "simhash")
 
 
@@ -442,7 +488,7 @@ def q_doc_scrub(spark, sf_dir):
     """PII/profanity scrub + the composite quality score (the former
     standalone doc_quality_score entry, folded in; fixed operand order
     keeps the float bit-identical on both engines)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     cols = spark_scrub_cols(F.col("text"))
     sig = S.spark_signal_cols(F.col("text"))
     score = (
@@ -470,7 +516,7 @@ def q_doc_repetition(spark, sf_dir):
         repetition_signals_arrow,
     )
 
-    return repetition_signals_arrow(_t(spark, sf_dir, "documents"))
+    return repetition_signals_arrow(_t(spark, sf_dir, "documents", spread=True))
 
 
 def q_doc_decontaminate(spark, sf_dir):
@@ -480,7 +526,7 @@ def q_doc_decontaminate(spark, sf_dir):
     zero corpus shuffle."""
     from redpajama_processor_spark.operators.decontaminate import decontaminate
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     corpus = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(corpus, bench, n=8).select("doc_id", "contaminated")
@@ -537,7 +583,7 @@ def q_doc_chunks(spark, sf_dir):
     64 ws-tokens so the fixture docs split into multiple chunks)."""
     from redpajama_processor_spark.operators.chunking import chunk_documents
 
-    return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
+    return chunk_documents(_t(spark, sf_dir, "documents", spread=True), max_tokens=64)
 
 
 def q_events_asof_purchase(spark, sf_dir):
@@ -625,7 +671,7 @@ def q_doc_prepare_training(spark, sf_dir):
     from redpajama_processor_spark.prepare import prepare_training_data
 
     return prepare_training_data(
-        _t(spark, sf_dir, "documents"), chunk_tokens=64, seq_len=128
+        _t(spark, sf_dir, "documents", spread=True), chunk_tokens=64, seq_len=128
     )
 
 
@@ -646,7 +692,7 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     pipeline uses the same operator with perplexity)."""
     from redpajama_processor_spark.operators.buckets import quantile_buckets
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sig = S.spark_signal_cols(F.col("text"))
     scored = d.select("doc_id", "lang", sig["stopword_ratio"].alias("score"))
     return quantile_buckets(scored, "score", k=3, by="lang").select(
@@ -659,7 +705,7 @@ def q_doc_ccnet_buckets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_ann_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -671,7 +717,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_srp_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -691,7 +737,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     kmeans/2-assign/6-probe budget (operators/ann.py ivf_topk docstring),
     deliberately decoupled from this rendering.
     """
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -816,7 +862,7 @@ def q_doc_fuzzy_cluster_census(spark, sf_dir):
 
 
 def _doc_turns(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         F.format_string("conv-%04d", (F.col("doc_id") % 40).cast("int")).alias(
             "conv_id"
@@ -845,6 +891,14 @@ def q_transcript_core(spark, sf_dir):
     df = df.withColumn("language", spark_langid_col(F.col("text")))
     df = df.withColumn("clean_text", clean_text_col(F.col("text")))
 
+    # branch conv-dup off the PRE-JOIN lineage (it consumes only conv_id/
+    # turn_idx/clean_text, which the key-preserving exact-dup left join
+    # below cannot change) so the exact-dup aggregation+join subtree is
+    # not re-evaluated inside the cdr branch
+    cdr = conv_dup_ratio(
+        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    )
+
     en = df.filter(F.col("language") == "EN").select(
         "_key", F.md5("clean_text").alias("_hash")
     )
@@ -867,9 +921,6 @@ def q_transcript_core(spark, sf_dir):
         "_words", "_lines"
     )
 
-    cdr = conv_dup_ratio(
-        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
-    )
     df = df.join(cdr, ["conv_id", "turn_idx"], "left").withColumn(
         "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
     )
@@ -988,6 +1039,12 @@ def q_transcript_full(spark, sf_dir):
     df = df.withColumn("language", spark_langid_col(F.col("text")))
     df = df.withColumn("clean_text", clean_text_col(F.col("text")))
 
+    # conv-dup branched off the pre-join lineage (same reasoning as
+    # q_transcript_core: the label joins are key-preserving)
+    cdr = conv_dup_ratio(
+        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    )
+
     en = df.filter(F.col("language") == "EN").select(
         "_key", F.md5("clean_text").alias("_hash")
     )
@@ -1030,9 +1087,6 @@ def q_transcript_full(spark, sf_dir):
         "_words", "_lines"
     )
 
-    cdr = conv_dup_ratio(
-        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
-    )
     df = df.join(cdr, ["conv_id", "turn_idx"], "left").withColumn(
         "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
     )

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness: per-query noop-sink isolation timings.
+
+bench.py is FROZEN for measurement; this file holds the extra
+instrumentation the optimization round needs (guide §1.4): each query is
+timed in isolation with the noop sink, with more reps and an explicit
+per-rep sample list so paired before/after windows are comparable.
+
+Usage:
+  python bench_extra.py [query ...]        # default: all bench queries
+  SPARK_GRAFT_QUERY_REPS=N                 # reps per query (default 5)
+
+Prints one JSON line: {"queries": {name: min_sec}, "samples": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
+
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_extra", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    names = sys.argv[1:] or list(bench.BENCH_QUERIES)
+
+    # warm the scan/noop/codegen machinery (same as bench.py)
+    _noop(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")))
+
+    samples: dict[str, list[float]] = {}
+    for name in names:
+        samples[name] = []
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            _noop(df)
+            samples[name].append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+    print(
+        json.dumps(
+            {
+                "queries": {n: min(s) for n, s in samples.items()},
+                "samples": samples,
+                "reps": reps,
+                "cpus": cpus,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

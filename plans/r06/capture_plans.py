@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') output for every bench query.
+
+Usage: python plans/r06/capture_plans.py <suffix> [query ...]
+Writes plans/r06/<query>_<suffix>.txt for each bench query (default: all).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from redpajama_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="capture_plans", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    for name in bench.BENCH_QUERIES:
+        if only and name not in only:
+            continue
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

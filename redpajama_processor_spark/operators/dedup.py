@@ -198,10 +198,13 @@ def add_minhash(
         # Base hashes are 30-bit, so ship them to Python as int32 — HALF the
         # Arrow bytes of long arrays (measured ~1.5x faster end-to-end at
         # 591k docs; the transfer, not the affine math, dominates).
+        # distinct=False: minima are multiset-insensitive, so the per-row
+        # string dedupe is skipped (signatures identical, ~15% less JVM
+        # work in the shingle+hash stage)
         tmp = df.withColumn(
             "_bh",
             F.transform(
-                H.shingles_col(F.col(text_col), ngram),
+                H.shingles_col(F.col(text_col), ngram, distinct=False),
                 lambda s: base_fn(s).cast("int"),
             ),
         )
@@ -211,7 +214,10 @@ def add_minhash(
     # per-permutation projections would re-hash every shingle K times (no
     # CSE across lambda bodies)
     tmp = df.withColumn(
-        "_bh", F.transform(H.shingles_col(F.col(text_col), ngram), base_fn)
+        "_bh",
+        F.transform(
+            H.shingles_col(F.col(text_col), ngram, distinct=False), base_fn
+        ),
     )
     return tmp.withColumn(
         "_minhash", H.minhash_from_hashes_col(F.col("_bh"), num_perm)
@@ -513,8 +519,11 @@ def connected_components(
     if driver_max_edges is not None and edges.count() <= driver_max_edges:
         from pyspark.sql.types import StructField, StructType
 
+        # one collect (a single job over the already-cut edge table) — the
+        # former toLocalIterator here ran one sequential mini-job per
+        # partition; the count above already bounded the result size
         labels = _driver_union_find(
-            (r[0], r[1]) for r in edges.toLocalIterator()
+            (r[0], r[1]) for r in edges.collect()
         )
         id_type = edges.schema["src"].dataType
         return edges.sparkSession.createDataFrame(
@@ -634,6 +643,14 @@ def fuzzy_dedup(
     """
     from .stage import cut
 
+    # Materialize the input once: df is referenced by FOUR subtrees of the
+    # pairs DAG (the signature branch, the verify join's two doc sides via
+    # the semi-join, and the final label join-back) — without a cut the
+    # caller's upstream lineage (in the pipeline: the exact-dedup
+    # aggregation+join over the checkpointed base) re-executes per subtree
+    # inside one job. One narrow materialization of (id, text) replaces
+    # 3-4 re-evaluations; measured ~2s net on the 591k-turn pipeline.
+    df = cut(df, stage_dir, "fz_input", reuse=stage_reuse)
     sigs = add_minhash(df, text_col, num_perm, ngram, use_numpy, base)
     key_hash = "md5" if base == "md5" else "xxhash"
     t0 = time.time()

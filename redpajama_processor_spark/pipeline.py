@@ -171,6 +171,15 @@ def curate(
     df = cut(df, stage_dir, "base", reuse=stage_reuse)
     t0 = _tick("base (langid+clean ckpt)", t0)
 
+    # conv-dup consumes only (conv_id, turn_idx, clean_text) — branch it off
+    # the BASE checkpoint here, before the dedup label joins: the joins are
+    # key-preserving left joins (row set and clean_text unchanged), so the
+    # ratios are identical, and the cdr branch no longer re-evaluates the
+    # exact/fuzzy join subtrees at final evaluation time.
+    cdr = conv_dup_ratio(
+        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+    )
+
     if dedup_labels is not None:
         df = df.join(dedup_labels, "_key", "left").withColumns(
             {
@@ -179,7 +188,7 @@ def curate(
                 "component": F.coalesce("component", F.col("_key")),
             }
         )
-        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b, with_pii)
+        return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b, with_pii, cdr=cdr)
 
     # --- exact dedup among langid survivors (clusters-only min-join: a
     # boilerplate cluster map-side-combines instead of serializing into one
@@ -225,7 +234,7 @@ def curate(
         df = df.withColumn("is_fuzzy_dup", F.lit(False)).withColumn(
             "component", F.col("_key")
         )
-    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b, with_pii)
+    return _annotate_rest(df, lm_b, use_native_scrub, with_repetition, with_ppl_buckets, kn_b, with_pii, cdr=cdr)
 
 
 def _annotate_rest(
@@ -236,6 +245,7 @@ def _annotate_rest(
     with_ppl_buckets: bool = False,
     kn_b=None,
     with_pii: bool = False,
+    cdr: DataFrame | None = None,
 ) -> DataFrame:
     """Signals, conv-dup, perplexity, scrub, final keep/drop (narrow except
     the conv_dup partial-agg shuffles)."""
@@ -261,9 +271,13 @@ def _annotate_rest(
     df = df.withColumns({"_heur_keep": heur_keep, "_heur_rule": heur_rule})
 
     # --- conversation-level repeated lines (skew-safe groupBy) ------------
-    cdr = conv_dup_ratio(
-        df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
-    )
+    # cdr is normally branched off the base checkpoint by curate() (before
+    # the dedup joins — identical input rows, cheaper lineage); computed
+    # here only for direct _annotate_rest callers
+    if cdr is None:
+        cdr = conv_dup_ratio(
+            df.select("conv_id", "turn_idx", F.col("clean_text").alias("text"))
+        )
     df = df.join(cdr, ["conv_id", "turn_idx"], "left").withColumn(
         "conv_dup_ratio", F.coalesce("conv_dup_ratio", F.lit(0.0))
     )
