@@ -327,6 +327,158 @@ def minhash_affine_udf(num_perm: int, seed: int = SEED):
     return _mins
 
 
+# --- fused text -> signature scale path ------------------------------------
+# One UDF does shingling + xxhash64 base hashing + the K affine minima,
+# replacing the JVM shingle/hash stage of the hybrid path. Why: the JVM
+# substring(text, i, n) walk is O(offset) per window (quadratic per row for
+# UTF8String), and the int32 base-hash arrays it ships to Python are ~4x the
+# bytes of the text itself. Shipping the TEXT and hashing byte windows with
+# vectorized numpy xxh64 removes both. Values are BIT-IDENTICAL to the
+# hybrid path: for pure-ASCII rows char windows == byte windows and the
+# vectorized xxh64 below reproduces the reference algorithm exactly
+# (validated against py_xxh64 in tests); non-ASCII / short rows take a
+# per-row python fallback through the same py_xxh64 oracle. MinHash minima
+# are multiset-insensitive, so windows are hashed without dedupe.
+
+def _np_rotl(x: "np.ndarray", r: int) -> "np.ndarray":
+    rr = np.uint64(r)
+    return (x << rr) | (x >> (np.uint64(64) - rr))
+
+
+def _np_xxh64_short(win: "np.ndarray", n: int, seed: int = SEED) -> "np.ndarray":
+    """Vectorized xxHash64 for fixed input length n < 32 bytes.
+
+    win: (m, ceil(n/8)*8) uint8 matrix, bytes beyond n zero-padded (padding
+    is never read: only full 8-byte words, one 4-byte chunk and the byte
+    tail that the length dictates are consumed, exactly as the scalar
+    reference py_xxh64 does)."""
+    p1, p2, p3, p4, p5 = (
+        np.uint64(0x9E3779B185EBCA87),
+        np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9),
+        np.uint64(0x85EBCA77C2B2AE63),
+        np.uint64(0x27D4EB2F165667C5),
+    )
+    words = win.view("<u8")
+    h = np.full(win.shape[0], np.uint64(seed) + p5 + np.uint64(n), dtype=np.uint64)
+    i = 0
+    while i + 8 <= n:
+        w = words[:, i // 8]
+        h ^= _np_rotl(w * p2, 31) * p1
+        h = _np_rotl(h, 27) * p1 + p4
+        i += 8
+    if i + 4 <= n:
+        w4 = win[:, i : i + 4].copy().view("<u4")[:, 0].astype(np.uint64)
+        h ^= w4 * p1
+        h = _np_rotl(h, 23) * p2 + p3
+        i += 4
+    while i < n:
+        h ^= win[:, i].astype(np.uint64) * p5
+        h = _np_rotl(h, 11) * p1
+        i += 1
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= p3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def minhash_text_udf(num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED):
+    """text -> MinHash signature in ONE pandas UDF (xxhash base).
+
+    Per batch: pure-ASCII rows longer than n concatenate into one byte
+    buffer; a sliding window view + one fancy-index copy yields the
+    (total_windows, n) byte matrix; _np_xxh64_short hashes every window in
+    a handful of u64 vector ops; the K affine minima run as the same
+    permutation-loop streams as minhash_affine_udf. Non-ASCII or short
+    rows fall back to the scalar py_xxh64 oracle per shingle (~2% of the
+    transcript corpus). Equal to add_minhash(use_numpy=True, base='xxhash')
+    bit-for-bit (tested)."""
+    assert n < 32, "fused path covers the xxh64 short-input branch only"
+    params = np.array(perm_params(num_perm, seed), dtype=np.uint64)
+    A, B = params[:, 0], params[:, 1]
+    P = np.uint64(MERSENNE_P)
+    pad = (n + 7) // 8 * 8
+    mask30 = np.uint64(MASK30)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        n_rows = len(texts)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        bufs: list[bytes] = []
+        fast_rows: list[int] = []
+        slow: list[tuple[int, np.ndarray]] = []
+        for i, t in enumerate(texts):
+            s = t if t is not None else ""
+            b = s.encode("utf-8")
+            if len(b) == len(s) and len(s) > n:
+                fast_rows.append(i)
+                bufs.append(b)
+            else:
+                # short or non-ASCII: per-shingle scalar oracle hash
+                if len(s) <= n:
+                    sh = [s]
+                else:
+                    sh = [s[j : j + n] for j in range(len(s) - n + 1)]
+                slow.append(
+                    (
+                        i,
+                        np.fromiter(
+                            (py_xxh64(x.encode("utf-8"), seed) & MASK30 for x in sh),
+                            dtype=np.uint64,
+                            count=len(sh),
+                        ),
+                    )
+                )
+        lens = np.zeros(n_rows, dtype=np.int64)
+        parts: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
+        if fast_rows:
+            big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            sw = np.lib.stride_tricks.sliding_window_view(big, n)
+            row_lens = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+            )
+            counts = row_lens - n + 1
+            offs = np.zeros(len(bufs), dtype=np.int64)
+            np.cumsum(row_lens[:-1], out=offs[1:])
+            idx = np.concatenate(
+                [np.arange(o, o + c) for o, c in zip(offs, counts)]
+            )
+            wins = sw[idx]
+            if pad != n:
+                padded = np.zeros((wins.shape[0], pad), dtype=np.uint8)
+                padded[:, :n] = wins
+                wins = padded
+            else:
+                wins = np.ascontiguousarray(wins)
+            flat_fast = _np_xxh64_short(wins, n, seed) & mask30
+            pos = 0
+            for r, c in zip(fast_rows, counts):
+                parts[r] = flat_fast[pos : pos + c]
+                lens[r] = c
+                pos += c
+        for r, hs in slow:
+            parts[r] = hs
+            lens[r] = len(hs)
+        flat = np.concatenate([p for p in parts if p is not None and len(p)])
+        starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # all rows have >= 1 shingle ([text] when short), so starts are
+        # strictly valid reduceat segment boundaries
+        mins = np.empty((n_rows, num_perm), dtype=np.int64)
+        y = np.empty(len(flat), dtype=np.uint64)
+        for k in range(num_perm):
+            np.multiply(flat, A[k], out=y)
+            y += B[k]
+            y %= P
+            mins[:, k] = np.minimum.reduceat(y, starts)
+        return pd.Series(list(mins))
+
+    return _sig
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-ish bit, here HASH_BITS-bit) — portable formulation
 # ---------------------------------------------------------------------------

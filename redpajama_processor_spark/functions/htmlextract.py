@@ -129,6 +129,13 @@ class _Extractor(HTMLParser):
     # -- parser callbacks ----------------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        # title is RCDATA — it cannot contain elements, so ANY start tag
+        # ends it. Without this, tag soup with an unclosed <title>
+        # swallowed every subsequent data piece into the title and lost
+        # the whole document body (stdlib html.parser does not treat
+        # title as CDATA, so the state was reachable).
+        if self._in_title:
+            self._in_title = False
         if tag in DROP_TAGS:
             self._drop_depth += 1
             if tag == "head":
@@ -150,6 +157,8 @@ class _Extractor(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # <br/>, <hr/> — block boundary, no nesting change
+        if self._in_title:
+            self._in_title = False  # RCDATA: no elements inside title
         if self._drop_depth:
             return
         if tag in BLOCK_TAGS:

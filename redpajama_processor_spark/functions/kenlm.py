@@ -321,8 +321,19 @@ def train_kneser_ney_spark(
 ) -> dict:
     """Distributed counting pass + driver-side smoothing. The collect is of
     the AGGREGATED gram table (the object that must fit in a broadcast to
-    be scoreable at all), not of corpus rows."""
-    rows = ngram_counts_df(docs, order=order, text_col=text_col).collect()
+    be scoreable at all), not of corpus rows — and when pruning is
+    requested, of the PRUNED table: ``count >= prune_min_count`` is applied
+    inside the Spark aggregation, so the driver never materializes the raw
+    gram census (at web scale the unpruned trigram table is orders of
+    magnitude larger than the scoreable model; the singleton tail is
+    exactly what pruning exists to drop). Equivalent to driver-side
+    pruning by construction: the filter runs on the same fully-aggregated
+    counts the driver check would see, and ``train_kneser_ney`` re-applies
+    the (now no-op) threshold for belt and braces."""
+    counts = ngram_counts_df(docs, order=order, text_col=text_col)
+    if prune_min_count is not None:
+        counts = counts.filter(F.col("count") >= F.lit(int(prune_min_count)))
+    rows = counts.collect()
     return train_kneser_ney(
         [(r["gram"], r["count"]) for r in rows],
         order=order,

@@ -133,6 +133,7 @@ def mp3_metadata(payload: bytes) -> dict:
             junk += 1
             continue
         version, layer, br, rate, _pad, ch, nbytes, samples = parsed
+        is_header_frame = False
         if first is None:
             first = (version, layer, rate, ch)
             # Xing/Info (LIII VBR header) or VBRI, in the first frame
@@ -161,10 +162,18 @@ def mp3_metadata(payload: bytes) -> dict:
                     "bytes": struct.unpack_from(">I", payload, v + 10)[0],
                     "frames": struct.unpack_from(">I", payload, v + 14)[0],
                 }
+            is_header_frame = xing is not None
         elif (version, layer, rate, ch) != first:
             # header byte-pattern matched inside payload garbage; resync
             pos += 1
             junk += 1
+            continue
+        if is_header_frame:
+            # The Xing/Info/VBRI tag frame is a silent SEEK HEADER, not
+            # audio: standard tools (lame, ffmpeg) exclude it, and the
+            # file's own declared frame count does not include it — so it
+            # contributes nothing to frames/samples/bitrates.
+            pos += max(nbytes, 4)
             continue
         frames += 1
         bitrates.add(br)

@@ -810,7 +810,21 @@ def _alpha_over(region: np.ndarray, tile: np.ndarray) -> None:
 
 
 def is_apng(payload: bytes) -> bool:
-    return payload[:8] == PNG_MAGIC and b"acTL" in payload[:256]
+    """Chunk-walk for an acTL chunk before IDAT (the spec's placement rule)
+    — a fixed-prefix substring probe misclassified valid APNGs whose large
+    iCCP/PLTE/tEXt chunks push acTL past the first 256 bytes."""
+    if payload[:8] != PNG_MAGIC:
+        return False
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"acTL":
+            return True
+        if typ in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + ln
+    return False
 
 
 def decode_apng_frames(payload: bytes):

@@ -90,22 +90,61 @@ def conv_dup_ratio(
         first_seen = partial.groupBy("conv_id", "line").agg(
             F.min("_mt").alias("first_turn")
         )
+        joined = ex.join(first_seen, ["conv_id", "line"], "left")
+        per_turn = joined.groupBy("conv_id", "turn_idx").agg(
+            F.sum(
+                F.when(F.col("line").isNull(), F.lit(0))
+                .when(F.col("turn_idx") > F.col("first_turn"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("n_rep"),
+            F.sum(
+                F.when(F.col("line").isNull(), F.lit(0)).otherwise(F.lit(1))
+            ).alias("n_lines"),
+        )
     else:
-        first_seen = ex.filter(F.col("line").isNotNull()).groupBy(
-            "conv_id", "line"
-        ).agg(F.min("turn_idx").alias("first_turn"))
-
-    joined = ex.join(first_seen, ["conv_id", "line"], "left")
-    per_turn = joined.groupBy("conv_id", "turn_idx").agg(
-        F.sum(
-            F.when(F.col("line").isNull(), F.lit(0))
-            .when(F.col("turn_idx") > F.col("first_turn"), F.lit(1))
-            .otherwise(F.lit(0))
-        ).alias("n_rep"),
-        F.sum(
-            F.when(F.col("line").isNull(), F.lit(0)).otherwise(F.lit(1))
-        ).alias("n_lines"),
-    )
+        # Join-free rendering (r6): instead of joining first_seen back onto
+        # the exploded instances (which cost a second pass over ex plus the
+        # sort-merge of 4.7M-row sides — measured 2x the variant below at
+        # 591k turns), aggregate twice and explode the bounded per-line
+        # turn census:
+        #   1. count per (conv, line, turn)  — map-side combined, so a
+        #      heartbeat line repeated 10^6x within one turn collapses to
+        #      one row per task before any shuffle (same skew discipline
+        #      as before);
+        #   2. per (conv, line): first_turn + the (turn, count) list —
+        #      width bounded by the conversation's TURN count (not line
+        #      instance count), i.e. ~80 KB even for a 10^4-turn Zipf-head
+        #      conversation;
+        #   3. explode the census and sum per (conv, turn).
+        # Output proven equal to the join rendering on the 591k-turn
+        # corpus. The salted branch above keeps the join form (its salt
+        # key includes turn_idx, which this shape already collapses).
+        c0 = ex.groupBy("conv_id", "line", "turn_idx").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        g = c0.groupBy("conv_id", "line").agg(
+            F.min("turn_idx").alias("first_turn"),
+            F.collect_list(F.struct("turn_idx", "_c")).alias("_tc"),
+        )
+        per = g.select(
+            "conv_id",
+            F.col("line").isNull().alias("_nl"),
+            "first_turn",
+            F.explode("_tc").alias("e"),
+        )
+        per_turn = per.groupBy(
+            "conv_id", F.col("e.turn_idx").alias("turn_idx")
+        ).agg(
+            F.sum(
+                F.when(
+                    (~F.col("_nl")) & (F.col("e.turn_idx") > F.col("first_turn")),
+                    F.col("e._c"),
+                ).otherwise(F.lit(0))
+            ).alias("n_rep"),
+            F.sum(
+                F.when(F.col("_nl"), F.lit(0)).otherwise(F.col("e._c"))
+            ).alias("n_lines"),
+        )
     return per_turn.select(
         "conv_id",
         "turn_idx",

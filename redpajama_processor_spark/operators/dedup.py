@@ -193,6 +193,15 @@ def add_minhash(
                        (pipeline default; python oracle mirrors py_xxh64).
     """
     base_fn = H.base_hash_col if base == "md5" else H.xxhash_base_col
+    if use_numpy and base == "xxhash" and ngram < 32:
+        # fused scale path: ONE pandas UDF does shingling + vectorized
+        # numpy xxh64 + the K affine minima over the raw text column.
+        # Replaces the JVM shingle/hash stage (whose substring walk is
+        # O(offset) per window) AND shrinks the Arrow transfer ~4x (the
+        # text is far smaller than its int32 base-hash array). Values
+        # bit-identical to the hybrid path below (tested).
+        udf = H.minhash_text_udf(num_perm, ngram)
+        return df.withColumn("_minhash", udf(F.col(text_col)))
     if use_numpy:
         # hybrid: JVM base hashes -> numpy (n_shingles x K) affine-min.
         # Base hashes are 30-bit, so ship them to Python as int32 — HALF the
@@ -387,10 +396,16 @@ def verify_pairs_jaccard(
     docs = docs.join(ids, id_col, "left_semi")
 
     def _sh(text: Column) -> Column:
-        sh = H.shingles_col(text, ngram)
         if hash_shingles:
-            sh = F.array_distinct(F.transform(sh, H.xxhash_base_col))
-        return sh
+            # distinct AFTER hashing only — a string-level dedupe first
+            # would be pure cost (the hash-set is identical either way)
+            return F.array_distinct(
+                F.transform(
+                    H.shingles_col(text, ngram, distinct=False),
+                    H.xxhash_base_col,
+                )
+            )
+        return H.shingles_col(text, ngram)
 
     l = docs.select(
         F.col(id_col).alias("src"),

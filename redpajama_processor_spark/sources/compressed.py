@@ -300,7 +300,11 @@ def read_jsonl_auto(
         raise FileNotFoundError(f"no files match {path_glob}")
     p = first["path"]
     head = b""
-    local = p[7:] if p.startswith("file:") else p
+    # Spark's binaryFile returns 'file:/tmp/...' (single slash) on this
+    # build — strip only the 5-char scheme (as integrity.py does), not a
+    # hardcoded 7 chars which mangled the path, made the exists() probe
+    # fail, and silently degraded routing to extension-only sniffing
+    local = p[5:] if p.startswith("file:") else p
     if os.path.exists(local):
         with open(local, "rb") as fh:
             head = fh.read(4)

@@ -162,3 +162,14 @@ def test_sink_rejects_unknown_codec(spark):
     src = spark.range(1)
     with pytest.raises(ValueError, match="codec"):
         write_jsonl_compressed(src, "/tmp/nope", codec="xz")
+
+
+def test_auto_routing_mislabeled_extension(spark, tmp_path):
+    """An lz4-frame file WITHOUT an .lz4 extension must still route to the
+    Arrow reader via magic-byte sniffing (the native path would silently
+    return 0 rows). Regression test for the 'file:' prefix strip: Spark's
+    binaryFile returns file:/path with a single slash, and stripping 7
+    chars mangled the local path so the magic-byte probe never ran and
+    routing silently fell back to extension-only."""
+    p = _write(tmp_path, "mislabeled.jsonl", "lz4", [_jsonl(ROWS)])
+    assert read_jsonl_auto(spark, p, DDL).count() == len(ROWS)

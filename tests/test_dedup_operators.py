@@ -594,3 +594,55 @@ def test_exact_dedup_null_text_cluster(spark):
         (1, False), (2, True), (3, True),
         (4, False), (5, True), (6, False),
     }
+
+
+def test_minhash_fused_text_udf_equals_hybrid(spark):
+    """The fused text->signature UDF (minhash_text_udf: byte-window
+    vectorized xxh64 + affine minima in one pandas UDF) must equal the
+    hybrid JVM-hash path bit-for-bit — including non-ASCII rows (python
+    fallback), texts shorter than the shingle width, empty strings, and
+    multi-byte chars that make byte windows diverge from char windows."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, ""),                                  # empty -> [""] shingle
+        (3, "short"),                             # len <= ngram -> [text]
+        (4, "exactly twenty-four chr"),           # boundary length
+        (5, "café au lait — mêrme texte avec accents répétés encore et encore du texte"),
+        (6, "一二三四五六七八九十 mixed cjk with ascii tail repeated tail repeated tail"),
+        (7, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # degenerate repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for num_perm, ngram in [(16, 12), (64, 24)]:
+        fused = D.add_minhash(df, "text", num_perm, ngram, use_numpy=True, base="xxhash")
+        # force the hybrid rendering by bypassing the fused dispatch
+        tmp = df.withColumn(
+            "_bh",
+            F.transform(
+                H.shingles_col(F.col("text"), ngram, distinct=False),
+                lambda s: H.xxhash_base_col(s).cast("int"),
+            ),
+        )
+        hybrid = tmp.withColumn(
+            "_minhash", H.minhash_affine_udf(num_perm)(F.col("_bh"))
+        ).drop("_bh")
+        got = {r["doc_id"]: r["_minhash"] for r in fused.collect()}
+        exp = {r["doc_id"]: r["_minhash"] for r in hybrid.collect()}
+        assert got == exp, f"fused != hybrid at K={num_perm}, n={ngram}"
+
+
+def test_np_xxh64_short_matches_reference():
+    """Vectorized short-input xxh64 must reproduce py_xxh64 for every
+    length the fused path can dispatch (covers word/4-byte/tail stages)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for n in [9, 12, 16, 20, 24, 27, 31]:
+        data = rng.integers(0, 256, size=(200, n), dtype=np.uint8)
+        pad = (n + 7) // 8 * 8
+        mat = np.zeros((200, pad), dtype=np.uint8)
+        mat[:, :n] = data
+        got = H._np_xxh64_short(mat, n)
+        exp = np.array(
+            [H.py_xxh64(bytes(row), 42) for row in data], dtype=np.uint64
+        )
+        assert np.array_equal(got, exp), f"xxh64 mismatch at n={n}"

@@ -190,3 +190,24 @@ def test_tag_soup_totality(s):
     assert isinstance(got["html_title"], str)
     assert got["n_kept_blocks"] <= got["n_blocks"]
     assert 0.0 <= got["link_density"] or got["link_density"] == 0.0
+
+
+def test_unclosed_title_does_not_swallow_body():
+    """title is RCDATA: an unclosed <title> ends at the next start tag, so
+    the body text survives (previously every subsequent data piece was
+    appended to the title and html_text came out empty)."""
+    from redpajama_processor_spark.functions.htmlextract import py_extract_html
+
+    out = py_extract_html(
+        "<html><head><title>My Page</head>"
+        "<body><p>actual body content with enough words here</p></body>"
+    )
+    assert out["html_title"] == "My Page"
+    assert "actual body content" in out["html_text"]
+    # and a title cut off by a sibling start tag inside head
+    out2 = py_extract_html(
+        "<html><title>Other Page<p>actual body content with enough words"
+        " here</p>"
+    )
+    assert out2["html_title"] == "Other Page"
+    assert "actual body content" in out2["html_text"]

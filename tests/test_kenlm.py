@@ -232,3 +232,20 @@ def test_registry_entry_runs(spark, sf_dir):
     assert len(out) > 0
     assert {"doc_id", "kn_ppl"} <= set(out[0].asDict())
     assert all(np.isfinite(r["kn_ppl"]) for r in out)
+
+
+def test_spark_prune_happens_before_collect(spark, corpus):
+    """prune_min_count must shrink the COLLECTED table (the driver never
+    sees the raw gram census — VERDICT r5 scale item), and the pruned
+    spark model must equal driver-side pruning of the full table."""
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    full = ngram_counts_df(df, 3)
+    n_full = full.count()
+    n_pruned = full.filter("count >= 2").count()
+    assert n_pruned < n_full  # the corpus has singleton trigrams
+
+    m_spark = train_kneser_ney_spark(df, order=3, prune_min_count=2)
+    m_local = train_kneser_ney(py_ngram_counts(corpus, 3), 3, prune_min_count=2)
+    assert m_spark == m_local  # bit-identical dicts
+    # and the pruned model's top-order table matches the pruned row count
+    assert len(m_spark["prob"][3]) == n_pruned

@@ -147,7 +147,10 @@ def test_vbr_and_xing():
     assert m["vbr"]
     assert m["xing"] == {"tag": "Xing", "frames": 50, "bytes": 99999,
                          "quality": None}
-    assert m["frame_count"] == 5
+    # the Xing header frame is a silent seek header, excluded from the
+    # audio frame count (lame/ffmpeg semantics)
+    assert m["frame_count"] == 4
+    assert m["duration_s"] == pytest.approx(4 * 1152 / 44100)
 
 
 def test_mono_mpeg25_and_layer2():
@@ -251,3 +254,30 @@ def test_apng_rejects_bad_geometry_and_still():
     apng[i : i + 4] = struct.pack(">I", 999)
     with pytest.raises(ValueError, match="canvas|CRC|dimensions"):
         mm.decode_apng_frames(bytes(apng))
+
+
+def test_apng_detected_with_large_pre_actl_chunks():
+    """A valid APNG whose iCCP/tEXt chunks push acTL past byte 256 must
+    still be detected (is_apng chunk-walks instead of probing a fixed
+    prefix); and 'acTL' appearing only in IDAT data must NOT flag."""
+    from redpajama_processor_spark import multimodal as mm
+
+    frames = [
+        dict(rgba=np.zeros((4, 4, 4), np.uint8), x=0, y=0, delay_ms=40),
+        dict(rgba=np.full((4, 4, 4), 255, np.uint8), x=0, y=0, delay_ms=40),
+    ]
+    payload = mm.encode_apng(frames)
+    assert mm.is_apng(payload)
+    # splice a 400-byte tEXt chunk right after IHDR (before acTL)
+    import zlib
+
+    ihdr_end = 8 + 12 + 13
+    text = b"comment\x00" + b"x" * 400
+    chunk = struct.pack(">I", len(text)) + b"tEXt" + text
+    chunk += struct.pack(">I", zlib.crc32(b"tEXt" + text))
+    padded = payload[:ihdr_end] + chunk + payload[ihdr_end:]
+    assert b"acTL" not in padded[:256]
+    assert mm.is_apng(padded)
+    # a still PNG is NOT an APNG even if 'acTL' bytes appear in IDAT data
+    still = mm.encode_png(np.zeros((4, 4, 3), np.uint8))
+    assert not mm.is_apng(still)
