@@ -83,10 +83,11 @@ def _t(
     verified plain-vs-spread at sf0.1 on nine queries)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if not spread:
+    min_bytes = _SPREAD_MIN_BYTES if spread else _SPREAD_AUTO_BYTES
+    if _input_bytes(path) < min_bytes:
         return df
     n = spark.sparkContext.defaultParallelism
-    if _input_bytes(path) >= _SPREAD_MIN_BYTES and df.rdd.getNumPartitions() < n:
+    if df.rdd.getNumPartitions() < n:
         df = df.repartition(n)
     return df
 
@@ -94,6 +95,14 @@ def _t(
 #: Don't pay an exchange to spread a table smaller than one task's worth of
 #: work (sf0.001/sf0.01 inputs, the broadcast-side dims).
 _SPREAD_MIN_BYTES = 512 * 1024
+
+#: Even queries that did NOT opt in get spread once a single-row-group
+#: table is this large: at sf0.1 the shuffle-bound relational queries
+#: measured a ~0.1-0.2 s loss from the exchange, but at a 10x+ scale
+#: factor a one-task scan of a multi-million-row unsplittable file costs
+#: tens of seconds — the asymmetry makes auto-spread the right default
+#: for big inputs (only lineitem crosses this at sf0.1).
+_SPREAD_AUTO_BYTES = 8 * 1024 * 1024
 
 
 def _input_bytes(path: str) -> int:
@@ -438,9 +447,14 @@ def q_doc_minhash_sig(spark, sf_dir):
 
 
 def q_doc_lsh_pairs(spark, sf_dir):
-    """LSH candidate pairs over the near-dup table (J3 BucketsToEdges)."""
+    """LSH candidate pairs over the near-dup table (J3 BucketsToEdges).
+
+    use_numpy=True runs the hybrid path (JVM md5 base hashes + numpy
+    affine minima) — identical signatures to the pure-JVM rendering
+    (pair sets verified equal), measured equal warm and ~25% faster on
+    the cold first run the bench's min-of-reps protocol resembles."""
     dn = _docs_near(spark, sf_dir)
-    sigs = D.add_minhash(dn, "text", MINHASH_K, MINHASH_NGRAM)
+    sigs = D.add_minhash(dn, "text", MINHASH_K, MINHASH_NGRAM, use_numpy=True)
     buckets = D.lsh_buckets(sigs, MINHASH_K, MINHASH_BANDS, "doc_id")
     return D.buckets_to_edges(buckets, "doc_id")
 

@@ -166,7 +166,14 @@ def perplexity_udf(lm_broadcast):
     def _ppl(texts: pd.Series) -> pd.Series:
         return pd.Series(score_texts(texts.tolist(), lm_broadcast.value))
 
-    return _ppl
+    # The scorer IS deterministic; the marker exists to stop the optimizer
+    # duplicating the evaluation when a filter references the derived
+    # column (guide §4.4): `curate(...).filter("keep")` — the documented
+    # consumption pattern — otherwise plans TWO ArrowEvalPython nodes (one
+    # below the pushed filter, one in the output projection) and every
+    # surviving row pays the LM scoring twice. Verified: same values, one
+    # ArrowEvalPython in the filtered plan.
+    return _ppl.asNondeterministic()
 
 
 # Default keep threshold: documents with perplexity above this are dropped
