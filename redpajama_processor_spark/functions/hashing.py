@@ -384,6 +384,76 @@ def _np_xxh64_short(win: "np.ndarray", n: int, seed: int = SEED) -> "np.ndarray"
     return h
 
 
+def _batch_window_hashes(texts, n: int, seed: int = SEED):
+    """Per-row 30-bit xxh64 shingle-hash arrays for a whole batch.
+
+    Returns (parts, lens): parts[i] is row i's uint64 hash array (one per
+    char window, multiset order; [hash(text)] when len(text) <= n), lens
+    the per-row counts. Pure-ASCII rows longer than n go through ONE
+    sliding-window view + vectorized _np_xxh64_short pass over the whole
+    batch; short / non-ASCII rows fall back to the scalar py_xxh64 oracle
+    per shingle."""
+    pad = (n + 7) // 8 * 8
+    mask30 = np.uint64(MASK30)
+    n_rows = len(texts)
+    bufs: list[bytes] = []
+    fast_rows: list[int] = []
+    slow: list[tuple[int, np.ndarray]] = []
+    for i, t in enumerate(texts):
+        s = t if t is not None else ""
+        b = s.encode("utf-8")
+        if len(b) == len(s) and len(s) > n:
+            fast_rows.append(i)
+            bufs.append(b)
+        else:
+            # short or non-ASCII: per-shingle scalar oracle hash
+            if len(s) <= n:
+                sh = [s]
+            else:
+                sh = [s[j : j + n] for j in range(len(s) - n + 1)]
+            slow.append(
+                (
+                    i,
+                    np.fromiter(
+                        (py_xxh64(x.encode("utf-8"), seed) & MASK30 for x in sh),
+                        dtype=np.uint64,
+                        count=len(sh),
+                    ),
+                )
+            )
+    lens = np.zeros(n_rows, dtype=np.int64)
+    parts: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
+    if fast_rows:
+        big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        sw = np.lib.stride_tricks.sliding_window_view(big, n)
+        row_lens = np.fromiter(
+            (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+        )
+        counts = row_lens - n + 1
+        offs = np.zeros(len(bufs), dtype=np.int64)
+        np.cumsum(row_lens[:-1], out=offs[1:])
+        idx = np.concatenate(
+            [np.arange(o, o + c) for o, c in zip(offs, counts)]
+        )
+        wins = sw[idx]
+        if pad != n:
+            padded = np.zeros((wins.shape[0], pad), dtype=np.uint8)
+            padded[:, :n] = wins
+            wins = padded
+        else:
+            wins = np.ascontiguousarray(wins)
+        flat_fast = _np_xxh64_short(wins, n, seed) & mask30
+        pos = 0
+        for r, c in zip(fast_rows, counts):
+            parts[r] = flat_fast[pos : pos + c]
+            lens[r] = c
+            pos += c
+    for r, hs in slow:
+        parts[r] = hs
+        lens[r] = len(hs)
+    return parts, lens
+
+
 def minhash_text_udf(num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED):
     """text -> MinHash signature in ONE pandas UDF (xxhash base).
 
@@ -399,69 +469,13 @@ def minhash_text_udf(num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED):
     params = np.array(perm_params(num_perm, seed), dtype=np.uint64)
     A, B = params[:, 0], params[:, 1]
     P = np.uint64(MERSENNE_P)
-    pad = (n + 7) // 8 * 8
-    mask30 = np.uint64(MASK30)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         n_rows = len(texts)
         if n_rows == 0:
             return pd.Series([], dtype=object)
-        bufs: list[bytes] = []
-        fast_rows: list[int] = []
-        slow: list[tuple[int, np.ndarray]] = []
-        for i, t in enumerate(texts):
-            s = t if t is not None else ""
-            b = s.encode("utf-8")
-            if len(b) == len(s) and len(s) > n:
-                fast_rows.append(i)
-                bufs.append(b)
-            else:
-                # short or non-ASCII: per-shingle scalar oracle hash
-                if len(s) <= n:
-                    sh = [s]
-                else:
-                    sh = [s[j : j + n] for j in range(len(s) - n + 1)]
-                slow.append(
-                    (
-                        i,
-                        np.fromiter(
-                            (py_xxh64(x.encode("utf-8"), seed) & MASK30 for x in sh),
-                            dtype=np.uint64,
-                            count=len(sh),
-                        ),
-                    )
-                )
-        lens = np.zeros(n_rows, dtype=np.int64)
-        parts: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
-        if fast_rows:
-            big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-            sw = np.lib.stride_tricks.sliding_window_view(big, n)
-            row_lens = np.fromiter(
-                (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
-            )
-            counts = row_lens - n + 1
-            offs = np.zeros(len(bufs), dtype=np.int64)
-            np.cumsum(row_lens[:-1], out=offs[1:])
-            idx = np.concatenate(
-                [np.arange(o, o + c) for o, c in zip(offs, counts)]
-            )
-            wins = sw[idx]
-            if pad != n:
-                padded = np.zeros((wins.shape[0], pad), dtype=np.uint8)
-                padded[:, :n] = wins
-                wins = padded
-            else:
-                wins = np.ascontiguousarray(wins)
-            flat_fast = _np_xxh64_short(wins, n, seed) & mask30
-            pos = 0
-            for r, c in zip(fast_rows, counts):
-                parts[r] = flat_fast[pos : pos + c]
-                lens[r] = c
-                pos += c
-        for r, hs in slow:
-            parts[r] = hs
-            lens[r] = len(hs)
+        parts, lens = _batch_window_hashes(texts, n, seed)
         flat = np.concatenate([p for p in parts if p is not None and len(p)])
         starts = np.zeros(n_rows, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
@@ -477,6 +491,29 @@ def minhash_text_udf(num_perm: int, n: int = DEFAULT_NGRAM, seed: int = SEED):
         return pd.Series(list(mins))
 
     return _sig
+
+
+def hashed_shingle_set_udf(n: int = DEFAULT_NGRAM, seed: int = SEED):
+    """text -> DISTINCT 30-bit xxh64 shingle-hash set as array<long>.
+
+    The set twin of minhash_text_udf, for consumers that compute set
+    Jaccard over hashed shingles (verify_pairs_jaccard hash_shingles
+    path). Returned arrays are np.unique-SORTED — a different element
+    order than the JVM array_distinct rendering but the identical SET,
+    and every consumer reduces through order-insensitive
+    array_intersect/array_union sizes."""
+    assert n < 32, "fused path covers the xxh64 short-input branch only"
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hs(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        parts, _lens = _batch_window_hashes(texts, n, seed)
+        return pd.Series(
+            [np.unique(p).astype(np.int64) for p in parts]
+        )
+
+    return _hs
 
 
 # ---------------------------------------------------------------------------

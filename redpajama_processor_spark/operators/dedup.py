@@ -397,8 +397,15 @@ def verify_pairs_jaccard(
 
     def _sh(text: Column) -> Column:
         if hash_shingles:
-            # distinct AFTER hashing only — a string-level dedupe first
-            # would be pure cost (the hash-set is identical either way)
+            # fused vectorized path (same machinery as minhash_text_udf):
+            # one UDF builds all windows of a batch and hashes them with
+            # vectorized xxh64, returning the distinct hash SET (sorted —
+            # different element order than the JVM array_distinct
+            # rendering, identical set; only intersect/union SIZES are
+            # consumed downstream). ngram >= 32 falls back to the JVM
+            # rendering (the xxh64 short-input branch doesn't apply).
+            if ngram < 32:
+                return H.hashed_shingle_set_udf(ngram)(text)
             return F.array_distinct(
                 F.transform(
                     H.shingles_col(text, ngram, distinct=False),

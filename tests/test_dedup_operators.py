@@ -646,3 +646,33 @@ def test_np_xxh64_short_matches_reference():
             [H.py_xxh64(bytes(row), 42) for row in data], dtype=np.uint64
         )
         assert np.array_equal(got, exp), f"xxh64 mismatch at n={n}"
+
+
+def test_hashed_shingle_set_udf_equals_jvm(spark):
+    """The fused hashed-shingle-set UDF must produce the same SET as the
+    JVM array_distinct(transform(shingles, xxhash)) rendering (order may
+    differ — consumers only take intersect/union sizes)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, ""),
+        (3, "short"),
+        (4, "café au lait — mêrme texte avec accents répétés encore et encore du texte"),
+        (5, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in [12, 24]:
+        fused = df.select(
+            "doc_id", H.hashed_shingle_set_udf(n)(F.col("text")).alias("s")
+        ).collect()
+        jvm = df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    H.shingles_col(F.col("text"), n, distinct=False),
+                    H.xxhash_base_col,
+                )
+            ).alias("s"),
+        ).collect()
+        got = {r["doc_id"]: sorted(r["s"]) for r in fused}
+        exp = {r["doc_id"]: sorted(r["s"]) for r in jvm}
+        assert got == exp, f"hash set mismatch at n={n}"
