@@ -101,8 +101,10 @@ _SPREAD_MIN_BYTES = 512 * 1024
 #: measured a ~0.1-0.2 s loss from the exchange, but at a 10x+ scale
 #: factor a one-task scan of a multi-million-row unsplittable file costs
 #: tens of seconds — the asymmetry makes auto-spread the right default
-#: for big inputs (only lineitem crosses this at sf0.1).
-_SPREAD_AUTO_BYTES = 8 * 1024 * 1024
+#: for big inputs (only lineitem crosses this at sf0.1; at 10x every
+#: fact table does, including the 6 MB documents file whose explode-
+#: shaped consumers would otherwise run single-task).
+_SPREAD_AUTO_BYTES = 4 * 1024 * 1024
 
 
 def _input_bytes(path: str) -> int:
