@@ -423,14 +423,30 @@ def _batch_window_hashes(texts, n: int, seed: int = SEED):
             )
     lens = np.zeros(n_rows, dtype=np.int64)
     parts: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
-    if fast_rows:
-        big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    # Chunk the fast path so the (windows x n) byte matrix stays ~15 MB
+    # regardless of the Arrow batch size: a 10k-row batch would build a
+    # ~70 MB matrix whose 8 memory passes fall out of cache. Paired
+    # single-core microbench on 2.9M windows: 149 ms at 600k-window
+    # chunks vs 202 ms unchunked; Spark-level batch-size sweep agreed
+    # (min at 3-5k rows/batch before this internal chunking).
+    CHUNK_WINDOWS = 600_000
+    lo = 0
+    while lo < len(fast_rows):
+        hi = lo
+        total = 0
+        while hi < len(fast_rows) and (
+            total == 0 or total + (len(bufs[hi]) - n + 1) <= CHUNK_WINDOWS
+        ):
+            total += len(bufs[hi]) - n + 1
+            hi += 1
+        cbufs = bufs[lo:hi]
+        big = np.frombuffer(b"".join(cbufs), dtype=np.uint8)
         sw = np.lib.stride_tricks.sliding_window_view(big, n)
         row_lens = np.fromiter(
-            (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+            (len(b) for b in cbufs), dtype=np.int64, count=len(cbufs)
         )
         counts = row_lens - n + 1
-        offs = np.zeros(len(bufs), dtype=np.int64)
+        offs = np.zeros(len(cbufs), dtype=np.int64)
         np.cumsum(row_lens[:-1], out=offs[1:])
         idx = np.concatenate(
             [np.arange(o, o + c) for o, c in zip(offs, counts)]
@@ -444,10 +460,11 @@ def _batch_window_hashes(texts, n: int, seed: int = SEED):
             wins = np.ascontiguousarray(wins)
         flat_fast = _np_xxh64_short(wins, n, seed) & mask30
         pos = 0
-        for r, c in zip(fast_rows, counts):
+        for r, c in zip(fast_rows[lo:hi], counts):
             parts[r] = flat_fast[pos : pos + c]
             lens[r] = c
             pos += c
+        lo = hi
     for r, hs in slow:
         parts[r] = hs
         lens[r] = len(hs)
